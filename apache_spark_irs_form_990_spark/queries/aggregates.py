@@ -1,0 +1,213 @@
+"""Aggregation operators (SURVEY.md §2 B4).
+
+Generalizes the reference's single aggregation — ``reduceByKey(a+b)``
+with a hand-rolled map-side combine (``/root/reference/IRSSpark.py:167-169,
+181``) — into the full Catalyst aggregate surface. Every groupBy here
+plans as HashAggregate(partial) -> Exchange -> HashAggregate(final):
+the partial-aggregate phase the reference hand-codes is automatic, and
+at 100 TB the shuffle carries only one row per (group, partition), not
+the raw data.
+
+Scale notes:
+- group-by keys here are low-cardinality (returnflag/linestatus,
+  event_type, priority) so the shuffle after partial aggregation is
+  tiny regardless of input size;
+- `agg_count_distinct` expands to a two-phase distinct aggregate
+  (Expand + two shuffles) — fine for one measure; for dashboards at
+  100 TB prefer `agg_approx_count_distinct` (HLL++, single pass, no
+  Expand blowup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_spark_irs_form_990_spark.queries._helpers import (
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+from apache_spark_irs_form_990_spark.registry import register
+from apache_spark_irs_form_990_spark.tables import load
+
+
+# -- flagship: the CitiesCount analog (reference semantics A8+A9+A10) -------
+#
+# The reference's one concrete job (/root/reference/CitiesCountJob.py:18-23)
+# is: keep tag=='CityNm', lowercase the text, count occurrences. On the
+# driver's star schema the analog is lower(event_type) frequency counts
+# over `events`.
+
+@register(
+    "agg_count_by_key",
+    oracle="""
+    SELECT lower(event_type) AS key, count(*) AS cnt
+    FROM events
+    GROUP BY lower(event_type)
+    """,
+)
+def agg_count_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (SURVEY §7 M1): CitiesCount semantics on `events`.
+
+    Reference: filter ``/root/reference/CitiesCountJob.py:19``, lower+seed
+    ``:21``, reduce ``/root/reference/IRSSpark.py:181``. Catalyst plans the
+    map-side combine the reference hand-rolls via reduceByKey.
+    """
+    return (
+        load(spark, sf_dir, "events")
+        .select(F.lower("event_type").alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "agg_sum_min_max_avg",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           {sql_davg('l_discount', 'avg_disc')},
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_sum_min_max_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped multi-aggregate (generalizes reference A10).
+
+    Sums/avgs go through exact decimal (order-independent across both
+    engines' merge orders); min/max of doubles are already exact."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_cust,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregate (two-phase plan with Expand)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register("agg_approx_count_distinct")  # ◐ rows-only: HLL estimate is engine-specific
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — the 100 TB-scale path for distincts.
+
+    Single-pass, fixed-size sketch, no Expand blowup. No SQL oracle:
+    DuckDB's approx_count_distinct uses a different sketch, so estimates
+    differ; the driver records the weaker rows-only check.
+    """
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"))
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals; Catalyst plans one Expand + one aggregate
+    rather than N separate scans."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            dsum("l_quantity", "sum_qty"),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL surface (spark.sql == Catalyst)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "agg_having",
+    oracle=f"""
+    SELECT l_partkey, count(*) AS cnt,
+           {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING count(*) > 5
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation predicate (HAVING) — a filter above the aggregate."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("cnt"),
+            dsum("l_quantity", "sum_qty"),
+        )
+        .filter(F.col("cnt") > 5)
+    )

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark runner — the driver's per-round performance probe.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + a count-style action
+that materializes every row) after a warm-up pass of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from apache_spark_irs_form_990_spark import registry
+from apache_spark_irs_form_990_spark.session import get_session
+
+# Headline set: one representative per operator family; kept stable
+# across rounds so BENCH_r{N}.json is comparable.
+HEADLINE = [
+    "agg_count_by_key",
+    "agg_sum_min_max_avg",
+    "agg_having",
+    "filter_range",
+    "project_compute",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_session(app_name="bench")
+
+    qs = registry.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warm-up: run every headline query once at the smallest SF so JVM
+    # class-loading + whole-stage codegen compilation are not measured
+    # (they are per-plan-shape one-time costs, irrelevant at 100 TB).
+    warm_dir = "/root/testdata/sf0.001"
+    for name in names:
+        qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        # noop sink: materializes every output row/column without the
+        # count() shortcut (which lets Catalyst prune projections) and
+        # without filesystem write cost.
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
