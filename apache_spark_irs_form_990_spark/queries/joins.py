@@ -1,1 +1,294 @@
-"""Placeholder — filled in during round 1 build."""
+"""Join operators (SURVEY.md §2 B3 — all EXT; the reference has no joins).
+
+Scale posture for every join here:
+
+- **Dimension joins broadcast.** region/nation/customer/supplier/part
+  are dimensions; at 100 TB the fact side (`lineitem`, `events`) never
+  shuffles for them — `F.broadcast()` forces a BroadcastHashJoin (and
+  Catalyst would pick it anyway under autoBroadcastJoinThreshold for
+  the small ones). Verify with ``.explain``: no Exchange on the fact
+  side of a dim join.
+- **Fact-fact joins shuffle on the join key** (sort-merge); AQE's
+  skew-join splitting (on in session.py) handles hot keys at runtime.
+- **Semi/anti instead of distinct-after-join** — existence tests never
+  materialize the join product.
+- **As-of join is a window composition**, not a per-key loop: union the
+  two tagged sides, one shuffle on (user_id), one sort by ts — linear
+  in rows, no range explosion, no driver-side iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apache_spark_irs_form_990_spark.queries._helpers import (
+    revenue_sum,
+    sql_revenue_sum,
+)
+from apache_spark_irs_form_990_spark.registry import register
+from apache_spark_irs_form_990_spark.tables import load
+
+
+@register(
+    "join_inner_equi",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           {sql_revenue_sum('revenue')}
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join (lineitem x orders) + aggregate.
+
+    Both sides shuffle on orderkey (sort-merge at scale); AQE may flip
+    to broadcast at small SF where orders fits the threshold.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_lines"), revenue_sum("revenue"))
+    )
+
+
+@register(
+    "join_star_revenue",
+    oracle=f"""
+    SELECT n.n_name,
+           r.r_name,
+           {sql_revenue_sum('revenue')},
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-join showcase (SURVEY §7 M3): 5-table star-schema
+    revenue rollup. customer/nation/region broadcast — only the
+    lineitem⋈orders edge shuffles, so the plan survives a 1000x fact
+    scale-up unchanged."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(revenue_sum("revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT n.n_name, count(*) AS n_cust,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join on the smallest dimension. The
+    25-row nation table ships to every executor; customer never
+    shuffles for the join."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            (F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double") / 100.0).alias("sum_bal"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count = 0)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH cust AS (
+      SELECT c_nationkey AS nationkey, count(*) AS n_cust
+      FROM customer GROUP BY c_nationkey
+    ), supp AS (
+      SELECT s_nationkey AS nationkey, count(*) AS n_supp
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT coalesce(cust.nationkey, supp.nationkey) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust,
+           coalesce(n_supp, 0) AS n_supp
+    FROM cust FULL OUTER JOIN supp ON cust.nationkey = supp.nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregated sides (nations with customers
+    but no suppliers and vice versa both survive)."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full")
+        .select(
+            "nationkey",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence test as left-semi join: no duplication, the orders side
+    is only probed, never materialized into the output."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absence test as left-anti join (customers with no orders)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT n1.n_name AS name_a, n2.n_name AS name_b, n1.n_regionkey AS regionkey
+    FROM nation n1
+    JOIN nation n2
+      ON n1.n_regionkey = n2.n_regionkey
+     AND n1.n_nationkey < n2.n_nationkey
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join: unordered pairs of nations within a
+    region. The equi part (regionkey) keys the join; the range
+    predicate evaluates as a post-join residual — at scale this is the
+    pattern that keeps a theta join out of nested-loop territory."""
+    n1 = load(spark, sf_dir, "nation").alias("n1")
+    n2 = load(spark, sf_dir, "nation").alias("n2")
+    return n1.join(
+        n2,
+        (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+        & (F.col("n1.n_nationkey") < F.col("n2.n_nationkey")),
+    ).select(
+        F.col("n1.n_name").alias("name_a"),
+        F.col("n2.n_name").alias("name_b"),
+        F.col("n1.n_regionkey").alias("regionkey"),
+    )
+
+
+@register(
+    "join_asof_event",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_us,
+           epoch_us(CAST(c.ts AS TIMESTAMP)) AS last_click_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+    """,
+)
+def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY B3 `join_asof_event`): for each purchase, the
+    latest click of the same user at-or-before it.
+
+    Spark has no native ASOF JOIN; a range join explodes and
+    per-group pandas merge_asof caps at group size. This composition is
+    the scalable form: union the tagged sides, ONE shuffle on user_id,
+    one sort by ts, last_value(ignoreNulls) carried forward. Linear
+    cost, no row explosion, works on a billion users.
+
+    Tie rule (click.ts == purchase.ts matches) is encoded in the sort:
+    clicks order before purchases at equal ts.
+    """
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ev_ts"), F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ev_ts"), F.lit(1).alias("kind"), "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ev_ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = clicks.unionByName(purchases).withColumn(
+        "last_click_ts",
+        F.last(F.when(F.col("kind") == 0, F.col("ev_ts")), ignorenulls=True).over(w),
+    )
+    return (
+        tagged.filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ev_ts").alias("purchase_us"),
+            F.unix_micros("last_click_ts").alias("last_click_us"),
+        )
+    )

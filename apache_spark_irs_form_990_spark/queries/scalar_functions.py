@@ -1,1 +1,261 @@
-"""Placeholder — filled in during round 1 build."""
+"""Scalar functions: string / regex / date / math / array / map / JSON /
+conditional (SURVEY.md §2 B7).
+
+The reference's entire scalar-function surface is ``str.lower()``
+(``/root/reference/CitiesCountJob.py:21``) and ``str.strip()``
+(``/root/reference/IRSSpark.py:248-249``) — executed row-at-a-time in
+Python. Here every function is a built-in ``pyspark.sql.functions``
+expression: JVM-side, whole-stage-codegen'd, vectorized over the
+parquet reader's columnar batches. Nothing in this module crosses into
+Python at runtime — that 10-100x difference is the engine's scalar
+throughput story at 100 TB.
+
+`fn_string_regex` also carries the reference's namespace-strip bug fix
+(SURVEY §2 A′1): a proper regex prefix strip instead of the char-set
+``str.strip`` that mangles tag names.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_spark_irs_form_990_spark.registry import register
+from apache_spark_irs_form_990_spark.tables import load
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           upper(p_brand) AS brand_upper,
+           trim(p_type) AS type_trim,
+           substr(p_name, 1, 5) AS name_prefix,
+           p_brand || '/' || p_type AS brand_type,
+           length(p_name) AS name_len
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lower/upper/trim/substr/concat/length (reference A9's lower() and
+    A5's strip(), generalized)."""
+    return load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.trim("p_type").alias("type_trim"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+@register(
+    "fn_string_regex",
+    oracle="""
+    SELECT t.tag,
+           regexp_replace(t.tag, '^\\{[^}]*\\}', '') AS tag_stripped,
+           regexp_extract(t.tag, '\\{([^}]*)\\}', 1) AS namespace
+    FROM (
+      SELECT '{http://www.irs.gov/efile}' || p_name AS tag FROM part
+    ) t
+    """,
+)
+def fn_string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proper XML-namespace strip — the A′1 bug fix. The reference's
+    ``elem.tag.strip("{'{http://www.irs.gov/efile}")`` strips a CHAR SET
+    (so ``}Filer`` -> ``F``); the correct operation is this regex prefix
+    removal (``/root/reference/IRSSpark.py:248``)."""
+    tagged = load(spark, sf_dir, "part").select(
+        F.concat(F.lit("{http://www.irs.gov/efile}"), F.col("p_name")).alias("tag")
+    )
+    return tagged.select(
+        "tag",
+        F.regexp_replace("tag", r"^\{[^}]*\}", "").alias("tag_stripped"),
+        F.regexp_extract("tag", r"\{([^}]*)\}", 1).alias("namespace"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           count(*) AS n_orders,
+           CAST(max(datediff('day', CAST('1995-01-01' AS DATE),
+                             CAST(o_orderdate AS DATE))) AS INT) AS max_days_since
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/date_trunc/datediff over order dates. date_trunc
+    emitted as a formatted string; day-diffs as ints (engine-neutral)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.max(
+                F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+            )
+            .cast("int")
+            .alias("max_days_since"),
+        )
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           CAST(round(l_quantity) AS BIGINT) AS qty_round,
+           CAST(ceil(l_discount * 10) AS BIGINT) AS disc_decile,
+           abs(l_quantity - 25.0) AS qty_dev,
+           CAST(floor(sqrt(l_extendedprice)) AS BIGINT) AS price_sqrt_floor,
+           CAST(l_quantity AS INT) % 7 AS qty_mod
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/ceil/abs/sqrt/mod arithmetic — all codegen'd column math.
+    Irrational results (sqrt) pass through floor so output is integral
+    and engine-neutral."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity").cast("long").alias("qty_round"),
+        F.ceil(F.col("l_discount") * 10).cast("long").alias("disc_decile"),
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.floor(F.sqrt("l_extendedprice")).cast("long").alias("price_sqrt_floor"),
+        (F.col("l_quantity").cast("int") % 7).alias("qty_mod"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(embedding[64] AS DOUBLE) AS last_val,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+                AS DOUBLE) / 1000.0 AS sum_milli
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size/element_at/transform/aggregate higher-order functions over
+    the embedding array — all JVM-side (no UDF), which is what makes
+    array analytics viable on a 100 TB embedding table.
+
+    The elementwise sum goes through integer-milli units: float32
+    summation order differs between engines, integers don't."""
+    e = load(spark, sf_dir, "embeddings")
+    milli = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.element_at("embedding", 64).cast("double").alias("last_val"),
+        (
+            F.aggregate(milli, F.lit(0).cast("long"), lambda acc, x: acc + x)
+            .cast("double")
+            / 1000.0
+        ).alias("sum_milli"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    WHERE props IS NOT NULL
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events.props string column."""
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("props").isNotNull())
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        )
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+    SELECT r_regionkey,
+           CASE r_name WHEN 'AMERICA' THEN 'NEW WORLD' ELSE 'OLD WORLD' END
+             AS world,
+           r_name AS name
+    FROM region
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map build + lookup (reference A16's tag->texts transpose,
+    relationalized): a literal map applied via element_at. The map
+    itself is a Catalyst literal — no join, no UDF."""
+    world_map = F.create_map(
+        F.lit("AMERICA"), F.lit("NEW WORLD"),
+        F.lit("AFRICA"), F.lit("OLD WORLD"),
+        F.lit("ASIA"), F.lit("OLD WORLD"),
+        F.lit("EUROPE"), F.lit("OLD WORLD"),
+        F.lit("MIDDLE EAST"), F.lit("OLD WORLD"),
+    )
+    return load(spark, sf_dir, "region").select(
+        "r_regionkey",
+        F.element_at(world_map, F.col("r_name")).alias("world"),
+        F.col("r_name").alias("name"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 150000 THEN 'big'
+                WHEN o_totalprice > 50000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           coalesce(nullif(o_orderpriority, '1-URGENT'), 'TOP') AS prio,
+           CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END
+             AS status_or_null
+    FROM orders
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif (reference A15's skip-bad-record
+    intent expressed as null semantics)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 150000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.coalesce(F.nullif("o_orderpriority", F.lit("1-URGENT")), F.lit("TOP")).alias(
+            "prio"
+        ),
+        F.when(F.col("o_orderstatus") == "O", F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status_or_null"),
+    )

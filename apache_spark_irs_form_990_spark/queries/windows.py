@@ -1,1 +1,157 @@
-"""Placeholder — filled in during round 1 build."""
+"""Window-function operators (SURVEY.md §2 B5 — all EXT).
+
+One shuffle per distinct (partitionBy, orderBy) pair; Spark evaluates
+all frames sharing a window spec in a single Window physical operator.
+At 100 TB the partition key choice is the scale story: user_id /
+suppkey partitions are numerous and small (good parallelism); a
+windows-over-everything spec (no partitionBy) would funnel the table
+through one task and is deliberately absent here.
+
+Determinism note for oracle hashing: every orderBy carries a unique
+tiebreak column (event_id / l_orderkey+l_linenumber) so rank/lag/lead
+values are reproducible across engines and partition counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apache_spark_irs_form_990_spark.queries._helpers import cents, sql_cents
+from apache_spark_irs_form_990_spark.registry import register
+from apache_spark_irs_form_990_spark.tables import load
+
+
+@register(
+    "win_rank_topn_per_group",
+    oracle="""
+    SELECT *
+    FROM (
+      SELECT l_suppkey,
+             l_orderkey,
+             l_linenumber,
+             l_extendedprice,
+             row_number() OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             ) AS rn
+      FROM lineitem
+    )
+    WHERE rn <= 3
+    """,
+)
+def win_rank_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 priciest line items per supplier — the canonical top-N
+    pattern. Spark pushes a per-partition rank limit into the sort
+    (WindowGroupLimit) so each group only keeps N rows pre-shuffle."""
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle=f"""
+    SELECT user_id,
+           event_id,
+           CAST(sum({sql_cents('value')}) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100.0 AS running_value
+    FROM events
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-user sum in event-time order. Integer-cents inside
+    the frame so the running value is exact at every prefix (a running
+    double sum would hash-diverge on merge order)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            (F.sum(cents("value")).over(w).cast("double") / 100.0).alias(
+                "running_value"
+            ),
+        )
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT user_id,
+           event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER (
+             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+           )) AS prev_ts_us,
+           lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ) AS next_type
+    FROM events
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic offsets: previous event time + next event type per user.
+    Timestamps emitted as epoch-microsecond BIGINTs (engine-neutral)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.unix_micros(F.lag("ts").over(w)).alias("prev_ts_us"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+    )
+
+
+@register(
+    "win_moving_avg",
+    oracle=f"""
+    SELECT user_id,
+           event_id,
+           CAST(sum({sql_cents('value')}) OVER w AS DOUBLE) / 100.0
+             / count(*) OVER w AS moving_avg
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id
+      ORDER BY CAST(ts AS TIMESTAMP), event_id
+      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-row sliding mean per user, exact-cents sum / frame count (avg()
+    over doubles would be frame-order-sensitive)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            (
+                F.sum(cents("value")).over(w).cast("double")
+                / 100.0
+                / F.count(F.lit(1)).over(w)
+            ).alias("moving_avg"),
+        )
+    )
