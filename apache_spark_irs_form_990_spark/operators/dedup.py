@@ -1,1 +1,386 @@
-"""Placeholder — filled in during round 1 build."""
+"""Deduplication operators over `documents` (SURVEY.md §2 B10; north
+star: LLM-training-data pipelines).
+
+Five strategies, cheapest-first — the decision ladder a 100 TB corpus
+dedup actually uses:
+
+1. exact content-hash (`dedup_exact_hash`) — one shuffle on a 32-byte
+   key, no token work;
+2. n-gram Jaccard on shared shingles (`dedup_near_jaccard`) — exact
+   near-dup pairs; candidate generation by shingle co-occurrence, so
+   cost scales with shared-shingle pairs, not n^2;
+3. MinHash+LSH (`dedup_near_minhash`) — the sub-quadratic scale path:
+   shingle -> minhash signature -> banded bucket join;
+4. SimHash (`dedup_simhash`) — constant-size per-doc fingerprint with
+   hamming-proximity banding;
+5. embedding cosine (`dedup_near_embedding`) — semantic near-dups.
+
+The testdata documents are all-distinct (FIXTURES.md), so the exact /
+near paths synthesize duplicates deterministically (self-union; word
+truncation) on both the Spark and oracle sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apache_spark_irs_form_990_spark.registry import register
+from apache_spark_irs_form_990_spark.tables import load
+
+
+@register(
+    "dedup_exact_hash",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 3 = 0
+    )
+    SELECT sha256(text) AS fp,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM corpus
+    GROUP BY sha256(text)
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash. Grouping on sha2(text) instead of
+    text means the shuffle key is 32 bytes regardless of document size
+    — at 100 TB that is the difference between shuffling hashes and
+    shuffling the corpus. keep_doc_id = min gives a deterministic
+    canonical survivor. (Duplicates synthesized: every 3rd doc
+    re-appears under doc_id+1e6.)"""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    corpus = docs.unionByName(dupes)
+    return (
+        corpus.groupBy(F.sha2("text", 256).alias("fp"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _shingles(col, n: int = 3):
+    """Word n-gram shingles of a text column as an array, via one
+    JVM-side transform over the token array (no Python). Guarded:
+    sequence(0, k-1) with k<=0 would generate a DESCENDING sequence,
+    not an empty one."""
+    toks = F.split(col, " ")
+    k = F.size(toks) - (n - 1)
+    idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+
+
+@register(
+    "dedup_near_jaccard",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      -- near-duplicate: same doc with the last 2 words dropped
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1,
+                             len(string_split(text, ' ')) - 2), ' ') AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    shingled AS (
+      SELECT doc_id,
+             unnest(list_distinct([
+               array_to_string(list_slice(t, i, i + 2), ' ')
+               FOR i IN generate_series(1, len(t) - 2)
+             ])) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id),
+    pair_overlap AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM shingled a JOIN shingled b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+    FROM pair_overlap
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6
+    """,
+)
+def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.6).
+
+    Candidate pairs come from co-occurring shingles (inverted-index
+    join), so disjoint documents never meet — the exact-but-pruned
+    baseline that validates the MinHash path. At 100 TB, hot shingles
+    need a document-frequency cap before the self-join (drop shingles
+    appearing in >k docs: they generate k^2 candidate pairs and carry
+    no discriminating signal)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0)))
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(near)
+    shingled = (
+        corpus.select(
+            "doc_id",
+            F.explode(F.array_distinct(_shingles(F.col("text")))).alias("shingle"),
+        )
+    )
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    overlap = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("shared")
+    )
+    return (
+        overlap.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+@register("dedup_near_minhash")  # ◐ rows-only: LSH banding is engine-specific
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates — the sub-quadratic
+    scale path (shingle -> K minhashes -> B bands -> bucket join).
+
+    Built from deterministic primitives (xxhash64 with fixed seeds), no
+    MLlib model state: signatures are K=12 min-hashes, banded into B=4
+    bands of R=3; docs sharing any band bucket become candidates, then
+    exact signature agreement estimates Jaccard. Every step is a
+    DataFrame op, so the whole pipeline shuffles only (band, bucket)
+    keys — never document pairs — until the final candidate join.
+    """
+    K, R = 12, 3  # B = K // R = 4 bands
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0)))
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(near)
+    shingled = corpus.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingles(F.col("text")))).alias("shingle"),
+    )
+    # K permutations approximated by seeded xxhash64; min per doc & seed.
+    sig = shingled.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+            for seed in range(K)
+        ]
+    )
+    # band signature = hash of R consecutive minhashes
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bidx).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{bidx * R + r}") for r in range(R)]
+                        ).alias("bucket"),
+                    )
+                    for bidx in range(K // R)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    # estimate similarity = fraction of agreeing minhashes
+    siga = sig.alias("sa")
+    sigb = sig.alias("sb")
+    agree = sum(
+        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+        for i in range(K)
+    )
+    return (
+        cand.join(siga, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sigb, F.col("id_b") == F.col("sb.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            (agree.cast("double") / K).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+
+
+@register("dedup_simhash")  # ◐ rows-only: fingerprint bits are hash-fn-specific
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit token-weighted fingerprint per doc, then
+    hamming distance <= 3 among candidates sharing a 16-bit half
+    (the pigeonhole banding: hamming<=3 over 32 bits guarantees one of
+    the two halves matches... for <=1 per half; with 2 halves this
+    catches distance<=1 exactly and most <=3 — the standard
+    recall/cost trade, stated honestly).
+
+    Fully JVM-side: per-token hash -> per-bit +/-1 vote via bitwise
+    ops inside an array transform -> groupBy sum -> sign -> bits to
+    int. One shuffle per doc for the vote, one half-key join for
+    candidates; no Python, no pairs before banding."""
+    BITS = 32
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).withColumn("th", F.xxhash64("token", F.lit(99)))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(BITS)
+        ]
+    )
+    fp = votes.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(0))
+            for i in range(BITS)
+        ).cast("long").alias("simhash"),
+    )
+    half_lo = F.col("simhash").bitwiseAND(F.lit((1 << 16) - 1))
+    half_hi = F.shiftright(F.col("simhash"), 16).bitwiseAND(F.lit((1 << 16) - 1))
+    halves = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("part"), half_lo.alias("key")),
+                F.struct(F.lit(1).alias("part"), half_hi.alias("key")),
+            )
+        ).alias("h"),
+    ).select("doc_id", "simhash", "h.part", "h.key")
+    a = halves.alias("a")
+    b = halves.alias("b")
+    xor = F.expr("a.simhash ^ b.simhash")
+    return (
+        a.join(
+            b,
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(xor).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+@register(
+    "dedup_near_embedding",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, 65),
+                      i -> a.v[i] * b.v[i])) AS dot,
+             list_sum(list_transform(a.v, x -> x * x)) AS na,
+             list_sum(list_transform(b.v, x -> x * x)) AS nb
+      FROM q a JOIN q b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+             AS cosine
+    FROM pairs
+    WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+          >= 0.95
+    """,
+)
+def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= 0.95) — exact
+    all-pairs at test scale; the production path blocks candidates via
+    LSH first (see similarity.py). Dot products run in integer
+    milli-units so both engines compute identical cosines (float32
+    summation order would diverge in the last ulp and flip threshold
+    decisions).
+
+    Scale note: the quadratic all-pairs here exists as the oracle-able
+    baseline; sim_cosine_ann_lsh is the one you run on a billion rows.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("v"),
+    )
+    norm = F.aggregate(
+        F.transform(F.col("v"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    emb = emb.withColumn("n", norm)
+    a = emb.alias("a")
+    b = emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cosine = dot.cast("double") / (
+        F.sqrt(F.col("a.n").cast("double")) * F.sqrt(F.col("b.n").cast("double"))
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.95)
+    )

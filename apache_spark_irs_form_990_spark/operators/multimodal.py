@@ -1,1 +1,145 @@
-"""Placeholder — filled in during round 1 build."""
+"""Multimodal columns (SURVEY.md §2 B10 `mm_column_struct`): image /
+audio / video payloads as opaque ``binary`` columns with typed metadata
+structs, plus the decode / feature-extract / frame-sample plumbing as
+Arrow-batched Pandas operators.
+
+The container has no image/audio libraries, so the decode kernels are
+STUBS — a deterministic fake derived from the payload bytes, clearly
+marked, swappable for PIL/ffmpeg kernels. What IS real and tested is
+everything Spark-side: the schema (binary + metadata struct), the
+mapInPandas batch shapes, the metadata-only pushdown path, and the
+partitioning story (payload bytes never shuffle for metadata queries).
+
+Scale notes: at 100 TB of media, the whole game is (1) never moving
+payload bytes you don't need — metadata filters/projects run off the
+struct columns and parquet prunes the binary column entirely; (2)
+decoding inside the scan task via mapInPandas, so decoded features,
+not raw media, hit the first shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_spark_irs_form_990_spark.registry import register
+from apache_spark_irs_form_990_spark.tables import load
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the multimodal table from `documents`: payload =
+    utf-8 bytes of text (a deterministic stand-in for image bytes),
+    metadata struct = (mime, n_bytes, kind). In production this is
+    `spark.read.format('binaryFile')` or a parquet table with a real
+    binary column — schema identical."""
+    d = load(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return d.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            kind.alias("kind"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "mm_column_struct",
+    oracle="""
+    SELECT doc_id,
+           'application/x-fake-' ||
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS mime,
+           octet_length(CAST(text AS BLOB)) AS n_bytes
+    FROM documents
+    WHERE CAST(doc_id % 3 AS INT) = 0 AND octet_length(CAST(text AS BLOB)) > 200
+    """,
+)
+def mm_column_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only query over the multimodal table: filter + project
+    on the struct, payload column dropped. In the physical plan the
+    binary column is pruned at the scan — the 100 TB payload never
+    leaves disk for this query."""
+    m = media_table(spark, sf_dir)
+    return (
+        m.filter((F.col("meta.kind") == "image") & (F.col("meta.n_bytes") > 200))
+        .select("doc_id", F.col("meta.mime").alias("mime"), F.col("meta.n_bytes").alias("n_bytes"))
+    )
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, int]:
+    """STUB image decode — deterministic fake (width, height, channels)
+    derived from the payload, NOT a real decoder.
+
+    Swap body for e.g. ``PIL.Image.open(io.BytesIO(payload)).size``
+    when an imaging library is available; the Spark-side contract
+    (bytes in, small typed tuple out) is exactly what a real kernel
+    needs.
+    """
+    h = 0
+    for b in payload[:64]:
+        h = (h * 131 + b) % 1_000_003
+    return (64 + h % 1024, 64 + (h // 1024) % 1024, 3)
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """mapInPandas decode: payload batches in, per-item feature rows
+    out. Arrow moves the binary column zero-copy into pandas; the
+    decode runs inside the scan task (no payload shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = pdf["payload"].map(_decode_stub)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": dims.map(lambda t: t[0]),
+                    "height": dims.map(lambda t: t[1]),
+                    "channels": dims.map(lambda t: t[2]),
+                    "n_bytes": pdf["payload"].map(len),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema="doc_id long, width int, height int, channels int, n_bytes long"
+    )
+
+
+@register("mm_decode_features")  # ◐ rows-only: decode kernel is a stub
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode(payload) -> typed features via Arrow-batched mapInPandas.
+    The kernel is the documented stub; the plumbing (batch iteration,
+    schema, zero-copy binary transfer) is the real operator."""
+    return decode_features(media_table(spark, sf_dir))
+
+
+@register("mm_frame_sample")  # ◐ rows-only: frame sampler is a stub
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video payloads: one row in, k frame rows out
+    (UDTF shape). Frame count is a deterministic fake of n_bytes; a
+    real implementation replaces the inner loop with ffmpeg keyframe
+    extraction — the explode/flatMap contract is unchanged."""
+    m = media_table(spark, sf_dir).filter(F.col("meta.kind") == "video")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = 1 + len(payload) % 4
+                for i in range(n_frames):
+                    # STUB: frame payload = slice of source bytes
+                    rows.append((doc_id, i, payload[i * 16 : i * 16 + 16]))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
+
+    return m.select("doc_id", "payload").mapInPandas(
+        run, schema="doc_id long, frame_idx int, frame_bytes binary"
+    )

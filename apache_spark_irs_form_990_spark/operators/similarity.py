@@ -1,1 +1,209 @@
-"""Placeholder — filled in during round 1 build."""
+"""Similarity search over `embeddings` (SURVEY.md §2 B10 north star).
+
+Three tiers, matching how a real 100 TB vector pipeline is built:
+
+- `sim_cosine_topk` — brute-force top-k for one query vector: one scan,
+  per-partition heaps via TakeOrderedAndProject, exact. The baseline
+  every ANN variant is validated against.
+- `sim_cosine_topk_per_label` — batched exact top-k (k neighbors per
+  group) as a window over blocked pairs.
+- `sim_cosine_ann_lsh` — random-hyperplane LSH: candidates meet only
+  inside a bucket, turning all-pairs O(n^2) into O(n * bucket). This is
+  the plan shape that survives a billion vectors; exactness is traded
+  for the bucket-recall knob (n_planes).
+
+All dot products run in integer milli-units (see dedup.py rationale):
+float32 sum order differs between engines; integer sums cannot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apache_spark_irs_form_990_spark.registry import register
+from apache_spark_irs_form_990_spark.tables import load
+
+_QUERY_VEC_ID = 0  # deterministic fixed query: vec_id 0's embedding
+
+
+def _milli_vec(col):
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
+
+
+def _sq_norm(col):
+    return F.aggregate(
+        F.transform(col, lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda a_, x: a_ + x
+    )
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH m AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM m WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT vec_id,
+           CAST(list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)))
+             AS cosine
+    FROM m, q
+    WHERE vec_id <> {_QUERY_VEC_ID}
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for a fixed query vector.
+
+    The query vector broadcasts (1-row cross join); the scan stays
+    embarrassingly parallel and orderBy+limit plans as
+    TakeOrderedAndProject — no global sort, no shuffle of the corpus.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _milli_vec(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    cosine = _dot(F.col("v"), F.col("qv")).cast("double") / (
+        F.sqrt(_sq_norm(F.col("v")).cast("double"))
+        * F.sqrt(_sq_norm(F.col("qv")).cast("double"))
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .select("vec_id", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "sim_cosine_topk_per_label",
+    oracle=f"""
+    WITH m AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM m WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT * FROM (
+      SELECT vec_id, label,
+             CAST(list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)))
+               AS cosine,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY CAST(list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)))
+               DESC, vec_id
+             ) AS rn
+      FROM m, q
+      WHERE vec_id <> {_QUERY_VEC_ID}
+    ) WHERE rn <= 3
+    """,
+)
+def sim_cosine_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact top-3 neighbors per label — the batched form
+    (window top-N over the scored scan; WindowGroupLimit keeps 3 per
+    label pre-shuffle)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _milli_vec(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    cosine = _dot(F.col("v"), F.col("qv")).cast("double") / (
+        F.sqrt(_sq_norm(F.col("v")).cast("double"))
+        * F.sqrt(_sq_norm(F.col("qv")).cast("double"))
+    )
+    w = Window.partitionBy("label").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .select("vec_id", "label", cosine.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register("sim_cosine_ann_lsh")  # ◐ rows-only: bucket recall is probabilistic
+def sim_cosine_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via random-hyperplane LSH.
+
+    Signature bit i = sign(dot(v, plane_i)) with planes derived
+    deterministically from seeded xxhash64 of (plane, dim) — no model
+    state, reproducible across runs. Vectors sharing a signature bucket
+    are candidates; exact integer-milli cosine re-ranks within the
+    bucket, window top-3 per query vector.
+
+    Scale shape: one narrow projection per vector (64 dims x 8 planes),
+    one shuffle on the 8-bit bucket, pair work bounded by bucket sizes.
+    Raising n_planes shrinks buckets (recall down, cost down) — the
+    single knob of the engine's ANN story.
+    """
+    N_PLANES = 8
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _milli_vec(F.col("embedding")).alias("v")
+    )
+    # plane_j[d] in {-1, 0, 1}: deterministic pseudo-random ternary
+    # hyperplanes from xxhash64(plane, dim) mod 3 - 1.
+    dims = F.sequence(F.lit(0), F.lit(63))
+
+    def plane_dot(j):
+        return F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.transform(
+                    dims, lambda d: F.xxhash64(F.lit(j), d, F.lit(7)) % 3 - 1
+                ),
+                lambda x, p: x * p,
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    bucket = sum(
+        (F.when(plane_dot(j) > 0, F.lit(1 << j)).otherwise(0)) for j in range(N_PLANES)
+    )
+    bucketed = emb.withColumn("bucket", bucket.cast("int")).withColumn(
+        "n", _sq_norm(F.col("v"))
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cosine = _dot(F.col("a.v"), F.col("b.v")).cast("double") / (
+        F.sqrt(F.col("a.n").cast("double")) * F.sqrt(F.col("b.n").cast("double"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("qid"),
+            F.col("b.vec_id").alias("nid"),
+            cosine.alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

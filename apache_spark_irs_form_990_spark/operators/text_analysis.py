@@ -1,1 +1,249 @@
-"""Placeholder — filled in during round 1 build."""
+"""Text analysis over `documents` (SURVEY.md §2 B10 north star):
+tokenization stats, quality scoring, language profiling, heuristic
+language-ID, and document fingerprinting.
+
+Everything is built-in expressions (split/explode/regexp/aggregate) —
+no Python in the row path — because these run over every document of a
+100 TB corpus: the scalar throughput IS the operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_spark_irs_form_990_spark.queries._helpers import sql_cents
+from apache_spark_irs_form_990_spark.registry import register
+from apache_spark_irs_form_990_spark.tables import load
+
+
+@register(
+    "text_tokenize_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                t -> length(t))) AS BIGINT) AS sum_token_chars,
+           length(text) AS n_chars_computed
+    FROM documents
+    """,
+)
+def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + per-doc token stats, entirely inside
+    the array expression layer (one scan, zero shuffles, zero Python)."""
+    toks = F.split(F.col("text"), " ")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("sum_token_chars"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+    )
+
+
+@register(
+    "text_token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+             AS n_bpe_ish,
+           len(string_split(text, ' ')) AS n_ws
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex
+    (letter runs / digit runs / single punctuation) — the cheap
+    pre-tokenizer count used for corpus budgeting before a real BPE
+    pass."""
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_ish"),
+        F.size(F.split("text", " ")).cast("long").alias("n_ws"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(length(text) AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_token_len,
+           CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the','a','of','and','to','in','is','it',
+                           'der','die','das','und','el','la','de','le',
+                           'les','et'))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stopword_ratio,
+           CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1 ELSE 0 END
+             AS length_ok
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals per doc: length, mean token length, stopword
+    ratio, length-window flag — the standard cheap filters before
+    expensive model-based scoring of a pretraining corpus."""
+    toks = F.split(F.col("text"), " ")
+    stop = F.array(
+        *[
+            F.lit(s)
+            for s in (
+                "the", "a", "of", "and", "to", "in", "is", "it",
+                "der", "die", "das", "und", "el", "la", "de", "le",
+                "les", "et",
+            )
+        ]
+    )
+    n_tok = F.size(toks)
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        (F.length("text").cast("double") / n_tok).alias("avg_token_len"),
+        (
+            F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+            .cast("double")
+            / n_tok
+        ).alias("stopword_ratio"),
+        F.when(F.length("text").between(50, 5000), 1).otherwise(0).alias("length_ok"),
+    )
+
+
+@register(
+    "text_lang_profile",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+           count(DISTINCT source) AS n_sources,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile (counts exact; avg via integer sum)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Real systems use charset n-gram models; the *shape* (token
+# join + per-lang vote + argmax) is identical.
+_LANG_MARKERS = {
+    "en": ("the", "of", "and", "to", "is"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "es": ("el", "los", "las", "una", "que"),
+    "fr": ("le", "les", "des", "une", "est"),
+    "zh": ("de5", "shi4", "le5", "zai4", "you3"),
+}
+
+
+@register(
+    "text_langid_vote",
+    oracle=f"""
+    WITH markers(lang, token) AS (
+      VALUES {", ".join(f"('{lang}', '{tok}')" for lang, toks in _LANG_MARKERS.items() for tok in toks)}
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    votes AS (
+      SELECT t.doc_id, m.lang, count(*) AS hits
+      FROM toks t JOIN markers m ON t.token = m.token
+      GROUP BY t.doc_id, m.lang
+    )
+    SELECT doc_id, lang AS lang_pred, hits FROM (
+      SELECT doc_id, lang, hits,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, lang) AS rn
+      FROM votes
+    ) WHERE rn = 1
+    """,
+)
+def text_langid_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: tokens join a broadcast marker lexicon,
+    votes aggregate per (doc, lang), argmax wins (deterministic
+    tiebreak on lang). Docs with zero marker hits get no row — they'd
+    be routed to a heavier classifier downstream."""
+    markers = F.broadcast(
+        load(spark, sf_dir, "documents")
+        .sparkSession.createDataFrame(
+            [(lang, tok) for lang, toks in _LANG_MARKERS.items() for tok in toks],
+            "lang string, token string",
+        )
+    )
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    votes = (
+        toks.join(markers, "token")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), "lang")
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("lang_pred"), "hits")
+    )
+
+
+@register(
+    "text_fingerprint_shingle",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           min(sha256(shingle)) AS min_shingle_fp,
+           count(DISTINCT shingle) AS n_shingles
+    FROM (
+      SELECT doc_id,
+             unnest([array_to_string(list_slice(t, i, i + 2), ' ')
+                     FOR i IN generate_series(1, len(t) - 2)]) AS shingle
+      FROM toks
+    )
+    GROUP BY doc_id
+    """,
+)
+def text_fingerprint_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min SHA-256 over 3-token shingles (the
+    1-hash MinHash) + shingle cardinality. SHA-256 hex is identical
+    across engines, so this is the rare hash-based op with an exact
+    oracle twin."""
+    from apache_spark_irs_form_990_spark.operators.dedup import _shingles
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.sha2("shingle", 256)).alias("min_shingle_fp"),
+            F.countDistinct("shingle").alias("n_shingles"),
+        )
+    )

@@ -1,1 +1,235 @@
-"""Placeholder — filled in during round 1 build."""
+"""Manifest-of-URIs -> XML flatten source (SURVEY.md §2 B1, §7 M5).
+
+Re-expresses the reference's whole data plane — manifest scan
+(``/root/reference/IRSSpark.py:177-178``), per-partition fetch
+(``:192-244``), ElementTree parse + flatten (``:246-249``), skip-bad-file
+semantics (``:253-258``) and the processed/failed accumulators
+(``:119-125``) — as one DataFrame pipeline:
+
+    spark.read.text(manifest)            # URI per line, splittable scan
+      -> mapInPandas(parse_partition)    # Arrow-batched fetch+parse+flatten
+      -> long-form (doc_uri, tag, text)  # schema-on-read IR, same as ref
+
+The long-form `(doc_id, tag, text)` IR deliberately matches the
+reference's internal representation (dynamic per-year XML schema,
+``README.md:28-29``) while fixing its two bugs (SURVEY §2 A′):
+
+- A′1 — namespace stripped with a real regex (``^\\{[^}]*\\}``), not the
+  char-set ``str.strip`` that turns ``{ns}Filer`` into ``F``;
+- A′2 — container elements (children, no text) yield no row instead of
+  crashing ``None.strip()`` and dropping the whole file.
+
+Scale posture: the manifest is the unit of parallelism (as in the
+reference, 400 default input partitions); each task streams its files,
+so nothing is ever centrally downloaded. S3 URIs should come through
+the s3a Hadoop connector in production (``SURVEY §1.4``); the local
+fetch path here mirrors the reference's ``file:``/relative handling.
+Python parse cost is Arrow-batched (mapInPandas), and the flatten
+output is immediately columnar — filters on `tag` push into any
+downstream parquet materialization.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+from collections.abc import Iterator
+from xml.etree import ElementTree as ET
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_spark_irs_form_990_spark.registry import register
+
+_NS_RE = re.compile(r"^\{[^}]*\}")
+
+FLATTEN_SCHEMA = "doc_uri string, tag string, text string, ok boolean"
+
+
+def _resolve(uri: str, base_dir: str | None) -> str:
+    """Local-path resolution mirroring the reference's `file:`/relative
+    branch (/root/reference/IRSSpark.py:233-238). s3:// and hdfs:/ URIs
+    are handled by Hadoop connectors upstream in production; here they
+    fall through to a failure row rather than a hand-rolled client."""
+    if uri.startswith("file:"):
+        uri = uri[len("file:"):]
+    if not os.path.isabs(uri) and base_dir:
+        uri = os.path.join(base_dir, uri)
+    return uri
+
+
+def flatten_xml_file(path: str) -> list[tuple[str, str]]:
+    """Parse one XML file into [(tag, text)] with A′1+A′2 fixes.
+
+    Raises on malformed XML — the caller converts that into a
+    skip-with-metric, same contract as the reference's bare except
+    (/root/reference/IRSSpark.py:253-258) but per-file, not per-crash.
+    """
+    tree = ET.parse(path)
+    out = []
+    for elem in tree.iter():
+        text = elem.text.strip() if elem.text else ""
+        if not text:
+            continue  # container/whitespace-only element (A'2 fix)
+        out.append((_NS_RE.sub("", elem.tag), text))
+    return out
+
+
+def _parse_partition(base_dir: str | None):
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple[str, str | None, str | None, bool]] = []
+            for uri in pdf["value"]:
+                uri = uri.strip()
+                if not uri:
+                    continue
+                path = _resolve(uri, base_dir)
+                try:
+                    for tag, text in flatten_xml_file(path):
+                        rows.append((uri, tag, text, True))
+                except Exception:
+                    # skip-bad-record semantics (reference A15): the file
+                    # drops, the job continues, the failure is countable.
+                    rows.append((uri, None, None, False))
+            yield pd.DataFrame(
+                rows, columns=["doc_uri", "tag", "text", "ok"]
+            )
+
+    return parse
+
+
+def read_xml_manifest(
+    spark: SparkSession,
+    manifest_path: str,
+    base_dir: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Manifest -> long-form flattened XML DataFrame.
+
+    Returns columns (doc_uri, tag, text, ok); `ok=false` rows are
+    one-per-failed-file markers (tag/text null). `num_partitions`
+    mirrors the reference's --num_input_partitions knob
+    (/root/reference/IRSSpark.py:58-62, default 400): on a cluster, one
+    manifest line is cheap but one XML file is not, so fan the manifest
+    out well beyond the file count of the text source.
+    """
+    manifest = spark.read.text(manifest_path)
+    if num_partitions:
+        manifest = manifest.repartition(num_partitions)
+    return manifest.mapInPandas(_parse_partition(base_dir), schema=FLATTEN_SCHEMA)
+
+
+def ingest_metrics(flattened: DataFrame) -> DataFrame:
+    """The reference's three accumulators (records / files processed /
+    files failed, /root/reference/IRSSpark.py:119-125) as a DataFrame
+    aggregate over the flatten output."""
+    return flattened.agg(
+        F.count(F.when(F.col("ok"), 1)).alias("records"),
+        F.countDistinct("doc_uri").alias("files_processed"),
+        F.countDistinct(F.when(~F.col("ok"), F.col("doc_uri"))).alias("files_failed"),
+    )
+
+
+def cities_count(flattened: DataFrame) -> DataFrame:
+    """The reference's flagship CitiesCount job on the flatten IR
+    (filter /root/reference/CitiesCountJob.py:19, lower+count :21 +
+    IRSSpark.py:181), as one Catalyst expression."""
+    return (
+        flattened.filter(F.col("tag") == "CityNm")
+        .groupBy(F.lower("text").alias("City"))
+        .agg(F.count("*").alias("Count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic fixture (FIXTURES.md §B): two good 990-shaped docs + one
+# malformed, written to a content-addressed temp dir so repeat calls reuse it.
+
+_DOC1 = """<?xml version="1.0" encoding="utf-8"?>
+<Return xmlns="http://www.irs.gov/efile" returnVersion="2016v3.0">
+  <ReturnHeader>
+    <Filer>
+      <USAddress>
+        <CityNm>Berkeley</CityNm>
+        <StateAbbreviationCd>CA</StateAbbreviationCd>
+      </USAddress>
+    </Filer>
+    <PreparerFirmGrp>
+      <USAddress>
+        <CityNm>MADISON</CityNm>
+      </USAddress>
+    </PreparerFirmGrp>
+  </ReturnHeader>
+  <ReturnData>
+    <IRS990><TotalRevenueAmt>123456</TotalRevenueAmt></IRS990>
+  </ReturnData>
+</Return>
+"""
+
+_DOC2 = """<?xml version="1.0" encoding="utf-8"?>
+<Return xmlns="http://www.irs.gov/efile" returnVersion="2017v2.1">
+  <ReturnHeader>
+    <Filer>
+      <USAddress>
+        <CityNm>madison</CityNm>
+      </USAddress>
+    </Filer>
+  </ReturnHeader>
+  <ReturnData>
+    <IRS990>
+      <TotalRevenueAmt>777</TotalRevenueAmt>
+      <OfficerAddress><CityNm>Berkeley</CityNm></OfficerAddress>
+    </IRS990>
+  </ReturnData>
+</Return>
+"""
+
+_BROKEN = "<Return><CityNm>Oops</Return>"
+
+
+def write_fixture(tmp_root: str | None = None) -> str:
+    """Write the FIXTURES.md §B manifest + XML files; returns manifest path."""
+    root = os.path.join(tmp_root or tempfile.gettempdir(), "spark990_xml_fixture")
+    xml_dir = os.path.join(root, "xml")
+    os.makedirs(xml_dir, exist_ok=True)
+    for name, content in (
+        ("doc0001.xml", _DOC1),
+        ("doc0002.xml", _DOC2),
+        ("broken.xml", _BROKEN),
+    ):
+        with open(os.path.join(xml_dir, name), "w") as f:
+            f.write(content)
+    manifest = os.path.join(root, "manifest.txt")
+    with open(manifest, "w") as f:
+        f.write(
+            "file:xml/doc0001.xml\nfile:xml/doc0002.xml\nfile:xml/broken.xml\n"
+        )
+    return manifest
+
+
+# -- registered queries (◐ rows-only: inputs are XML files, not oracle views)
+
+
+@register("ingest_manifest_xml")
+def ingest_manifest_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest -> fetch -> flatten, then the CitiesCount golden query.
+    Expected multiset at any sf: {(berkeley,2), (madison,2)} from the
+    two good docs; broken.xml is skipped, not fatal."""
+    manifest = write_fixture()
+    flattened = read_xml_manifest(
+        spark, manifest, base_dir=os.path.dirname(manifest), num_partitions=2
+    )
+    return cities_count(flattened)
+
+
+@register("ingest_badrecord_skip")
+def ingest_badrecord_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record semantics + metrics (reference A14/A15): 3 files in,
+    1 malformed -> files_processed=3, files_failed=1, records=7."""
+    manifest = write_fixture()
+    flattened = read_xml_manifest(
+        spark, manifest, base_dir=os.path.dirname(manifest)
+    )
+    return ingest_metrics(flattened)

@@ -1,0 +1,53 @@
+"""Golden + metrics tests for the XML ingestion source (SURVEY.md §5.2
+items 2 and 4), mirroring the reference's CitiesCount sample output
+(/root/reference/README.md:42-58) on the FIXTURES.md §B fixture."""
+
+from __future__ import annotations
+
+import os
+
+from apache_spark_irs_form_990_spark.sources.xml_ingest import (
+    cities_count,
+    flatten_xml_file,
+    ingest_metrics,
+    read_xml_manifest,
+    write_fixture,
+)
+
+
+def test_flatten_fixes_reference_bugs(tmp_path):
+    """A'1: namespace stripped properly (not char-set strip); A'2:
+    container elements ignored, not fatal."""
+    manifest = write_fixture(str(tmp_path))
+    doc1 = os.path.join(os.path.dirname(manifest), "xml", "doc0001.xml")
+    pairs = flatten_xml_file(doc1)
+    assert ("CityNm", "Berkeley") in pairs
+    assert ("CityNm", "MADISON") in pairs
+    assert ("StateAbbreviationCd", "CA") in pairs
+    assert ("TotalRevenueAmt", "123456") in pairs
+    # no mangled tags like 'F' (what the reference's strip produces for
+    # '{ns}Filer') and no container rows at all
+    tags = {t for t, _ in pairs}
+    assert tags == {"CityNm", "StateAbbreviationCd", "TotalRevenueAmt"}
+
+
+def test_cities_count_golden(spark, tmp_path):
+    manifest = write_fixture(str(tmp_path))
+    flattened = read_xml_manifest(
+        spark, manifest, base_dir=os.path.dirname(manifest), num_partitions=2
+    )
+    got = {(r.City, r.Count) for r in cities_count(flattened).collect()}
+    # doc1: Berkeley + MADISON; doc2: madison + Berkeley -> lowercased
+    assert got == {("berkeley", 2), ("madison", 2)}
+
+
+def test_badrecord_metrics(spark, tmp_path):
+    manifest = write_fixture(str(tmp_path))
+    flattened = read_xml_manifest(
+        spark, manifest, base_dir=os.path.dirname(manifest)
+    )
+    m = ingest_metrics(flattened).collect()[0]
+    assert m.files_processed == 3
+    assert m.files_failed == 1
+    # doc1: 4 text-bearing elements, doc2: 3 -> 7 records total
+    assert m.records == 7
