@@ -1,1 +1,268 @@
-"""Placeholder — filled in during round 1 build."""
+"""Structured Streaming over `events` (SURVEY.md §2 B8 — EXT; the
+reference is batch-only).
+
+Each query builds a real `readStream` (file source over the events
+parquet), runs it to completion against a memory sink
+(`processAllAvailable` — the deterministic local harness for a
+file-bounded stream), and returns the materialized result. In
+production the same DataFrames run unmodified against kafka/s3 sources
+with `writeStream` sinks — that source/sink symmetry is the point of
+Structured Streaming.
+
+Scale/state posture:
+- tumbling/sliding windows + watermark bound state: the store holds
+  only open windows per key, and the watermark GC's closed ones;
+- stateful dedup keys expire with the watermark — unbounded-key dedup
+  without a watermark is a state leak at 100 TB/day;
+- session windows merge in the state store (`session_window`), the
+  one window shape that can't be precomputed batch-side.
+
+Oracles: tumbling/sliding have exact batch twins (epoch-grid
+arithmetic); session/watermark/dedup are ◐ rows-only (driver records
+the weaker check), with behavioral tests in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_spark_irs_form_990_spark.registry import register
+from apache_spark_irs_form_990_spark.tables import load
+
+_COUNTER = itertools.count()
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet with the same
+    nanos->micros conversion as the batch loader (tables.py).
+
+    The file source wants a directory; testdata is read-only, so the
+    single events.parquet is staged (once per sf) into a temp dir —
+    in production the source would already be a directory/prefix.
+    """
+    import shutil
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(tempfile.gettempdir(), f"spark990_events_{sf_tag}")
+    os.makedirs(stage, exist_ok=True)
+    dst = os.path.join(stage, "events.parquet")
+    if not os.path.exists(dst):
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
+    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_completion(result: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a bounded stream to its end synchronously via a memory
+    sink; returns the sink table as a batch DataFrame."""
+    name = f"stream_out_{next(_COUNTER)}"
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = result.sparkSession
+    # copy out of the memory sink so the result survives q.stop()
+    return spark.createDataFrame(
+        spark.table(name).collect(), schema=spark.table(name).schema
+    )
+
+
+@register(
+    "stream_tumbling_count",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
+           event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows by event_type. Windows are epoch-aligned,
+    so the batch twin is date_trunc('hour') — the streaming and batch
+    answers are identical on a bounded input, which is exactly what the
+    oracle verifies."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100.0
+            ).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("window.start").alias("window_start_us"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+    return run_to_completion(agg, "complete")
+
+
+@register(
+    "stream_sliding_agg",
+    oracle="""
+    WITH grid AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS e,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - epoch_us(CAST(ts AS TIMESTAMP)) % 1800000000 AS s0
+      FROM events
+    )
+    SELECT ws_us, event_type, count(*) AS cnt
+    FROM (
+      SELECT event_type, e, unnest([s0, s0 - 1800000000]) AS ws_us FROM grid
+    )
+    GROUP BY ws_us, event_type
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: each event lands in two
+    windows. The batch twin enumerates the same two epoch-grid starts
+    per event — an exact, engine-neutral reformulation."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.unix_micros("window.start").alias("ws_us"),
+            "event_type",
+            "cnt",
+        )
+    )
+    return run_to_completion(agg, "complete")
+
+
+@register("stream_session_window")  # ◐: merging session state, no SQL twin
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute inactivity gap) — the
+    stateful window shape that merges in the state store as events
+    arrive. Emits one row per closed session with its span and size."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            F.unix_micros("session_window.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+    # session windows merge in the state store -> append is the
+    # supported output mode (complete would need unmergeable state)
+    return run_to_completion(agg, "append")
+
+
+def _write_batches(spark: SparkSession, root: str, batches: list[DataFrame]) -> str:
+    """Write DataFrames as an N-file streaming input dir; with
+    maxFilesPerTrigger=1 the file source replays them as N ordered
+    micro-batches (mtime order)."""
+    import glob as globmod
+    import shutil
+    import time
+
+    in_dir = os.path.join(root, "in")
+    os.makedirs(in_dir, exist_ok=True)
+    for i, df in enumerate(batches):
+        staged = os.path.join(root, f"b{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(staged)
+        src = globmod.glob(os.path.join(staged, "part-*.parquet"))[0]
+        shutil.copy(src, os.path.join(in_dir, f"batch{i}.parquet"))
+        time.sleep(0.05)  # distinct mtimes -> deterministic batch order
+    return in_dir
+
+
+@register("stream_watermark_late")  # ◐: watermark drop is streaming-only
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + late-data drop: batches 0-1 are on-time and advance
+    the watermark to max(ts) - 10 minutes; batch 2 replays 10% of the
+    events shifted 30 days into the past — beyond the watermark for
+    every window, so the stateful aggregation drops them
+    (numRowsDroppedByWatermark). Emitted window counts therefore
+    contain on-time rows only (asserted per-window in
+    tests/test_streaming.py).
+
+    Empirical Spark subtlety encoded here: the updated watermark
+    becomes effective for *dropping* one batch after the batch whose
+    data produced it, so the late data arrives two batches after the
+    on-time maximum — as it would in any real stream."""
+    ev = load(spark, sf_dir, "events")
+    root = os.path.join(tempfile.gettempdir(), f"spark990_wm_{next(_COUNTER)}")
+    in_dir = _write_batches(
+        spark,
+        root,
+        [
+            ev.filter((F.col("event_id") % 10).isin(1, 2, 3, 4, 6, 7, 8, 9)),
+            ev.filter(F.col("event_id") % 10 == 5),
+            ev.filter(F.col("event_id") % 10 == 0).withColumn(
+                "ts", F.col("ts") - F.expr("INTERVAL 30 DAYS")
+            ),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.unix_micros("window.start").alias("window_start_us"),
+            "event_type",
+            "cnt",
+        )
+    )
+    return run_to_completion(agg, "append")
+
+
+@register("stream_dedup_stateful")  # ◐: state-store dedup, no SQL twin
+def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful exact-once dedup on event_id under a watermark: batch 1
+    replays a subset of batch 0's rows verbatim; dropDuplicates state
+    absorbs them. Output counts must equal the distinct event_ids of
+    the input (asserted in tests/test_streaming.py)."""
+    ev = load(spark, sf_dir, "events")
+    root = os.path.join(tempfile.gettempdir(), f"spark990_dd_{next(_COUNTER)}")
+    in_dir = _write_batches(
+        spark, root, [ev, ev.filter(F.col("event_id") % 7 == 0)]
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+    )
+    return run_to_completion(deduped, "complete")

@@ -31,6 +31,13 @@ HEADLINE = [
     "agg_having",
     "filter_range",
     "project_compute",
+    "join_inner_equi",
+    "join_star_revenue",
+    "win_rank_topn_per_group",
+    "topk_limit",
+    "dedup_exact_hash",
+    "text_tokenize_stats",
+    "sim_cosine_topk",
 ]
 
 

@@ -1,0 +1,65 @@
+"""Behavioral tests for the streaming operators whose semantics the
+rows-only driver check can't see (SURVEY.md §5.2: watermark late-drop,
+stateful dedup exactness, session shape)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_spark_irs_form_990_spark import registry
+from apache_spark_irs_form_990_spark.tables import load
+from tests.conftest import SMOKE_SF_DIR
+
+QUERIES = registry.queries()
+
+
+def test_stream_dedup_matches_batch_distinct(spark):
+    """Replayed duplicates are absorbed: per-type unique counts equal
+    the batch distinct counts."""
+    out = {
+        (r.event_type, r.n_unique)
+        for r in QUERIES["stream_dedup_stateful"](spark, SMOKE_SF_DIR).collect()
+    }
+    batch = {
+        (r.event_type, r.n)
+        for r in load(spark, SMOKE_SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("event_id").alias("n"))
+        .collect()
+    }
+    assert out == batch
+
+
+def test_stream_watermark_drops_late(spark):
+    """The 30-days-late replay must not appear anywhere: every emitted
+    window count equals the batch count of on-time rows in that window,
+    and no 30-days-ago window materializes."""
+    out = QUERIES["stream_watermark_late"](spark, SMOKE_SF_DIR)
+    got = {
+        (r.window_start_us, r.event_type): r.cnt for r in out.collect()
+    }
+    assert got, "no finalized windows emitted"
+    expected_df = (
+        load(spark, SMOKE_SF_DIR, "events")
+        .filter(F.col("event_id") % 10 != 0)
+        .groupBy(
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("ws"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    expected = {(r.ws, r.event_type): r.cnt for r in expected_df.collect()}
+    for key, cnt in got.items():
+        assert expected.get(key) == cnt, f"window {key}: {cnt} != {expected.get(key)}"
+    # no window from the shifted-late region (30 days before the data)
+    min_ontime_ws = min(ws for ws, _ in expected)
+    assert all(ws >= min_ontime_ws for ws, _ in got)
+
+
+def test_stream_session_window_shape(spark):
+    """Sessions are per-user, non-empty, and start <= end."""
+    out = QUERIES["stream_session_window"](spark, SMOKE_SF_DIR)
+    rows = out.collect()
+    assert rows, "no sessions emitted"
+    assert all(r.session_start_us <= r.session_end_us for r in rows)
+    assert all(r.n_events >= 1 for r in rows)
