@@ -1,0 +1,60 @@
+"""Physical-plan inspection utilities (SURVEY.md §4).
+
+The engine's scale posture is encoded in plan shapes, not prose:
+filters must reach the parquet scan, projections must prune the read
+schema, dimension joins must broadcast, aggregates must have a partial
+phase before the exchange, global top-k must avoid a full sort. These
+helpers make those properties assertable in tests (tests/test_plans.py)
+so a regression in plan quality fails CI like a wrong answer would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    """Final (AQE-resolved where available) physical plan as text."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def explain_formatted(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
+    """Assert a predicate reached the scan (PushedFilters: [...])."""
+    plan = explain_formatted(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any(fragment in ln for ln in pushed), (
+        f"filter {fragment!r} not pushed to scan; PushedFilters lines: {pushed}\n{plan}"
+    )
+
+
+def assert_read_schema_only(df: DataFrame, columns: set[str], table_hint: str) -> None:
+    """Assert column pruning: the scan's ReadSchema contains exactly
+    `columns` (for the scan whose line mentions `table_hint`)."""
+    plan = explain_formatted(df)
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln and table_hint in ln:
+            inner = ln.split("struct<", 1)[1].rsplit(">", 1)[0]
+            got = {c.split(":")[0].strip() for c in inner.split(",") if c.strip()}
+            assert got == columns, f"ReadSchema {got} != expected {columns}"
+            return
+    raise AssertionError(f"no ReadSchema line mentioning {table_hint!r}:\n{plan}")
+
+
+def count_occurrences(df: DataFrame, op: str) -> int:
+    return physical_plan(df).count(op)
+
+
+def assert_in_plan(df: DataFrame, op: str, at_least: int = 1) -> None:
+    n = count_occurrences(df, op)
+    assert n >= at_least, f"expected >={at_least} {op!r} in plan, found {n}:\n{physical_plan(df)}"
+
+
+def assert_not_in_plan(df: DataFrame, op: str) -> None:
+    n = count_occurrences(df, op)
+    assert n == 0, f"expected no {op!r} in plan, found {n}:\n{physical_plan(df)}"

@@ -1,0 +1,92 @@
+"""Plan-quality tests (SURVEY.md §4): the scale posture as assertions.
+
+A query that returns the right rows through the wrong plan (no
+pushdown, shuffled dimensions, full sort for a top-k) is a performance
+regression waiting for 100 TB — these tests fail it now.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_spark_irs_form_990_spark import registry
+from apache_spark_irs_form_990_spark.plans.inspect import (
+    assert_in_plan,
+    assert_not_in_plan,
+    assert_pushed_filter,
+    assert_read_schema_only,
+    count_occurrences,
+    physical_plan,
+)
+from tests.conftest import SF_DIR
+
+QUERIES = registry.queries()
+
+
+def test_scan_projection_prunes_and_pushes(spark):
+    df = QUERIES["scan_projection"](spark, SF_DIR)
+    assert_pushed_filter(df, "l_returnflag")
+    assert_read_schema_only(
+        df, {"l_orderkey", "l_returnflag", "l_shipdate"}, "struct<"
+    )
+
+
+def test_filter_eq_pushdown(spark):
+    df = QUERIES["filter_eq"](spark, SF_DIR)
+    assert_pushed_filter(df, "EqualTo(o_orderstatus,F)")
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    df = QUERIES["join_star_revenue"](spark, SF_DIR)
+    # customer, nation, region explicitly broadcast: >= 3 broadcast joins
+    assert_in_plan(df, "BroadcastHashJoin", at_least=3)
+
+
+def test_broadcast_join_no_fact_shuffle(spark):
+    df = QUERIES["join_broadcast"](spark, SF_DIR)
+    plan = physical_plan(df)
+    # exactly one Exchange: the post-aggregation one. The join itself
+    # must not shuffle the customer side.
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 exchange (final agg), got {n_exchanges}:\n{plan}"
+    assert_in_plan(df, "BroadcastHashJoin")
+
+
+def test_aggregate_has_partial_phase(spark):
+    df = QUERIES["agg_count_by_key"](spark, SF_DIR)
+    # partial+final hash aggregation (the map-side combine the reference
+    # hand-rolled via reduceByKey)
+    assert count_occurrences(df, "HashAggregate") >= 2
+
+
+def test_topk_avoids_global_sort(spark):
+    df = QUERIES["topk_limit"](spark, SF_DIR)
+    assert_in_plan(df, "TakeOrderedAndProject")
+    assert_not_in_plan(df, "Exchange rangepartitioning")
+
+
+def test_semi_join_is_semi(spark):
+    df = QUERIES["join_semi"](spark, SF_DIR)
+    assert "LeftSemi" in physical_plan(df)
+
+
+def test_whole_stage_codegen_on_scalar_path(spark):
+    df = QUERIES["project_compute"](spark, SF_DIR)
+    # '*(n)' marks whole-stage-codegen spans in the physical plan string
+    assert_in_plan(df, "*(1)")
+    # no Python evaluation in the built-in scalar path
+    assert_not_in_plan(df, "BatchEvalPython")
+    assert_not_in_plan(df, "ArrowEvalPython")
+
+
+def test_window_topn_group_limit(spark):
+    df = QUERIES["win_rank_topn_per_group"](spark, SF_DIR)
+    # rank filter pushed into the sort as a per-group limit
+    assert_in_plan(df, "WindowGroupLimit")
+
+
+def test_multimodal_metadata_query_prunes_payload_source(spark):
+    df = QUERIES["mm_column_struct"](spark, SF_DIR)
+    # metadata-only query never reads columns beyond doc_id/text
+    # (text is the payload stand-in source here; lang/source/n_chars pruned)
+    assert_read_schema_only(df, {"doc_id", "text"}, "struct<")
