@@ -1,0 +1,478 @@
+"""Extended relational operators (SURVEY.md §2 Part B widening).
+
+The reference's only query is a filter+count (CitiesCountJob.py:18-23);
+everything here is EXT capability a user of a real analytics engine
+expects on the same star schema: full TPC-H-Q1-style pricing summaries,
+scalar/IN/correlated subqueries (via ``spark.sql`` — Catalyst's parser
+is the engine's SQL surface, SURVEY §3.1), pivot/unpivot reshapes,
+exact distribution statistics, percentiles, deterministic hash
+sampling, range-frame windows, explode/flatten, and ordered string
+aggregation.
+
+Oracle-stability rules (see queries/_helpers.py): any double aggregate
+goes through integer cents; any threshold computed from data (e.g. a
+scalar-subquery average) is computed with the same exact-integer
+formula on both engines so boundary rows can't flip.
+
+Scale notes per query are in the docstrings — the common theme: one
+shuffle per groupBy/window on a well-distributed key, dimension-side
+broadcasts, and no driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apache_spark_irs_form_990_spark.queries._helpers import (
+    cents,
+    davg,
+    dsum,
+    revenue_sum,
+    sql_cents,
+    sql_davg,
+    sql_dsum,
+    sql_revenue_sum,
+)
+from apache_spark_irs_form_990_spark.registry import register
+from apache_spark_irs_form_990_spark.tables import load, register_views
+
+
+# Exact order-independent average, usable as a subquery threshold in
+# both dialects (identical text is valid Spark SQL and DuckDB SQL).
+_EXACT_AVG_ACCTBAL = (
+    "SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)"
+    " / 100.0 / count(*) FROM customer"
+)
+
+
+@register(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty', scale=0)},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           {sql_revenue_sum('sum_disc_price')},
+           CAST(sum({sql_cents('l_extendedprice')}
+                    * (100 - {sql_cents('l_discount')})
+                    * (100 + {sql_cents('l_tax')})) AS DOUBLE) / 1000000.0
+               AS sum_charge,
+           {sql_davg('l_quantity', 'avg_qty', scale=0)},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           {sql_davg('l_discount', 'avg_disc')},
+           count(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analog: the full pricing summary report.
+
+    One partial+final hash aggregate over a handful of groups — the
+    shuffle moves only #groups x #partitions pre-aggregated rows, so
+    the plan is scan-bound at any scale. The ship-date predicate pushes
+    to the parquet scan. Charge sums integers scaled 1e6; headroom to
+    ~9e18 covers ~SF100 in a single long — beyond that, swap the cast
+    to decimal(38,6) (same expression shape).
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") <= F.lit("1998-09-02")
+    )
+    charge = (
+        cents("l_extendedprice") * (100 - cents("l_discount")) * (100 + cents("l_tax"))
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty", scale=0),
+            dsum("l_extendedprice", "sum_base_price"),
+            revenue_sum("sum_disc_price"),
+            (F.sum(charge).cast("double") / 1e6).alias("sum_charge"),
+            davg("l_quantity", "avg_qty", scale=0),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "subq_scalar_avg",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > ({_EXACT_AVG_ACCTBAL})
+    """,
+)
+def subq_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery through ``spark.sql`` — customers
+    above the exact global average balance.
+
+    Catalyst plans the subquery as a one-row broadcast (Subquery →
+    ReusedSubquery), so the outer scan streams with a cheap scalar
+    compare; no join materializes. The threshold uses the exact-cents
+    average so both engines agree on boundary rows.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"SELECT c_custkey, c_name, c_acctbal FROM customer "
+        f"WHERE c_acctbal > ({_EXACT_AVG_ACCTBAL})"
+    )
+
+
+@register(
+    "subq_in_segment",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'AUTOMOBILE')
+    GROUP BY o_orderpriority
+    """,
+)
+def subq_in_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery — orders from one market segment, counted by
+    priority. Catalyst rewrites IN (subquery) to a left-semi join; the
+    filtered customer side broadcasts under the threshold, so the
+    orders fact never shuffles for the membership test.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT o_orderpriority, count(*) AS n_orders "
+        "FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE') "
+        "GROUP BY o_orderpriority"
+    )
+
+
+@register(
+    "subq_correlated_avg",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice >
+          (SELECT CAST(sum(CAST(round(p2.p_retailprice * 100) AS BIGINT)) AS DOUBLE)
+                  / 100.0 / count(*)
+           FROM part p2 WHERE p2.p_brand = p.p_brand)
+    """,
+)
+def subq_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — parts priced above their brand's
+    exact average. Catalyst de-correlates this into an aggregate on
+    p_brand joined back to part (one shuffle on the low-cardinality
+    brand key, dimension-sized right side), rather than re-running the
+    inner query per row.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT p.p_partkey, p.p_brand, p.p_retailprice FROM part p "
+        "WHERE p.p_retailprice > "
+        "(SELECT CAST(sum(CAST(round(p2.p_retailprice * 100) AS BIGINT)) AS DOUBLE)"
+        " / 100.0 / count(*) FROM part p2 WHERE p2.p_brand = p.p_brand)"
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "agg_pivot_events",
+    oracle="""
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+           count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS n_view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def agg_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): daily event counts, one column per event
+    type. The pivot value list is explicit — with it, Spark skips the
+    extra distinct-values job and the output schema is deterministic.
+    Executes as a single hash aggregate over (day); no shuffle beyond
+    the one the groupBy needs.
+    """
+    e = load(spark, sf_dir, "events")
+    wide = (
+        e.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+    return wide.select(
+        "day", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+
+
+@register(
+    "reshape_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long): part metrics melted to (key, metric, val).
+    Narrow, shuffle-free — each input row expands locally to one row
+    per value column (Spark's Expand node), so cost is linear and
+    partition-local at any scale.
+    """
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "agg_stats_exact_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(CAST(round(l_quantity) AS BIGINT)) AS s1,
+             sum(CAST(round(l_quantity) AS BIGINT)
+                 * CAST(round(l_quantity) AS BIGINT)) AS s2
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(n * s2 - s1 * s1 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))
+               AS var_qty,
+           sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))
+               AS std_qty
+    FROM s
+    """,
+)
+def agg_stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev via exact integer moments.
+
+    Built-in ``var_samp``/``stddev_samp`` stream doubles and are
+    order-dependent (partition merge order changes the last ulp), so
+    they can't hash-match another engine. Summing integer moments (n,
+    Σx, Σx²) is exact and order-independent; the closed-form variance
+    is then one deterministic double expression. Same partial+final
+    aggregate shape — no extra shuffle vs the built-in.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    q = cents("l_quantity", scale=0)
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+    )
+    var = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double") / (
+        F.col("n").cast("double") * (F.col("n") - 1)
+    )
+    return s.select(
+        "l_returnflag", "n", var.alias("var_qty"), F.sqrt(var).alias("std_qty")
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25_qty,
+           quantile_cont(l_quantity, 0.50) AS median_qty,
+           quantile_cont(l_quantity, 0.75) AS p75_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (PERCENTILE_CONT semantics; both
+    engines interpolate at position (n-1)p over integer-valued doubles,
+    and 0.25/0.5/0.75 are exact binary fractions, so results match
+    bit-for-bit). Spark's exact percentile collects per-group value
+    counts — fine for bounded-domain columns like quantity (50 distinct
+    values); for unbounded doubles at 100 TB use approx_percentile.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25_qty"),
+        F.expr("percentile(l_quantity, 0.50)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75_qty"),
+    )
+
+
+@register(
+    "sample_hash_deterministic",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+    GROUP BY o_orderpriority
+    """,
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/16 sample by content hash of the key.
+
+    ``df.sample()`` is seed-and-partitioning dependent — useless for
+    reproducible pipelines or cross-engine checks. Hashing the key and
+    keeping one hex bucket gives the same sample on any engine, any
+    partitioning, any cluster size — the pattern to use for stable
+    eval-set carving at 100 TB. md5 here because both engines define it
+    identically; cheap non-crypto hashes don't agree across engines.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+@register(
+    "win_range_30d_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day_no,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) / 100.0 AS sum_30d
+    FROM orders
+    """,
+)
+def win_range_30d_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per customer, rolling 30-day order value.
+
+    The frame is value-based (days), not row-based, so same-day ties
+    all land in the same frame — deterministic regardless of intra-day
+    row order (a ROWS frame here would be nondeterministic AND wrong).
+    One shuffle on o_custkey; frames evaluate in a single sorted pass
+    per partition.
+    """
+    o = load(spark, sf_dir, "orders")
+    day_no = F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01")).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_no")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return (
+        o.withColumn("day_no", day_no)
+        .withColumn(
+            "sum_30d",
+            F.sum(cents("o_totalprice")).over(w).cast("double") / 100.0,
+        )
+        .select("o_orderkey", "o_custkey", "day_no", "sum_30d")
+    )
+
+
+@register(
+    "win_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def win_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-event-per-user — the canonical CDC/log compaction
+    pattern. row_number (not rank) with an event_id tiebreak picks
+    exactly one row per key deterministically. One shuffle on user_id;
+    AQE handles hot users via skew split.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+        )
+    )
+
+
+@register(
+    "fn_explode_tokens",
+    oracle="""
+    SELECT word, count(*) AS n_parts
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+    GROUP BY word
+    """,
+)
+def fn_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode/flatten (UDTF-shaped, SURVEY A6 in pure built-ins):
+    split part names into words, one output row per word, count by
+    word. Generate stays inside whole-stage codegen — no Python
+    boundary — and the expansion is partition-local before the
+    aggregate's shuffle.
+    """
+    p = load(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+@register(
+    "agg_string_agg_sorted",
+    oracle="""
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation. collect_list order is
+    partition-arrival order (nondeterministic), so the sort happens
+    explicitly AFTER collection — array_sort then join. Only valid for
+    bounded groups (here: nations per region); unbounded groups would
+    need a capped slice first.
+    """
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@register(
+    "agg_count_if",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           count(*) FILTER (WHERE o_totalprice > 100000.0) AS n_big,
+           count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000.0)
+               AS n_big_cust
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregation (FILTER clause / count_if): conditional
+    counts inside one aggregate pass — no self-join, no second scan.
+    The threshold compares raw doubles, identical in both engines.
+    """
+    o = load(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 100000.0
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.count_if(big).alias("n_big"),
+        F.count_distinct(F.when(big, F.col("o_custkey"))).alias("n_big_cust"),
+    )

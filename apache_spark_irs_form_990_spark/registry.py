@@ -67,6 +67,7 @@ def _load_all() -> None:
         aggregates,
         filters,
         joins,
+        relational_ext,
         scans,
         sorts_sets,
         scalar_functions,
