@@ -85,6 +85,26 @@ def test_window_topn_group_limit(spark):
     assert_in_plan(df, "WindowGroupLimit")
 
 
+def test_partitioned_scan_prunes_partitions(spark):
+    df = QUERIES["sink_partitioned_prune"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], f"event_type filter not resolved at partition level:\n{plan}"
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    df = QUERIES["sink_bucketed_join"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    # the only exchange allowed is the post-join aggregation one;
+    # neither join input may re-shuffle (buckets pre-align them)
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange hashpartitioning" not in join_part, (
+        f"bucketed join re-shuffled an input:\n{plan}"
+    )
+
+
 def test_multimodal_metadata_query_prunes_payload_source(spark):
     df = QUERIES["mm_column_struct"](spark, SF_DIR)
     # metadata-only query never reads columns beyond doc_id/text
