@@ -1,0 +1,176 @@
+"""Duplicate-cluster resolution: connected components over the
+near-dup pair graph (SURVEY.md §2 B10 extension).
+
+Pairwise dedup (dedup.py) emits EDGES; a real corpus dedup needs the
+transitive closure — if A~B and B~C, all three are one cluster even
+when A~C misses the threshold (chain drift). This operator computes
+connected components with iterative min-label propagation, the
+standard Spark formulation of CC (each round: every node takes the min
+label among itself and its neighbors; converges in O(graph diameter)
+rounds — near-dup clusters are shallow, so 3-5 rounds in practice).
+
+This is the engine's one legitimately *iterative* operator: each round
+is a pure DataFrame join+aggregate (one shuffle on node id), with a
+driver-side convergence test on a 1-row aggregate — the loop count is
+O(diameter), NOT O(rows); no per-row driver work. ``localCheckpoint``
+truncates the lineage each round so plan size stays constant.
+
+Oracle: DuckDB computes the same closure with a recursive CTE — an
+exact SQL twin, so the whole iterative pipeline is hash-checked, not
+just rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_spark_irs_form_990_spark.operators.dedup import _shingles
+from apache_spark_irs_form_990_spark.registry import register
+from apache_spark_irs_form_990_spark.tables import load
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list.
+
+    nodes: one column ``id``; edges: ``src``/``dst`` (one direction is
+    enough — symmetrized here). Returns (id, component) with component
+    = min node id reachable. Deterministic for any partitioning.
+    """
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = nodes.select(F.col("id"), F.col("id").alias("component"))
+    labels = labels.localCheckpoint()
+    prev_sum = None
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels, sym.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()  # eager: truncates lineage per round
+        )
+        # convergence: sum of labels is strictly decreasing until fixpoint
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def _three_gen_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus two truncation generations of every 5th doc
+    (drop 2 words, drop 4 words) — a deterministic chain of near-dups
+    so components have real multi-hop structure."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+
+    def gen(offset: int, drop: int) -> DataFrame:
+        return docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + offset).alias("doc_id"),
+            F.concat_ws(
+                " ", F.slice(toks, 1, F.greatest(F.size(toks) - drop, F.lit(0)))
+            ).alias("text"),
+        )
+
+    return docs.unionByName(gen(1000000, 2)).unionByName(gen(2000000, 4))
+
+
+_SQL_CORPUS = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1,
+                             len(string_split(text, ' ')) - 2), ' ') AS text
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1,
+                             len(string_split(text, ' ')) - 4), ' ') AS text
+      FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({_SQL_CORPUS}),
+    shingled AS (
+      SELECT doc_id,
+             unnest(list_distinct([
+               array_to_string(list_slice(t, i, i + 2), ' ')
+               FOR i IN generate_series(1, len(t) - 2)
+             ])) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM shingled a JOIN shingled b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      )
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, comp) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, min(comp) AS component_id FROM reach GROUP BY id
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: Jaccard>=0.6 pairs (same logic
+    as dedup_near_jaccard) become an edge list; connected components
+    assign every doc its cluster's min doc_id as canonical. The
+    downstream dedup action is then `keep rows where doc_id =
+    component_id` — one filter, no further joins.
+    """
+    corpus = _three_gen_corpus(spark, sf_dir)
+    shingled = corpus.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingles(F.col("text")))).alias("shingle"),
+    )
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = shingled.alias("a"), shingled.alias("b")
+    overlap = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("shared")
+    )
+    edges = (
+        overlap.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.6)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comp = connected_components(
+        corpus.select(F.col("doc_id").alias("id")), edges
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("component_id")
+    )

@@ -76,6 +76,7 @@ def _load_all() -> None:
     )
     from apache_spark_irs_form_990_spark.operators import (  # noqa: F401
         dedup,
+        components,
         similarity,
         text_analysis,
         multimodal,

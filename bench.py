@@ -29,11 +29,14 @@ HEADLINE = [
     "agg_count_by_key",
     "agg_sum_min_max_avg",
     "agg_having",
+    "agg_pricing_summary",
     "filter_range",
     "project_compute",
     "join_inner_equi",
     "join_star_revenue",
+    "join_asof_event",
     "win_rank_topn_per_group",
+    "win_latest_per_key",
     "topk_limit",
     "dedup_exact_hash",
     "text_tokenize_stats",

@@ -1,0 +1,130 @@
+"""Property-based oracle tests (SURVEY.md §5.2 item 5): hypothesis
+generates small frames and predicate/aggregation parameters; Spark and
+DuckDB must agree on every one. This probes the operator semantics the
+fixed testdata can't reach — empty groups, all-null columns, negative
+thresholds, duplicate keys, empty results.
+
+Determinism rules as everywhere: integer aggregates only (exact under
+any summation order), explicit schemas, unique tiebreak columns for
+window ordering.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import canonicalize
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),               # k: group key
+        st.one_of(st.none(), st.integers(-1000, 1000)),      # v: nullable measure
+        st.text(alphabet="abc ", max_size=6),                # s: short string
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+SCHEMA = "k int, v double, s string"
+
+
+def _frames(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["k", "v", "s"])
+    # v as float64 in BOTH engines: a nullable int column would promote
+    # to float in DuckDB but stay integral in Spark, and stringified
+    # canonical forms would differ ('1' vs '1.000000'). The generated
+    # ints are < 2^53 so float64 sums stay exact and order-independent.
+    pdf["v"] = pdf["v"].astype("float64")
+    pdf["id"] = range(len(pdf))  # unique tiebreak
+    sdf = spark.createDataFrame(pdf, schema=SCHEMA + ", id long")
+    con = duckdb.connect()
+    con.register("t", pdf)
+    return sdf, con
+
+
+def _assert_same(sdf, con, sql):
+    actual = canonicalize(sdf.toPandas())
+    expected = canonicalize(con.execute(sql).fetchdf())
+    assert list(actual.columns) == list(expected.columns)
+    # list compare, not DataFrame.equals: empty frames carry engine-
+    # specific dtypes that .equals would flag despite identical values
+    assert actual.values.tolist() == expected.values.tolist(), (
+        f"mismatch:\nspark:\n{actual}\nduckdb:\n{expected}"
+    )
+
+
+@given(rows=rows_st, thr=st.integers(-500, 500))
+@settings(**SETTINGS)
+def test_filter_groupby_agg(spark, rows, thr):
+    from pyspark.sql import functions as F
+
+    sdf, con = _frames(spark, rows)
+    out = (
+        sdf.filter(F.col("v") > thr)
+        .groupBy("k")
+        .agg(
+            F.sum("v").alias("sum_v"),
+            F.count("*").alias("n"),
+            F.max("s").alias("max_s"),
+        )
+    )
+    _assert_same(
+        out,
+        con,
+        f"SELECT k, sum(v) AS sum_v, count(*) AS n, max(s) AS max_s "
+        f"FROM t WHERE v > {thr} GROUP BY k",
+    )
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_running_sum_window(spark, rows):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sdf, con = _frames(spark, rows)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = sdf.select("id", "k", F.sum("v").over(w).alias("run_v"))
+    _assert_same(
+        out,
+        con,
+        "SELECT id, k, sum(v) OVER (PARTITION BY k ORDER BY id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_v FROM t",
+    )
+
+
+@given(rows=rows_st, rows2=rows_st)
+@settings(**SETTINGS)
+def test_union_distinct_except(spark, rows, rows2):
+    import pandas as pd
+
+    sdf, con = _frames(spark, rows)
+    pdf2 = pd.DataFrame(rows2, columns=["k", "v", "s"])
+    pdf2["id"] = range(len(pdf2))
+    sdf2 = spark.createDataFrame(pdf2, schema=SCHEMA + ", id long")
+    con.register("t2", pdf2)
+    out = (
+        sdf.select("k", "s")
+        .unionByName(sdf2.select("k", "s"))
+        .distinct()
+        .exceptAll(sdf2.select("k", "s").distinct())
+    )
+    _assert_same(
+        out,
+        con,
+        "SELECT DISTINCT k, s FROM (SELECT k, s FROM t UNION ALL SELECT k, s FROM t2) "
+        "EXCEPT ALL SELECT DISTINCT k, s FROM t2",
+    )
