@@ -80,6 +80,7 @@ def _load_all() -> None:
         similarity,
         text_analysis,
         multimodal,
+        pipeline,
     )
     from apache_spark_irs_form_990_spark.sources import (  # noqa: F401
         xml_ingest,

@@ -243,6 +243,76 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, "append")
 
 
+@register(
+    "stream_custom_state",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (the
+    modern `process_record`-with-state surface, SURVEY B8/B9): a
+    per-user accumulator that survives micro-batch boundaries.
+
+    Events arrive in two micro-batches (even event_ids, then odd); the
+    grouped state carries (count, value-cents) across them and each
+    batch emits the running totals for the users it touched. The final
+    per-user row (max of the running counters) must equal the batch
+    groupBy — an EXACT oracle over a custom stateful streaming
+    operator, proving state persistence rather than assuming it.
+
+    Scale posture: state lives in the executor state store partitioned
+    by user_id (one shuffle), values are two longs per user — bounded,
+    watermark-free state is fine here because the key domain is the
+    user base, not an unbounded stream dimension. Integer cents keep
+    the accumulation exact and order-independent.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = load(spark, sf_dir, "events")
+    root = os.path.join(tempfile.gettempdir(), f"spark990_cs_{next(_COUNTER)}")
+    in_dir = _write_batches(
+        spark,
+        root,
+        [ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)],
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    def accumulate(key, pdfs, state: GroupState):
+        cnt, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((cnt, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "cum_events": [cnt], "cum_value_cents": [cents]}
+        )
+
+    running = stream.groupBy("user_id").applyInPandasWithState(
+        accumulate,
+        outputStructType="user_id long, cum_events long, cum_value_cents long",
+        stateStructType="cnt long, cents long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    table = run_to_completion(running, "append")
+    # the last (= max) running row per user is the stream-end total
+    return table.groupBy("user_id").agg(
+        F.max("cum_events").alias("n_events"),
+        (F.max("cum_value_cents").cast("double") / 100.0).alias("sum_value"),
+    )
+
+
 @register("stream_dedup_stateful")  # ◐: state-store dedup, no SQL twin
 def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful exact-once dedup on event_id under a watermark: batch 1

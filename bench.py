@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_exact_hash",
     "text_tokenize_stats",
     "sim_cosine_topk",
+    "pipeline_corpus_prep",
 ]
 
 
