@@ -453,6 +453,118 @@ def agg_string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_topk_unshipped",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_revenue_sum('revenue')},
+           strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1995-03-15'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def join_topk_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog: top-10 highest-revenue unshipped orders for one
+    market segment. The segment filter reduces customer to a
+    broadcastable side BEFORE the join (filter-then-broadcast, not
+    join-then-filter); both date predicates push to the parquet scans;
+    the top-10 runs as TakeOrderedAndProject (per-partition heaps +
+    driver merge of 10-row heads — no global sort at any scale).
+    Deterministic under ties via the orderkey tiebreak; revenue is
+    cents-exact so both engines rank identically.
+    """
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit("1995-03-15")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(revenue_sum("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS and_lo,
+           o_orderkey | 16 AS or_hi,
+           xor(o_orderkey, 255) AS xor_mask,
+           o_orderkey << 2 AS shl2,
+           o_orderkey >> 3 AS shr3
+    FROM orders
+    WHERE o_orderkey < 2048
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar functions (AND/OR/XOR/shifts) — integer-exact in
+    any engine, all inside whole-stage codegen."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2048)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("and_lo"),
+        k.bitwiseOR(F.lit(16)).alias("or_hi"),
+        k.bitwiseXOR(F.lit(255)).alias("xor_mask"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+    )
+
+
+@register(
+    "fn_struct_access",
+    oracle="""
+    SELECT c_name,
+           c_custkey AS key,
+           c_acctbal AS bal,
+           c_nationkey AS nk
+    FROM customer
+    WHERE c_custkey <= 500
+    """,
+)
+def fn_struct_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested struct build + field access: pack columns into a struct,
+    read them back through dotted paths. Catalyst collapses the
+    pack/unpack (CreateNamedStruct + GetStructField cancel out), so
+    nesting is free at the physical level — the output plan is a plain
+    projection, which is what the flat oracle verifies.
+    """
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    packed = c.select(
+        "c_name",
+        F.struct(
+            F.col("c_custkey").alias("key"),
+            F.col("c_acctbal").alias("bal"),
+            F.struct(F.col("c_nationkey").alias("nk")).alias("geo"),
+        ).alias("cs"),
+    )
+    return packed.select(
+        "c_name",
+        F.col("cs.key").alias("key"),
+        F.col("cs.bal").alias("bal"),
+        F.col("cs.geo.nk").alias("nk"),
+    )
+
+
+@register(
     "agg_count_if",
     oracle="""
     SELECT o_orderstatus,
