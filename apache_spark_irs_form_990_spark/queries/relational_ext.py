@@ -192,21 +192,26 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 )
 def agg_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long→wide): daily event counts, one column per event
-    type. The pivot value list is explicit — with it, Spark skips the
-    extra distinct-values job and the output schema is deterministic.
-    Executes as a single hash aggregate over (day); no shuffle beyond
-    the one the groupBy needs.
+    type, as SINGLE-PASS conditional aggregation.
+
+    ``DataFrame.pivot`` — even with an explicit value list — plans two
+    aggregate+exchange pairs ((day,type) pre-agg, then pivotfirst by
+    day). With a known value domain, one ``count_if`` per output column
+    is the plan you actually want: one partial+final aggregate, ONE
+    shuffle of #days×#types pre-aggregated rows (asserted in
+    tests/test_plans.py). Reach for ``pivot()`` only when the value
+    set must be discovered at runtime.
     """
     e = load(spark, sf_dir, "events")
-    wide = (
+    return (
         e.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
         .groupBy("day")
-        .pivot("event_type", _EVENT_TYPES)
-        .count()
-        .na.fill(0, _EVENT_TYPES)
-    )
-    return wide.select(
-        "day", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
+        .agg(
+            *[
+                F.count_if(F.col("event_type") == t).alias(f"n_{t}")
+                for t in _EVENT_TYPES
+            ]
+        )
     )
 
 

@@ -139,3 +139,46 @@ def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="doc_id long, lang string, n_chars long, chars_dev double",
         )
     )
+
+
+@register(
+    "udtf_python_lateral",
+    oracle="""
+    SELECT doc_id, u.pos, u.word
+    FROM (
+      SELECT doc_id,
+             unnest([{'pos': i - 1, 'word': t[i]}
+                     FOR i IN generate_series(1, len(t))]) AS u
+      FROM (SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents WHERE doc_id % 20 = 0)
+    )
+    """,
+)
+def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Python UDTF (Spark 4 `@udtf`) applied via LATERAL join —
+    the table-function face of the reference's `process_record` hook
+    (A6): one input row in, an arbitrary row set out, declared schema.
+
+    Compared with the mapInPandas formulation (udtf_flatmap), a UDTF
+    is per-ROW logic with SQL-surface ergonomics (`LATERAL fn(col)`),
+    composable by any SQL author without touching partitions. Arrow
+    batching keeps the boundary columnar. Hot-path caveat stands: for
+    a pure tokenize like this, built-in explode(split()) (see
+    fn_explode_tokens) stays fully in codegen and wins; UDTFs are for
+    logic expressions can't reach.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, word string", useArrow=True)
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield i, w
+
+    spark.udtf.register("split_words", SplitWords)
+    load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    ).createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, s.pos, s.word FROM udtf_docs, LATERAL split_words(text) s"
+    )

@@ -105,6 +105,35 @@ def test_bucketed_join_has_no_exchange(spark):
     )
 
 
+def test_topk_join_plan(spark):
+    df = QUERIES["join_topk_unshipped"](spark, SF_DIR)
+    # top-10 via per-partition heaps, never a global sort
+    assert_in_plan(df, "TakeOrderedAndProject")
+    assert_not_in_plan(df, "Exchange rangepartitioning")
+    # the filtered customer dimension broadcasts
+    assert_in_plan(df, "BroadcastHashJoin")
+
+
+def test_in_subquery_becomes_semi_join(spark):
+    df = QUERIES["subq_in_segment"](spark, SF_DIR)
+    assert "LeftSemi" in physical_plan(df)
+
+
+def test_struct_pack_unpack_collapses(spark):
+    df = QUERIES["fn_struct_access"](spark, SF_DIR)
+    # Catalyst cancels CreateNamedStruct/GetStructField pairs: the
+    # physical plan is a flat projection, no struct construction left
+    assert_not_in_plan(df, "named_struct")
+
+
+def test_pivot_single_aggregate_pass(spark):
+    df = QUERIES["agg_pivot_events"](spark, SF_DIR)
+    # explicit pivot values -> no extra distinct-values job; one
+    # partial+final aggregate pair, one exchange
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_multimodal_metadata_query_prunes_payload_source(spark):
     df = QUERIES["mm_column_struct"](spark, SF_DIR)
     # metadata-only query never reads columns beyond doc_id/text

@@ -108,6 +108,34 @@ def test_running_sum_window(spark, rows):
 
 @given(rows=rows_st, rows2=rows_st)
 @settings(**SETTINGS)
+def test_left_join_agg(spark, rows, rows2):
+    from pyspark.sql import functions as F
+
+    sdf, con = _frames(spark, rows)
+    pdf2 = pd.DataFrame(rows2, columns=["k", "v", "s"])
+    pdf2["v"] = pdf2["v"].astype("float64")
+    pdf2["id"] = range(len(pdf2))
+    sdf2 = spark.createDataFrame(pdf2, schema=SCHEMA + ", id long")
+    con.register("t2", pdf2)
+    out = (
+        sdf.alias("a")
+        .join(sdf2.alias("b"), F.col("a.k") == F.col("b.k"), "left")
+        .groupBy(F.col("a.id").alias("id"))
+        .agg(
+            F.count(F.col("b.id")).alias("n_match"),
+            F.sum(F.col("b.v")).alias("sum_bv"),
+        )
+    )
+    _assert_same(
+        out,
+        con,
+        "SELECT a.id AS id, count(b.id) AS n_match, sum(b.v) AS sum_bv "
+        "FROM t a LEFT JOIN t2 b ON a.k = b.k GROUP BY a.id",
+    )
+
+
+@given(rows=rows_st, rows2=rows_st)
+@settings(**SETTINGS)
 def test_union_distinct_except(spark, rows, rows2):
     import pandas as pd
 
