@@ -24,18 +24,36 @@ from apache_spark_irs_form_990_spark import registry  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime-settable confs the oracle comparison depends on, applied
+    defensively in case the caller built its own session: UTC session
+    timezone (date_format/strftime twins assume it) and Arrow transfer
+    for the pandas-UDF operators. Both are safe to set per-query."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_session_confs(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
     The CitiesCount analog (SURVEY.md §7 M1): lower(event_type)
     frequency counts over `events`.
     """
+    _ensure_session_confs(spark)
     return registry.queries()["agg_count_by_key"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return registry.queries()
+    return {name: _wrap(fn) for name, fn in registry.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
