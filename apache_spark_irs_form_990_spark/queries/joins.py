@@ -242,6 +242,56 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_skew_salted",
+    oracle="""
+    SELECT n.n_name,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit key-salting: the manual remedy for skewed shuffle joins,
+    shown on orders⋈customer (result identical to the plain join — the
+    oracle proves salting is correctness-neutral).
+
+    Mechanics: the fact side gets a deterministic salt from its own
+    unique key (``o_orderkey % R`` — NOT rand(), which breaks retries
+    and reproducibility); the build side replicates R times via a
+    posexplode'd literal array. The join key becomes (custkey, salt),
+    so one hot customer's rows spread over R reducer partitions instead
+    of one straggler task. Costs R× replication of the build side —
+    use for diagnosed hot keys (or just enable AQE skew-join, as
+    session.py does, when runtime splitting suffices; this operator is
+    the portable form for engines/pipelines where AQE can't see the
+    skew, e.g. skewed aggregations before a join).
+    """
+    R = 4
+    o = load(spark, sf_dir, "orders").withColumn(
+        "salt", (F.col("o_orderkey") % R).cast("int")
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.posexplode(F.array(*[F.lit(i) for i in range(R)])).alias("pos", "salt"),
+    ).drop("pos")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(c, (o.o_custkey == c.c_custkey) & (o.salt == c.salt))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double") / 100.0).alias("sum_price"),
+        )
+    )
+
+
+@register(
     "join_asof_event",
     oracle="""
     SELECT p.event_id,
