@@ -244,6 +244,81 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_foreachbatch_sink",
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` sink — the production pattern for streaming
+    into batch-only destinations (parquet tables, JDBC, MERGE targets):
+    each micro-batch arrives as a batch DataFrame plus a monotonically
+    increasing batch_id for exactly-once idempotence (write paths keyed
+    by batch_id are safely re-runnable after failure).
+
+    Here each batch's per-type partial counts land in a parquet dir
+    keyed by batch_id; the final read-back re-aggregates the partials —
+    and must equal the one-shot batch aggregate, which is exactly what
+    the oracle checks (partial-per-batch + final merge == global agg:
+    the same partial/final contract Catalyst uses inside a single
+    query, replayed across micro-batches).
+    """
+    ev = load(spark, sf_dir, "events")
+    root = os.path.join(tempfile.gettempdir(), f"spark990_fb_{next(_COUNTER)}")
+    in_dir = _write_batches(
+        spark,
+        root,
+        [ev.filter(F.col("event_id") % 3 == i) for i in range(3)],
+    )
+    out_dir = os.path.join(root, "out")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    partial = stream.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent: re-running batch N overwrites batch N's partition
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    q = (
+        partial.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # complete mode: the LAST batch's snapshot is the final state
+    import glob as globmod
+
+    last = max(
+        globmod.glob(os.path.join(out_dir, "batch_id=*")),
+        key=lambda p: int(p.rsplit("=", 1)[1]),
+    )
+    return (
+        spark.read.parquet(last)
+        .select(
+            "event_type",
+            "cnt",
+            (F.col("cents").cast("double") / 100.0).alias("sum_value"),
+        )
+    )
+
+
+@register(
     "stream_custom_state",
     oracle="""
     SELECT user_id,
