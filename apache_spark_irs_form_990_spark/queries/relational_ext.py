@@ -593,3 +593,119 @@ def agg_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(big).alias("n_big"),
         F.count_distinct(F.when(big, F.col("o_custkey"))).alias("n_big_cust"),
     )
+
+
+@register(
+    "fn_try_cast",
+    oracle="""
+    SELECT doc_id,
+           TRY_CAST(split_part(text, ' ', 1) AS BIGINT) AS first_word_int,
+           TRY_CAST(lang AS DOUBLE) AS lang_num
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe casting: TRY_CAST yields NULL instead of failing the
+    job — the difference between one malformed row and a dead 100 TB
+    pipeline (the declarative face of the reference's skip-bad-record
+    intent, A15)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.try_to_number(F.split_part("text", F.lit(" "), F.lit(1)), F.lit("999999999"))
+        .cast("long")
+        .alias("first_word_int"),
+        F.col("lang").try_cast("double").alias("lang_num"),
+    )
+
+
+@register(
+    "agg_bool_and_or",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000.0) AS all_over_1k,
+           bool_or(o_totalprice > 400000.0) AS any_over_400k
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_bool_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/some) — exact in any engine."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000.0).alias("any_over_400k"),
+    )
+
+
+@register(
+    "fn_string_shape",
+    oracle="""
+    SELECT n_nationkey,
+           lpad(n_name, 20, '.') AS padded,
+           translate(n_name, 'AEIOU', 'aeiou') AS vowels_lower,
+           repeat('-', CAST(n_nationkey % 5 AS INTEGER)) AS dashes,
+           reverse(n_name) AS rev
+    FROM nation
+    """,
+)
+def fn_string_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String shaping functions (pad/translate/repeat/reverse)."""
+    n = load(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.lpad("n_name", 20, ".").alias("padded"),
+        F.translate("n_name", "AEIOU", "aeiou").alias("vowels_lower"),
+        F.repeat(F.lit("-"), (F.col("n_nationkey") % 5).cast("int")).alias("dashes"),
+        F.reverse("n_name").alias("rev"),
+    )
+
+
+@register(
+    "win_rank_distribution",
+    oracle="""
+    SELECT c_custkey,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal)
+    """,
+)
+def win_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions. percent_rank/cume_dist are
+    tie-stable (equal keys share a value); ntile is NOT — its bucket
+    boundary cuts through ties arbitrarily, so it gets the unique-key
+    tiebreak. Single unpartitioned window = one-task sort: fine for a
+    report tail, wrong as a pipeline stage at scale — partition it or
+    use approx quantiles there."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal")
+    wt = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(wt).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics intersection (multiplicity = min of the two
+    sides), completing the set-op family in sorts_sets.py."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersectAll(s)
