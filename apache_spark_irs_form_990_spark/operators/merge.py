@@ -1,0 +1,106 @@
+"""Batch MERGE / CDC-apply operator (SURVEY.md §2 B11 extension).
+
+Spark without a table format (Delta/Iceberg) has no MERGE INTO
+statement, but the *operator* is a join shape: full-outer-join the
+base table with a change set on the key, then resolve per row —
+update wins over base, insert has no base row, delete tombstones drop
+the row. At 100 TB the change set is normally <<1% of the base, so the
+join broadcasts the changes and the base never shuffles; the output
+rewrites only the partitions the keys touch (pair with the layout
+module's partitioned writes for that).
+
+The whole resolution is one declarative expression — Catalyst sees a
+join + projection, not an imperative row loop — and therefore gets an
+exact DuckDB oracle like any other query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_spark_irs_form_990_spark.registry import register
+from apache_spark_irs_form_990_spark.tables import load
+
+
+def merge_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+    broadcast_changes: bool = True,
+) -> DataFrame:
+    """Apply a change set (op ∈ {'U','I','D'}) to `base` on `key`.
+
+    Semantics: 'D' removes the keyed row; 'U'/'I' replace-or-add the
+    row with the change's payload columns (same schema as base).
+    Unknown keys with 'U' behave as upserts — the CDC-friendly choice.
+    """
+    payload = [c for c in base.columns if c != key]
+    ch = F.broadcast(changes) if broadcast_changes else changes
+    joined = base.alias("b").join(ch.alias("c"), on=key, how="full")
+    keep: Column = F.col(f"c.{op_col}").isNull() | (F.col(f"c.{op_col}") != "D")
+    picked = [
+        F.when(
+            F.col(f"c.{op_col}").isin("U", "I"), F.col(f"c.{p}")
+        ).otherwise(F.col(f"b.{p}")).alias(p)
+        for p in payload
+    ]
+    return joined.filter(keep).select(F.col(key), *picked)
+
+
+@register(
+    "merge_upsert_cdc",
+    oracle="""
+    WITH changes AS (
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 3 = 0 THEN 'U'
+                  WHEN n_nationkey % 3 = 1 THEN 'D'
+                  ELSE 'I' END AS op,
+             concat('NATION_', CAST(n_nationkey AS VARCHAR)) AS n_name,
+             CAST(n_nationkey % 5 AS BIGINT) AS n_regionkey
+      FROM nation WHERE n_nationkey % 2 = 0
+      UNION ALL
+      SELECT 100 + n_nationkey, 'I',
+             concat('NEW_', CAST(n_nationkey AS VARCHAR)),
+             CAST(n_nationkey % 5 AS BIGINT)
+      FROM nation WHERE n_nationkey < 3
+    )
+    SELECT coalesce(b.n_nationkey, c.n_nationkey) AS n_nationkey,
+           CASE WHEN c.op IN ('U','I') THEN c.n_name ELSE b.n_name END AS n_name,
+           CASE WHEN c.op IN ('U','I') THEN c.n_regionkey
+                ELSE b.n_regionkey END AS n_regionkey
+    FROM nation b
+    FULL OUTER JOIN changes c ON b.n_nationkey = c.n_nationkey
+    WHERE c.op IS NULL OR c.op != 'D'
+    """,
+)
+def merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE demo: a deterministic change set over nation — every even
+    key becomes an update ('U'), delete ('D'), or re-insert by key mod;
+    three brand-new keys insert. The oracle replays identical semantics
+    as a FULL OUTER JOIN in SQL, proving the operator == the relational
+    definition of MERGE."""
+    base = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", F.col("n_regionkey").cast("long").alias("n_regionkey")
+    )
+    n = load(spark, sf_dir, "nation")
+    mod_changes = n.filter(F.col("n_nationkey") % 2 == 0).select(
+        "n_nationkey",
+        F.when(F.col("n_nationkey") % 3 == 0, "U")
+        .when(F.col("n_nationkey") % 3 == 1, "D")
+        .otherwise("I")
+        .alias("op"),
+        F.concat(F.lit("NATION_"), F.col("n_nationkey").cast("string")).alias(
+            "n_name"
+        ),
+        (F.col("n_nationkey") % 5).cast("long").alias("n_regionkey"),
+    )
+    new_rows = n.filter(F.col("n_nationkey") < 3).select(
+        (F.col("n_nationkey") + 100).alias("n_nationkey"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("NEW_"), F.col("n_nationkey").cast("string")).alias("n_name"),
+        (F.col("n_nationkey") % 5).cast("long").alias("n_regionkey"),
+    )
+    changes = mod_changes.unionByName(new_rows)
+    return merge_apply(base, changes, key="n_nationkey")

@@ -81,6 +81,7 @@ def _load_all() -> None:
         text_analysis,
         multimodal,
         pipeline,
+        merge,
     )
     from apache_spark_irs_form_990_spark.sources import (  # noqa: F401
         xml_ingest,

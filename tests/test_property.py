@@ -134,6 +134,64 @@ def test_left_join_agg(spark, rows, rows2):
     )
 
 
+events_st = st.lists(
+    st.tuples(
+        st.integers(0, 3),       # user
+        st.integers(0, 20),      # ts (small domain forces ties)
+        st.booleans(),           # is_purchase
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(evts=events_st)
+@settings(**SETTINGS)
+def test_asof_join_composition(spark, evts):
+    """The window-composition as-of join (joins.py join_asof_event)
+    must agree with DuckDB's native ASOF LEFT JOIN on arbitrary event
+    sets — including same-timestamp ties (click at ts == purchase at
+    ts matches) and users with no clicks (NULL)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(evts, columns=["user", "ts", "is_p"])
+    pdf["eid"] = range(len(pdf))
+    sdf = spark.createDataFrame(pdf, schema="user int, ts int, is_p boolean, eid long")
+    con = duckdb.connect()
+    con.register("ev", pdf)
+
+    clicks = sdf.filter(~F.col("is_p")).select(
+        "user", F.col("ts").alias("ev_ts"), F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("eid"),
+    )
+    purchases = sdf.filter(F.col("is_p")).select(
+        "user", F.col("ts").alias("ev_ts"), F.lit(1).alias("kind"), "eid",
+    )
+    w = (
+        Window.partitionBy("user")
+        .orderBy("ev_ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        clicks.unionByName(purchases)
+        .withColumn(
+            "last_click_ts",
+            F.last(F.when(F.col("kind") == 0, F.col("ev_ts")), ignorenulls=True).over(w),
+        )
+        .filter(F.col("kind") == 1)
+        .select("eid", "user", F.col("ev_ts").alias("p_ts"), "last_click_ts")
+    )
+    _assert_same(
+        out,
+        con,
+        "SELECT p.eid, p.user, p.ts AS p_ts, c.ts AS last_click_ts "
+        "FROM (SELECT * FROM ev WHERE is_p) p "
+        "ASOF LEFT JOIN (SELECT * FROM ev WHERE NOT is_p) c "
+        "ON p.user = c.user AND p.ts >= c.ts",
+    )
+
+
 @given(rows=rows_st, rows2=rows_st)
 @settings(**SETTINGS)
 def test_union_distinct_except(spark, rows, rows2):
