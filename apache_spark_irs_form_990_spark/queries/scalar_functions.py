@@ -259,3 +259,75 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_orderstatus"))
         .alias("status_or_null"),
     )
+
+
+@register(
+    "fn_array_predicates",
+    oracle="""
+    SELECT vec_id,
+           len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.9)) > 0
+             AS any_hot,
+           len(list_filter(embedding, x -> CAST(x AS DOUBLE) <= -1.0)) = 0
+             AS all_gt_m1,
+           CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.0))
+             AS BIGINT) AS n_pos
+    FROM embeddings
+    """,
+)
+def fn_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array predicate higher-order functions (exists / forall /
+    filter) — short-circuiting JVM-side element scans, no UDF. The
+    float32→double widening is bit-exact in both engines, so raw
+    threshold compares are safe without the integer trick."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.exists(emb, lambda x: x.cast("double") > 0.9).alias("any_hot"),
+        F.forall(emb, lambda x: x.cast("double") > -1.0).alias("all_gt_m1"),
+        F.size(F.filter(emb, lambda x: x.cast("double") > 0.0))
+        .cast("long")
+        .alias("n_pos"),
+    )
+
+
+@register(
+    "fn_posexplode_zip",
+    oracle="""
+    SELECT vec_id, u.pos, u.av, u.bv
+    FROM (
+      SELECT vec_id,
+             unnest([{'pos': CAST(i - 1 AS BIGINT), 'av': a[i], 'bv': b[i]}
+                     FOR i IN generate_series(1, 3)]) AS u
+      FROM (
+        SELECT vec_id,
+               list_transform(embedding[1:3],
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS a,
+               list_transform(embedding[4:6],
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS b
+        FROM embeddings
+      )
+    )
+    WHERE vec_id % 10 = 0
+    """,
+)
+def fn_posexplode_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode of zipped arrays (arrays_zip + posexplode):
+    the relational form of 'iterate two sequences in lockstep'. The
+    zip is an O(1) struct-view, the explode is partition-local
+    Generate — no shuffle until something aggregates."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    milli = lambda c: F.transform(  # noqa: E731
+        c, lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
+    z = e.select(
+        "vec_id",
+        milli(F.slice("embedding", 1, 3)).alias("a"),
+        milli(F.slice("embedding", 4, 3)).alias("b"),
+    ).select("vec_id", F.posexplode(F.arrays_zip("a", "b")).alias("pos", "z"))
+    return z.select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("z.a").alias("av"),
+        F.col("z.b").alias("bv"),
+    )
