@@ -709,3 +709,156 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nationkey")
     )
     return c.intersectAll(s)
+
+
+@register(
+    "join_range_bucketed",
+    oracle="""
+    SELECT p.event_id,
+           count(*) AS n_nearby
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN events o
+      ON o.user_id = p.user_id
+     AND abs(epoch_us(CAST(o.ts AS TIMESTAMP))
+             - epoch_us(CAST(p.ts AS TIMESTAMP))) <= 3600000000
+    GROUP BY p.event_id
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bucket decomposition: events within ±1 hour of
+    each purchase, same user.
+
+    A naive range join degenerates to nested-loop (Spark plans
+    BroadcastNestedLoopJoin or a per-key cross product). The scalable
+    form quantizes time into range-sized buckets: each probe row
+    expands to its bucket ±1 (3 rows), the build side keeps one bucket
+    per row, the join is pure EQUI on (user, bucket), and the exact
+    range predicate filters residually. Probe amplification is
+    constant (3×) and the join uses hash machinery — at 100 TB this is
+    the difference between a shuffle join and a cross product. Same
+    decomposition generalizes to any banded interval join (IP ranges,
+    genomic intervals, price bands).
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    HOUR = 3_600_000_000
+    probe = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("p_event_id"),
+            F.col("us").alias("p_us"),
+            # integer `div`, not floor(a/b): double division of large
+            # epoch-micros can round across a bucket boundary
+            F.explode(
+                F.array(
+                    F.expr(f"(us - {HOUR}) div {HOUR}"),
+                    F.expr(f"us div {HOUR}"),
+                    F.expr(f"(us + {HOUR}) div {HOUR}"),
+                )
+            ).alias("bucket"),
+        )
+        # corner case: ±1h may land in the same bucket as the center
+        .distinct()
+    )
+    build = e.select(
+        "user_id", F.col("us").alias("o_us"), F.expr(f"us div {HOUR}").alias("bucket")
+    )
+    return (
+        probe.join(build, on=["user_id", "bucket"])
+        .filter(F.abs(F.col("o_us") - F.col("p_us")) <= HOUR)
+        .groupBy(F.col("p_event_id").alias("event_id"))
+        .agg(F.count("*").alias("n_nearby"))
+    )
+
+
+@register(
+    "agg_histogram_bins",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via arithmetic binning — one aggregate
+    pass, bins computable in codegen; the building block for
+    distribution dashboards over arbitrarily large tables (the shuffle
+    carries only #bins rows per partition)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("long").alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double") / 100.0).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "win_first_last_nth",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w AS first_ok,
+           last_value(o_orderkey) OVER w AS last_ok,
+           nth_value(o_orderkey, 2) OVER w AS second_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS TIMESTAMP), o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with an explicit UNBOUNDED..UNBOUNDED
+    frame. The default frame (UNBOUNDED..CURRENT ROW) makes last_value
+    a row-dependent trap — always state the frame; orderkey tiebreak
+    makes tied dates deterministic."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+    )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() markers — distinguishes 'NULL because
+    subtotal row' from 'NULL because the data is null', which any
+    consumer of multi-level aggregates needs."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n"
+        )
+    )
