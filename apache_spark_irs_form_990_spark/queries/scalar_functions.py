@@ -17,7 +17,7 @@ throughput story at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from apache_spark_irs_form_990_spark.registry import register
@@ -330,4 +330,115 @@ def fn_posexplode_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("long").alias("pos"),
         F.col("z.a").alias("av"),
         F.col("z.b").alias("bv"),
+    )
+
+
+@register(
+    "fn_datetime_arith",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(make_date(CAST(year(o_orderdate) AS INT),
+                              CAST(month(o_orderdate) AS INT), 1),
+                    '%Y-%m-%d') AS month_floor,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d')
+             AS plus_2mo,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             AS month_end,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow_sun1
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+)
+def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date construction and arithmetic: make_date, month addition
+    (both engines clamp Jan 31 + 1mo to end-of-Feb), last_day,
+    quarter, day-of-week. Emitted as formatted strings/ints so the
+    comparison is calendar-value, not engine date-type, equality.
+    DOW convention pinned to Sunday=1 (Spark's default; DuckDB's
+    dow Sunday=0 is shifted in the oracle)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(
+            F.make_date(F.year(d), F.month(d), F.lit(1)), "yyyy-MM-dd"
+        ).alias("month_floor"),
+        F.date_format(F.add_months(d, 2), "yyyy-MM-dd").alias("plus_2mo"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.dayofweek(d).cast("long").alias("dow_sun1"),
+    )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    SELECT l_returnflag, mode_qty, mode_count
+    FROM (
+      SELECT l_returnflag,
+             l_quantity AS mode_qty,
+             count(*) AS mode_count,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY count(*) DESC, l_quantity ASC) AS rn
+      FROM lineitem
+      GROUP BY l_returnflag, l_quantity
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group, deterministically:
+    built-in ``mode()`` breaks frequency ties arbitrarily in BOTH
+    engines, so this is the count-then-rank formulation with a value
+    tiebreak — two aggregates and a tiny window over #distinct-values
+    rows, still fully parallel."""
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", F.col("l_quantity").alias("mode_qty")).agg(
+        F.count("*").alias("mode_count")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("mode_count").desc(), F.col("mode_qty").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", "mode_qty", "mode_count")
+    )
+
+
+@register(
+    "text_ngram_profile",
+    oracle="""
+    SELECT gram, count(*) AS cnt
+    FROM (
+      SELECT unnest([substring(text, i, 3)
+                     FOR i IN generate_series(1, length(text) - 2)]) AS gram
+      FROM documents
+    )
+    GROUP BY gram
+    ORDER BY cnt DESC, gram ASC
+    LIMIT 20
+    """,
+)
+def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character trigram frequency profile (top 20) — the feature
+    space of charset language-ID models. The gram expansion is a
+    JVM-side sequence+transform+explode (~length(text) rows per doc,
+    partition-local); only (gram, partial count) rows shuffle. Top-20
+    via TakeOrderedAndProject with a gram tiebreak."""
+    d = load(spark, sf_dir, "documents")
+    k = F.length("text") - 2
+    idx = F.when(k > 0, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = d.select(
+        F.explode(
+            F.transform(idx, lambda i: F.col("text").substr(i, F.lit(3)))
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("gram").asc())
+        .limit(20)
     )
