@@ -384,3 +384,67 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.95)
     )
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1,
+                             len(string_split(text, ' ')) - 2), ' ') AS text,
+             lang
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    blocked AS (
+      SELECT doc_id, text, lang, string_split(text, ' ')[1] AS blk
+      FROM corpus
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+    FROM blocked a
+    JOIN blocked b
+      ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) <= 25
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy dedup with BLOCKING: candidate pairs come
+    only from docs sharing (lang, first token) — the classic record-
+    linkage move that keeps an O(n²·len²) metric affordable by never
+    materializing cross-block pairs. Within blocks, exact
+    levenshtein (identical definition in both engines) gates at <=25.
+
+    At 100 TB, first-token blocking is too coarse; block on a MinHash
+    band (dedup_near_minhash) and use this as the precise re-scorer of
+    its candidates — the standard two-stage cascade (cheap recall,
+    expensive precision)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    toks = F.split(F.col("text"), " ")
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0)))
+        ).alias("text"),
+        "lang",
+    )
+    corpus = docs.unionByName(near).withColumn(
+        "blk", F.split(F.col("text"), " ").getItem(0)
+    )
+    a, b = corpus.alias("a"), corpus.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.text"), F.col("b.text")).cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 25)
+    )

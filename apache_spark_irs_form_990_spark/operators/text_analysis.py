@@ -247,3 +247,54 @@ def text_fingerprint_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("shingle").alias("n_shingles"),
         )
     )
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+    WITH enriched AS (
+      SELECT doc_id,
+             concat(text, ' contact: user', CAST(doc_id AS VARCHAR),
+                    '@example.com or +1-555-01', CAST(doc_id % 100 AS VARCHAR))
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[a-z0-9]+@[a-z]+\\.[a-z]+', '[EMAIL]', 'g'),
+             '\\+1-[0-9]{3}-[0-9]+', '[PHONE]', 'g') AS scrubbed,
+           CAST(length(text) - length(
+             regexp_replace(
+               regexp_replace(text, '[a-z0-9]+@[a-z]+\\.[a-z]+', '[EMAIL]', 'g'),
+               '\\+1-[0-9]{3}-[0-9]+', '[PHONE]', 'g')) AS BIGINT) AS chars_removed
+    FROM enriched
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex redaction of emails and phone numbers —
+    the compliance pass every training corpus runs before anything
+    else. Pure regexp_replace (JVM regex, codegen'd, replace-all);
+    the patterns here use only syntax with identical semantics in
+    Java and RE2-style engines. PII is synthesized deterministically
+    onto each doc so the redaction is verifiable end-to-end."""
+    d = load(spark, sf_dir, "documents")
+    enriched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-01"),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("text"),
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"[a-z0-9]+@[a-z]+\.[a-z]+", "[EMAIL]"),
+        r"\+1-[0-9]{3}-[0-9]+",
+        "[PHONE]",
+    )
+    return enriched.select(
+        "doc_id",
+        scrub.alias("scrubbed"),
+        (F.length("text") - F.length(scrub)).cast("long").alias("chars_removed"),
+    )

@@ -155,3 +155,68 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("moving_avg"),
         )
     )
+
+
+@register(
+    "win_sessionize_batch",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       > 1800000000
+                       OR lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    numbered AS (
+      SELECT user_id, event_id, us,
+             CAST(sum(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS BIGINT)
+               AS session_no
+      FROM marked
+    )
+    SELECT user_id, session_no,
+           min(us) AS session_start_us,
+           max(us) AS session_end_us,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def win_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization by inactivity gap (30 min): the lag→flag→
+    running-sum composition that turns an event log into sessions with
+    plain window functions — the batch twin of the streaming
+    `session_window` (stream_queries.py), and the form you backfill
+    history with while the stream handles live data.
+
+    One shuffle on user_id serves both windows and the final groupBy
+    (same partitioning, Catalyst reuses the exchange). event_id breaks
+    timestamp ties so session numbering is deterministic.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    marked = e.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "session_no",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("us").alias("session_start_us"),
+        F.max("us").alias("session_end_us"),
+        F.count("*").alias("n_events"),
+    )
