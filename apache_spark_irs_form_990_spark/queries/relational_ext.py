@@ -862,3 +862,74 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n"
         )
     )
+
+
+@register(
+    "agg_corr_covar",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(CAST(round(l_quantity) AS BIGINT)) AS sx,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+             sum(CAST(round(l_quantity) AS BIGINT)
+                 * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS syy,
+             sum(CAST(round(l_quantity) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 100.0
+             AS covar_qty_price,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS corr_qty_price
+    FROM m
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance and Pearson correlation, cross-engine exact.
+
+    Built-in ``corr``/``covar_samp`` stream doubles in partition order
+    and can't hash-match another engine. Here the per-group moments
+    (n, Σx, Σy, Σx², Σy², Σxy) accumulate as EXACT int64 (binding term
+    Σ(price-cents)² ≈ 7.4e18 < 2^63 at sf0.1; scale y down at larger
+    SFs), then the closed forms evaluate in double with the SAME
+    operation sequence in both engines — exact identical inputs +
+    identical IEEE arithmetic = bit-identical outputs. The n·Σy² style
+    products live in double deliberately: as int64 they would overflow
+    (Spark wraps silently, DuckDB throws — worse, differently).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    x = cents("l_quantity", scale=0)
+    y = cents("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    num = nd * sxyd - sxd * syd
+    return m.select(
+        "l_returnflag",
+        "n",
+        (num / (nd * (nd - 1.0)) / 100.0).alias("covar_qty_price"),
+        (num / (F.sqrt(nd * sxxd - sxd * sxd) * F.sqrt(nd * syyd - syd * syd))).alias(
+            "corr_qty_price"
+        ),
+    )
