@@ -298,3 +298,43 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrub.alias("scrubbed"),
         (F.length("text") - F.length(scrub)).cast("long").alias("chars_removed"),
     )
+
+
+@register(
+    "text_repetition_score",
+    oracle="""
+    WITH tri AS (
+      SELECT doc_id,
+             [array_to_string(list_slice(t, i, i + 2), ' ')
+              FOR i IN generate_series(1, len(t) - 2)] AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_trigrams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(grams) > 0
+                THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                           / len(grams)
+                ELSE 0.0 END AS repetition
+    FROM tri
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-trigram ratio per document — the degenerate-text signal
+    (Gopher/CCNet-style): boilerplate, keyword stuffing, and model-loop
+    output all show high repeated-n-gram mass while natural prose stays
+    near zero. Pure array expressions (shingle → distinct → ratio),
+    partition-local, no shuffle — it composes into pipeline_corpus_prep
+    as just another quality predicate."""
+    from apache_spark_irs_form_990_spark.operators.dedup import _shingles
+
+    d = load(spark, sf_dir, "documents")
+    grams = _shingles(F.col("text"))
+    n = F.size(grams)
+    nd = F.size(F.array_distinct(grams))
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_trigrams"),
+        nd.cast("long").alias("n_distinct"),
+        F.when(n > 0, 1.0 - nd.cast("double") / n).otherwise(0.0).alias("repetition"),
+    )
