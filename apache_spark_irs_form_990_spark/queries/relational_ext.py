@@ -933,3 +933,32 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corr_qty_price"
         ),
     )
+
+
+@register(
+    "agg_decimal_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         AS DECIMAL(38, 0))
+                    * CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           AS DECIMAL(38, 0)))
+                AS VARCHAR) AS sum_sq_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL(38) exact aggregation — the documented fallback when
+    integer-cents sums would overflow int64 (agg_pricing_summary /
+    agg_corr_covar docstrings). Σ(price-cents)² ≈ 7.4e18 per group at
+    sf0.1 is near the int64 cliff; in DECIMAL(38,0) the same sum has
+    20 digits of headroom and stays EXACT, at ~1.8x the cost of a long
+    sum (decimal leaves codegen's primitive path — measured, not
+    guessed). Output as string: a 19+ digit exact value can't round-
+    trip a double, and the driver hash compares strings fine."""
+    li = load(spark, sf_dir, "lineitem")
+    y = cents("l_extendedprice").cast("decimal(38,0)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(y * y).cast("decimal(38,0)").cast("string").alias("sum_sq_cents")
+    )

@@ -111,3 +111,35 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_lines"), revenue_sum("revenue"))
     )
+
+
+@register(
+    "scan_merge_schema",
+    oracle="""
+    SELECT n_nationkey,
+           n_name,
+           CASE WHEN n_nationkey < 13 THEN NULL
+                ELSE n_regionkey END AS n_regionkey
+    FROM nation
+    """,
+)
+def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet files written with
+    DIFFERENT schemas (an old extract without n_regionkey, a new one
+    with it) read back as ONE table via mergeSchema — missing columns
+    null-fill. This is how a 100 TB lake absorbs schema change without
+    rewriting history; the footer-merge cost is why it's opt-in, so
+    pin the merged schema explicitly on hot paths."""
+    n = load(spark, sf_dir, "nation")
+    root = os.path.join(tempfile.gettempdir(), f"spark990_evolve_{_sf_tag(sf_dir)}")
+    old = n.filter(F.col("n_nationkey") < 13).select("n_nationkey", "n_name")
+    new = n.filter(F.col("n_nationkey") >= 13).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    old.write.mode("overwrite").parquet(os.path.join(root, "v=1"))
+    new.write.mode("overwrite").parquet(os.path.join(root, "v=2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(root, "v=1"), os.path.join(root, "v=2"))
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )

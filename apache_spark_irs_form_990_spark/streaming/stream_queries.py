@@ -411,3 +411,54 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_unique"))
     )
     return run_to_completion(deduped, "complete")
+
+
+@register(
+    "stream_topk_windowed",
+    oracle="""
+    SELECT window_start_us, event_type, cnt
+    FROM (
+      SELECT window_start_us, event_type, cnt,
+             row_number() OVER (PARTITION BY window_start_us
+                                ORDER BY cnt DESC, event_type ASC) AS rn
+      FROM (
+        SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                 AS window_start_us,
+               event_type,
+               count(*) AS cnt
+        FROM events
+        GROUP BY 1, 2
+      )
+    ) WHERE rn <= 2
+    """,
+)
+def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed aggregation composed with batch top-k: the
+    stream maintains per-(window, type) counts; the rank runs on the
+    bounded result AFTER the stream completes (ranking inside an
+    update-mode stream would re-rank every trigger — do it downstream,
+    which is also where it belongs operationally). Top-2 event types
+    per hour, deterministic via the type tiebreak, exact batch oracle.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.unix_micros("window.start").alias("window_start_us"),
+            "event_type",
+            "cnt",
+        )
+    )
+    counts = run_to_completion(agg, "complete")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start_us").orderBy(
+        F.col("cnt").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("window_start_us", "event_type", "cnt")
+    )
