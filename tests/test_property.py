@@ -106,6 +106,45 @@ def test_running_sum_window(spark, rows):
     )
 
 
+@given(
+    base=st.dictionaries(st.integers(0, 8), st.integers(-50, 50), max_size=9),
+    changes=st.dictionaries(
+        st.integers(0, 12),
+        st.tuples(st.sampled_from(["U", "I", "D"]), st.integers(-50, 50)),
+        max_size=13,
+    ),
+)
+@settings(**SETTINGS)
+def test_merge_apply_semantics(spark, base, changes):
+    """merge_apply == the dictionary-update model: D removes the key,
+    U/I upsert the payload, untouched keys pass through."""
+    from apache_spark_irs_form_990_spark.operators.merge import merge_apply
+
+    expected = dict(base)
+    for k, (op, v) in changes.items():
+        if op == "D":
+            expected.pop(k, None)
+        else:
+            expected[k] = v
+
+    bdf = spark.createDataFrame(
+        list(base.items()) or [(None, None)], "key int, val int"
+    )
+    if not base:
+        bdf = bdf.filter("key IS NOT NULL")
+    cdf = spark.createDataFrame(
+        [(k, op, v) for k, (op, v) in changes.items()] or [(None, None, None)],
+        "key int, op string, val int",
+    )
+    if not changes:
+        cdf = cdf.filter("key IS NOT NULL")
+    got = {
+        r["key"]: r["val"]
+        for r in merge_apply(bdf, cdf, key="key").collect()
+    }
+    assert got == expected
+
+
 @given(rows=rows_st, rows2=rows_st)
 @settings(**SETTINGS)
 def test_left_join_agg(spark, rows, rows2):
