@@ -442,3 +442,85 @@ def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("gram").asc())
         .limit(20)
     )
+
+
+@register(
+    "fn_map_higher_order",
+    oracle="""
+    SELECT n_regionkey,
+           n_name AS k,
+           CAST(n_nationkey * 10 AS BIGINT) AS v
+    FROM nation
+    WHERE n_nationkey % 2 = 0
+    """,
+)
+def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions round-trip: build a map per region
+    from (name → nationkey) entries, transform_values (×10),
+    map_filter (even keys only), then explode back to rows. The oracle
+    states the same relation without map types (DuckDB's map surface
+    is thinner) — proving the map pipeline preserves exactly the
+    relational content. Map ops are JVM expressions; the groupBy is
+    the only shuffle."""
+    n = load(spark, sf_dir, "nation")
+    per_region = n.groupBy("n_regionkey").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("n_name", "n_nationkey"))
+        ).alias("m")
+    )
+    transformed = per_region.select(
+        "n_regionkey",
+        F.map_filter(
+            F.transform_values(F.col("m"), lambda k, v: v * 10),
+            lambda k, v: v % 20 == 0,
+        ).alias("m"),
+    )
+    return transformed.select(
+        "n_regionkey", F.explode("m").alias("k", "v")
+    ).select("n_regionkey", "k", F.col("v").cast("long").alias("v"))
+
+
+@register(
+    "join_cross_dims",
+    oracle="""
+    SELECT r.r_name, s.status, coalesce(o.n, 0) AS n_orders
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus AS status FROM orders) s
+    LEFT JOIN (
+      SELECT n.n_regionkey, o_orderstatus, count(*) AS n
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ) o ON o.n_regionkey = r.r_regionkey AND o.o_orderstatus = s.status
+    """,
+)
+def join_cross_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one legitimate cross join: a dense report scaffold from two
+    TINY dimension domains (5 regions × 3 statuses), left-joined with
+    actual counts so empty cells show 0 instead of vanishing. Cross
+    joins of anything non-dimension-sized are a bug — that's why Spark
+    gates them behind explicit crossJoin()."""
+    r = load(spark, sf_dir, "region")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    statuses = o.select(F.col("o_orderstatus").alias("status")).distinct()
+    grid = r.crossJoin(statuses)
+    counts = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        grid.join(
+            counts,
+            (grid.r_regionkey == counts.n_regionkey)
+            & (grid.status == counts.o_orderstatus),
+            "left",
+        )
+        .select(
+            "r_name", "status", F.coalesce("n", F.lit(0)).alias("n_orders")
+        )
+    )
