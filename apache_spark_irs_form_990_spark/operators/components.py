@@ -174,3 +174,78 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         F.col("id").alias("doc_id"), F.col("component").alias("component_id")
     )
+
+
+@register(
+    "dedup_semantic_cluster",
+    oracle="""
+    WITH RECURSIVE q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM q a JOIN q b ON a.vec_id < b.vec_id
+      WHERE CAST(list_sum(list_transform(range(1, 65),
+                          i -> a.v[i] * b.v[i])) AS DOUBLE)
+            / (sqrt(CAST(list_sum(list_transform(a.v, x -> x * x)) AS DOUBLE))
+               * sqrt(CAST(list_sum(list_transform(b.v, x -> x * x)) AS DOUBLE)))
+            >= 0.9
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, comp) AS (
+      SELECT vec_id, vec_id FROM q
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS vec_id, min(comp) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering: connected components over the
+    embedding-cosine graph (cosine >= 0.9) — the same
+    ``connected_components`` operator as the Jaccard pipeline, proving
+    it composes with ANY pairwise-similarity edge source. Dot products
+    run in exact integer milli-units (dedup.py convention) so the edge
+    set — and therefore the clustering — is identical in both engines.
+
+    Scale path: swap the all-pairs edge generation for the LSH
+    candidates (sim_cosine_ann_lsh) and the component step is
+    unchanged — edges in, clusters out.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("v"),
+    )
+    norm = F.aggregate(
+        F.transform(F.col("v"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    emb = emb.withColumn("n", norm)
+    a, b = emb.alias("a"), emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cosine = dot.cast("double") / (
+        F.sqrt(F.col("a.n").cast("double")) * F.sqrt(F.col("b.n").cast("double"))
+    )
+    edges = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cosine >= 0.9)
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+    )
+    comp = connected_components(emb.select(F.col("vec_id").alias("id")), edges)
+    return comp.select(
+        F.col("id").alias("vec_id"), F.col("component").alias("cluster_id")
+    )

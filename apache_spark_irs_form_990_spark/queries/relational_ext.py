@@ -962,3 +962,29 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.sum(y * y).cast("decimal(38,0)").cast("string").alias("sum_sq_cents")
     )
+
+
+@register(
+    "agg_distinct_multi",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_cust,
+           count(DISTINCT o_orderpriority) AS n_prio,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) over different columns in one pass —
+    Catalyst plans this with an Expand node (one row replica per
+    distinct aggregate) feeding a single aggregate tree, instead of N
+    self-joined subqueries. The expansion factor equals the number of
+    distinct aggregates: fine for 2-3, a reason to switch to
+    approx_count_distinct beyond that."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("n_cust"),
+        F.count_distinct("o_orderpriority").alias("n_prio"),
+        F.count("*").alias("n_orders"),
+    )

@@ -143,3 +143,46 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(root, "v=1"), os.path.join(root, "v=2"))
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+@register(
+    "scan_dynamic_partition_prune",
+    oracle="""
+    SELECT e.event_type,
+           count(*) AS n,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e
+    JOIN (SELECT DISTINCT event_type FROM events
+          WHERE event_type IN ('purchase', 'signup')) d
+      ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def scan_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP): the fact side is partitioned on
+    event_type; the pruning predicate arrives only through a JOIN with
+    a filtered dimension, so no static filter exists at planning time —
+    Catalyst inserts a dynamicpruning subquery that runs the dim side
+    first and prunes fact partitions at RUNTIME (asserted in
+    tests/test_plans.py). At 100 TB this is how 'join to this month's
+    dim rows' reads one partition instead of the whole fact table.
+    """
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark990_dpp_events_{_sf_tag(sf_dir)}"
+    )
+    ev = load(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        ev.filter(F.col("event_type").isin("purchase", "signup"))
+        .select("event_type")
+        .distinct()
+    )
+    return (
+        fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )

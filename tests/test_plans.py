@@ -93,6 +93,14 @@ def test_partitioned_scan_prunes_partitions(spark):
     )[1].split("]")[0], f"event_type filter not resolved at partition level:\n{plan}"
 
 
+def test_dynamic_partition_pruning_fires(spark):
+    df = QUERIES["scan_dynamic_partition_prune"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "dynamicpruning" in plan.lower(), (
+        f"no dynamic partition pruning subquery in plan:\n{plan}"
+    )
+
+
 def test_bucketed_join_has_no_exchange(spark):
     df = QUERIES["sink_bucketed_join"](spark, SF_DIR)
     plan = physical_plan(df)
