@@ -207,3 +207,59 @@ def sim_cosine_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@register(
+    "sim_nearest_neighbor",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings WHERE vec_id < 300
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(list_sum(list_transform(range(1, 65),
+                           i -> a.v[i] * b.v[i])) AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(a.v, x -> x * x)) AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(b.v, x -> x * x)) AS DOUBLE)))
+               AS cosine
+      FROM q a JOIN q b ON a.vec_id != b.vec_id
+    )
+    SELECT id_a AS vec_id, id_b AS nn_id, cosine
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY id_a
+                                   ORDER BY cosine DESC, id_b ASC) AS rn
+      FROM pairs
+    ) WHERE rn = 1
+    """,
+)
+def sim_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global 1-NN: every vector's single most similar other vector
+    (the all-pairs argmax join) — the dedup/linking primitive 'which
+    existing record is this closest to'. Exact all-pairs at test scale
+    on a capped slice; rank ties break on neighbor id so the argmax is
+    unique. Scale path: LSH-bucket the pairs (sim_cosine_ann_lsh) and
+    keep the same rank-1 tail."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
+        "vec_id", _milli_vec(F.col("embedding")).alias("v")
+    )
+    emb = emb.withColumn("n", _sq_norm(F.col("v")))
+    a, b = emb.alias("a"), emb.alias("b")
+    cosine = _dot(F.col("a.v"), F.col("b.v")).cast("double") / (
+        F.sqrt(F.col("a.n").cast("double")) * F.sqrt(F.col("b.n").cast("double"))
+    )
+    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("nn_id"),
+        cosine.alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("nn_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "nn_id", "cosine")
+    )

@@ -233,3 +233,54 @@ def ingest_badrecord_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, manifest, base_dir=os.path.dirname(manifest)
     )
     return ingest_metrics(flattened)
+
+
+# -- JSON-lines ingest with corrupt-record accounting (B1 family) ----------
+
+_JSONL_GOOD = [
+    '{"id": 1, "city": "Berkeley", "amt": 123.5}',
+    '{"id": 2, "city": "madison", "amt": 7.25}',
+    '{"id": 3, "city": "MADISON", "amt": 9.0}',
+    '{"id": 4, "city": "berkeley", "amt": 1.0}',
+]
+_JSONL_BAD = ['{"id": 5, "city": "Oops"', "not json at all"]
+
+
+def write_jsonl_fixture(tmp_root: str | None = None) -> str:
+    root = os.path.join(tmp_root or tempfile.gettempdir(), "spark990_jsonl_fixture")
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, "records.jsonl")
+    with open(path, "w") as f:
+        f.write("\n".join(_JSONL_GOOD + _JSONL_BAD) + "\n")
+    return path
+
+
+@register("ingest_jsonl_permissive")  # ◐ rows-only: fixture file, no oracle view
+def ingest_jsonl_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines read under PERMISSIVE mode — the declarative form of
+    the reference's skip-bad-record semantics (A15) for line-oriented
+    sources: malformed lines land in ``_corrupt_record`` instead of
+    failing the job, so one aggregate yields processed/failed counts
+    (the reference's accumulators, IRSSpark.py:119-125) AND the
+    lowercased-city counts from the good rows in a single pass.
+    Behavioral assertions live in tests/test_xml_ingest.py."""
+    path = write_jsonl_fixture()
+    schema = "id long, city string, amt double, _corrupt_record string"
+    # .cache(): Spark refuses filters that reference only the internal
+    # corrupt-record column on an uncached JSON scan (the parser would
+    # have to re-parse just to re-derive corruption) — caching the
+    # parsed batch is the documented pattern.
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull())
+    return good.groupBy(F.lower("city").alias("city")).agg(
+        F.count("*").alias("cnt"),
+        (F.sum(F.round(F.col("amt") * 100).cast("long")).cast("double") / 100.0).alias(
+            "sum_amt"
+        ),
+    )

@@ -51,3 +51,34 @@ def test_badrecord_metrics(spark, tmp_path):
     assert m.files_failed == 1
     # doc1: 4 text-bearing elements, doc2: 3 -> 7 records total
     assert m.records == 7
+
+
+def test_jsonl_permissive_corrupt_accounting(spark):
+    """PERMISSIVE JSON read: 4 good + 2 malformed lines -> corrupt rows
+    carry the raw line, good rows aggregate normally."""
+    from pyspark.sql import functions as F
+
+    from apache_spark_irs_form_990_spark.sources.xml_ingest import (
+        write_jsonl_fixture,
+    )
+
+    path = write_jsonl_fixture()
+    schema = "id long, city string, amt double, _corrupt_record string"
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()  # required to filter on the corrupt-record column
+    )
+    n_bad = raw.filter(F.col("_corrupt_record").isNotNull()).count()
+    n_good = raw.filter(F.col("_corrupt_record").isNull()).count()
+    assert (n_good, n_bad) == (4, 2)
+
+    from apache_spark_irs_form_990_spark import registry
+
+    got = {
+        (r["city"], r["cnt"])
+        for r in registry.queries()["ingest_jsonl_permissive"](spark, "").collect()
+    }
+    assert got == {("berkeley", 2), ("madison", 2)}
