@@ -988,3 +988,97 @@ def agg_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_orderpriority").alias("n_prio"),
         F.count("*").alias("n_orders"),
     )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+             / CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / 100.0
+             AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price: Σ(w·x)/Σw with both sums exact
+    integers, one division at the end — the order-independent form of
+    every weighted metric (weighted quality scores, token-weighted
+    perplexity, revenue-weighted ratings)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = cents("l_quantity", scale=0)
+    x = cents("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        (
+            F.sum(x * w).cast("double") / F.sum(w).cast("double") / 100.0
+        ).alias("wavg_price")
+    )
+
+
+@register(
+    "win_change_detection",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           event_type
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS prev_type
+      FROM events
+    )
+    WHERE prev_type IS NULL OR event_type != prev_type
+    """,
+)
+def win_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change detection (SCD compaction): keep only rows where the
+    tracked value differs from the key's previous row — collapses
+    steady-state repetition into transitions, the step before loading
+    a type-2 dimension or compacting a CDC log. One lag window, one
+    filter; rows out ≈ number of real changes, not input size."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    return (
+        e.withColumn("prev_type", prev)
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select(
+            "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+        )
+    )
+
+
+@register(
+    "agg_argmin_struct",
+    oracle="""
+    SELECT o_orderstatus,
+           m.p AS min_price,
+           CAST(m.k AS BIGINT) AS min_price_orderkey
+    FROM (
+      SELECT o_orderstatus,
+             min({'p': o_totalprice, 'k': o_orderkey}) AS m
+      FROM orders
+      GROUP BY o_orderstatus
+    )
+    """,
+)
+def agg_argmin_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin via struct ordering: min(struct(value, key)) compares
+    lexicographically, so the key rides along with the extreme value
+    AND breaks value ties deterministically — the tie-safe form of
+    min_by/arg_min (which pick an arbitrary row among equal minima in
+    both engines). Single aggregate pass, no window, no self-join."""
+    o = load(spark, sf_dir, "orders")
+    s = F.min(F.struct(F.col("o_totalprice"), F.col("o_orderkey"))).alias("m")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(s)
+        .select(
+            "o_orderstatus",
+            F.col("m.o_totalprice").alias("min_price"),
+            F.col("m.o_orderkey").cast("long").alias("min_price_orderkey"),
+        )
+    )
