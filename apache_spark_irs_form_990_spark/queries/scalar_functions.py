@@ -524,3 +524,27 @@ def join_cross_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r_name", "status", F.coalesce("n", F.lit(0)).alias("n_orders")
         )
     )
+
+
+@register(
+    "fn_encode_decode",
+    oracle="""
+    SELECT n_nationkey,
+           to_base64(encode(n_name)) AS b64,
+           lower(hex(encode(n_name))) AS hexed,
+           decode(from_base64(to_base64(encode(n_name)))) AS roundtrip
+    FROM nation
+    """,
+)
+def fn_encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encodings: base64/hex over utf-8 bytes, with a
+    base64 round-trip back to the original string — the plumbing for
+    binary payload columns (multimodal.py) crossing text protocols."""
+    n = load(spark, sf_dir, "nation")
+    raw = F.encode("n_name", "utf-8")
+    return n.select(
+        "n_nationkey",
+        F.base64(raw).alias("b64"),
+        F.lower(F.hex(raw)).alias("hexed"),
+        F.decode(F.unbase64(F.base64(raw)), "utf-8").alias("roundtrip"),
+    )

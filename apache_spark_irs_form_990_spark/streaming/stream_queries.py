@@ -462,3 +462,95 @@ def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .select("window_start_us", "event_type", "cnt")
     )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_type,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e
+    JOIN (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'signup') s
+      ON e.user_id = s.user_id
+    GROUP BY e.event_type
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the live event stream enriched/filtered
+    against a STATIC dimension (users who ever signed up) — the
+    standard enrichment shape (stream ⋈ user table, stream ⋈ feature
+    store snapshot). The static side is planned per micro-batch like
+    any batch DataFrame (broadcast here), needs no watermark and holds
+    no state; only the streaming aggregate keeps state."""
+    signups = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+    )
+    ev = read_events_stream(spark, sf_dir)
+    # the join runs streaming (per micro-batch, static side broadcast);
+    # exact COUNT(DISTINCT) isn't available inside a streaming agg, so
+    # the final counts aggregate the bounded enriched output batch-side
+    enriched = ev.join(F.broadcast(signups), "user_id").select(
+        "event_type", "user_id"
+    )
+    rows = run_to_completion(enriched, "append")
+    return rows.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND epoch_us(CAST(c.ts AS TIMESTAMP))
+         BETWEEN epoch_us(CAST(p.ts AS TIMESTAMP)) - 1800000000
+             AND epoch_us(CAST(p.ts AS TIMESTAMP))
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: purchases
+    joined to the same user's clicks from the preceding 30 minutes.
+    Both sides buffer in the state store; the watermark + time-range
+    condition bound how long a click is retained (without them the
+    state grows forever — the condition IS the state-eviction policy).
+    On bounded input the result equals the batch range join, which the
+    oracle checks exactly."""
+    ev = read_events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    ev2 = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev2.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id")
+    return run_to_completion(joined, "append")
