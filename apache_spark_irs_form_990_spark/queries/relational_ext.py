@@ -1082,3 +1082,40 @@ def agg_argmin_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.o_orderkey").cast("long").alias("min_price_orderkey"),
         )
     )
+
+
+@register(
+    "agg_skew_salted_twostage",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_skew_salted_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation: the skewed-GROUP-BY remedy (the
+    join-side twin is join_skew_salted). Stage 1 groups by
+    (key, key-derived salt) so a hot key's rows spread across R
+    reducers; stage 2 merges the R partials per key — a tiny shuffle.
+    Catalyst's partial aggregation already does this implicitly when
+    upstream partitioning is random, but after a prior shuffle ON the
+    hot key (sort, window, join output) partials collapse to one task
+    — explicit salting restores the spread. Result provably equals the
+    plain groupBy (the oracle)."""
+    R = 8
+    e = load(spark, sf_dir, "events")
+    stage1 = (
+        e.withColumn("salt", (F.col("event_id") % R).cast("int"))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("pcents"),
+        )
+    )
+    return stage1.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        (F.sum("pcents").cast("double") / 100.0).alias("sum_value"),
+    )

@@ -182,3 +182,44 @@ def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, s.pos, s.word FROM udtf_docs, LATERAL split_words(text) s"
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT doc_id,
+           n_chars,
+           n_chars * 2 AS doubled
+    FROM documents
+    WHERE doc_id % 10 = 0
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the lowest-overhead Python boundary: the UDF
+    receives raw ``pyarrow.RecordBatch``es (no pandas conversion at
+    all) and returns the same. The tier list for Python interop, fast
+    to slow: built-in expr >> mapInArrow > mapInPandas/pandas_udf >>
+    row-at-a-time F.udf. Use this tier when the Python work is itself
+    Arrow-native (pyarrow.compute, polars, DuckDB-in-executor)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def double_chars(batches):
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("n_chars"),
+                    pc.multiply(batch.column("n_chars"), pa.scalar(2, pa.int64())),
+                ],
+                names=["doc_id", "n_chars", "doubled"],
+            )
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "n_chars")
+    )
+    return d.mapInArrow(
+        double_chars, schema="doc_id long, n_chars long, doubled long"
+    )
