@@ -220,3 +220,41 @@ def win_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("us").alias("session_end_us"),
         F.count("*").alias("n_events"),
     )
+
+
+@register(
+    "win_pct_of_total",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           n,
+           CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY o_orderstatus) AS DOUBLE)
+             AS pct_of_status
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders
+      GROUP BY 1, 2
+    )
+    """,
+)
+def win_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each group's share of its partition total —
+    aggregate first (tiny frame), THEN window over the aggregate;
+    windowing the raw fact would shuffle every row to compute the same
+    ratios. Unframed sum over an unordered partition is deterministic
+    (whole-partition frame). Integer counts divide exactly in both
+    engines."""
+    o = load(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus")
+    return counts.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w).cast("double")).alias(
+            "pct_of_status"
+        ),
+    )
