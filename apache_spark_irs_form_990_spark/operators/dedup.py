@@ -448,3 +448,86 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 25)
     )
+
+
+@register(
+    "dedup_paragraph_reassembly",
+    oracle="""
+    WITH chunked AS (
+      SELECT doc_id, u.pos, u.chunk
+      FROM (
+        SELECT doc_id,
+               unnest([{'pos': i, 'chunk': array_to_string(
+                          list_slice(t, (i * 10) + 1, (i + 1) * 10), ' ')}
+                       FOR i IN generate_series(0, CAST(ceil(len(t) / 10.0)
+                                                        AS BIGINT) - 1)]) AS u
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      )
+    ),
+    first_seen AS (
+      SELECT *, min(doc_id) OVER (PARTITION BY chunk) AS owner
+      FROM chunked
+    ),
+    kept AS (SELECT * FROM first_seen WHERE doc_id = owner)
+    SELECT doc_id,
+           string_agg(chunk, ' ' ORDER BY pos) AS dedup_text,
+           count(*) AS n_kept_chunks
+    FROM kept
+    GROUP BY doc_id
+    """,
+)
+def dedup_paragraph_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup with document reassembly (CCNet-style):
+    documents split into fixed 10-word chunks; a chunk survives only
+    in the FIRST document that contains it (min doc_id over the
+    corpus-wide chunk hash); surviving chunks re-join in original
+    order. This removes boilerplate shared across documents (headers,
+    license blocks, navigation text) while keeping each document's
+    unique content — dedup below document granularity, which document-
+    hash dedup can't do.
+
+    Plan: explode is partition-local; ONE shuffle on the chunk key
+    (hash-sized at scale: group on xxhash64(chunk), not the text —
+    here the chunk text itself keys so the oracle can mirror it);
+    reassembly groups by doc_id (second shuffle, row count already
+    reduced). Docs whose every chunk was seen elsewhere drop entirely
+    — the aggregate, not a null-fill, decides survival.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    n_chunks = F.ceil(F.size("t") / 10.0).cast("long")
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    chunked = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(
+                        " ", F.slice(F.col("t"), (i * 10 + 1).cast("int"), 10)
+                    ).alias("chunk"),
+                ),
+            )
+        ).alias("u"),
+    ).select("doc_id", "u.pos", "u.chunk")
+    w = Window.partitionBy("chunk")
+    kept = chunked.withColumn("owner", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("owner")
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s.getField("chunk"),
+                ),
+                " ",
+            ).alias("dedup_text"),
+            F.count("*").alias("n_kept_chunks"),
+        )
+    )
