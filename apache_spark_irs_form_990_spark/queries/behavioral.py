@@ -1,0 +1,190 @@
+"""Behavioral / product-analytics operators over the events table.
+
+The four staples every event-log warehouse serves — transition
+matrices, conversion funnels, cohort retention, and activity streaks —
+each as one declarative plan over `events`. Common scale shape: every
+query shuffles ONCE on user_id (windows + per-user aggregates share
+the partitioning), then reduces to a tiny report — the pattern that
+holds at billions of users because per-user state is a handful of
+values, never the user's raw history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apache_spark_irs_form_990_spark.registry import register
+from apache_spark_irs_form_990_spark.tables import load
+
+
+@register(
+    "beh_transition_matrix",
+    oracle="""
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS prev_type
+      FROM events
+    )
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def beh_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order Markov counts): for
+    each consecutive pair of events per user, count (prev → next).
+    One lag window + one aggregate; output is #types² rows regardless
+    of input size."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "beh_funnel_ordered",
+    oracle="""
+    WITH steps AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_signup,
+             min(CASE WHEN event_type = 'click'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_click,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) FILTER (WHERE t_signup IS NOT NULL) AS n_signup,
+           count(*) FILTER (WHERE t_signup IS NOT NULL
+                              AND t_click > t_signup) AS n_click_after,
+           count(*) FILTER (WHERE t_signup IS NOT NULL
+                              AND t_click > t_signup
+                              AND t_purchase > t_click) AS n_purchase_after
+    FROM steps
+    """,
+)
+def beh_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → first later click → first
+    later purchase): per-user step timestamps via conditional min —
+    ONE aggregate pass over events, no joins, no explosion; the
+    strictly-increasing filter enforces step order. Output is a single
+    row of funnel counts."""
+    e = load(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(
+            F.when(F.col("event_type") == t, F.unix_micros("ts"))
+        ).alias(f"t_{t}")
+
+    steps = e.groupBy("user_id").agg(
+        first_ts("signup"), first_ts("click"), first_ts("purchase")
+    )
+    sign = F.col("t_signup").isNotNull()
+    click_after = sign & (F.col("t_click") > F.col("t_signup"))
+    buy_after = click_after & (F.col("t_purchase") > F.col("t_click"))
+    return steps.agg(
+        F.count_if(sign).alias("n_signup"),
+        F.count_if(click_after).alias("n_click_after"),
+        F.count_if(buy_after).alias("n_purchase_after"),
+    )
+
+
+@register(
+    "beh_retention_cohort",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id,
+             min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             f.cohort_day,
+             date_diff('day', f.cohort_day, CAST(CAST(e.ts AS TIMESTAMP) AS DATE))
+               AS day_offset
+      FROM events e JOIN first_day f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+           day_offset,
+           count(*) AS n_active_users
+    FROM activity
+    GROUP BY 1, 2
+    """,
+)
+def beh_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted
+    as active at each day-offset since — the D0/D1/D7 retention grid.
+    The cohort assignment is a per-user aggregate joined back (both
+    sides partitioned on user_id — Catalyst reuses the exchange); the
+    distinct collapses multiple same-day events before the final small
+    aggregate."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_day = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        e.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", F.col("cohort_day")).cast("long").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"), "day_offset"
+    ).agg(F.count("*").alias("n_active_users"))
+
+
+@register(
+    "beh_streak_longest",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '2020-01-01',
+                       CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day_no
+      FROM events
+    ),
+    grouped AS (
+      SELECT user_id, day_no,
+             day_no - row_number() OVER (PARTITION BY user_id ORDER BY day_no)
+               AS grp
+      FROM days
+    )
+    SELECT user_id, CAST(max(streak) AS BIGINT) AS longest_streak
+    FROM (
+      SELECT user_id, grp, count(*) AS streak
+      FROM grouped GROUP BY user_id, grp
+    )
+    GROUP BY user_id
+    """,
+)
+def beh_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands identity: for sorted distinct days,
+    ``day_no - row_number()`` is constant exactly within a consecutive
+    run, so runs group without any self-join or iteration. One shuffle
+    on user_id covers the distinct, the window, and both aggregates."""
+    e = load(spark, sf_dir, "events")
+    days = (
+        e.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("2020-01-01")).cast("long").alias(
+                "day_no"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_no")
+    grouped = days.withColumn("grp", F.col("day_no") - F.row_number().over(w))
+    streaks = grouped.groupBy("user_id", "grp").agg(F.count("*").alias("streak"))
+    return streaks.groupBy("user_id").agg(
+        F.max("streak").cast("long").alias("longest_streak")
+    )
