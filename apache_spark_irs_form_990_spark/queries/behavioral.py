@@ -121,10 +121,9 @@ def beh_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 def beh_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-activity day, counted
     as active at each day-offset since — the D0/D1/D7 retention grid.
-    The cohort assignment is a per-user aggregate joined back (both
-    sides partitioned on user_id — Catalyst reuses the exchange); the
-    distinct collapses multiple same-day events before the final small
-    aggregate."""
+    Three shuffles (per-user min, join alignment on user_id, the
+    distinct on the offset triple), each on user-derived keys the AQE
+    skew handling covers; the final grid aggregate is output-sized."""
     e = load(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("day")
     )
@@ -170,8 +169,10 @@ def beh_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest consecutive-day activity streak per user — the classic
     gaps-and-islands identity: for sorted distinct days,
     ``day_no - row_number()`` is constant exactly within a consecutive
-    run, so runs group without any self-join or iteration. One shuffle
-    on user_id covers the distinct, the window, and both aggregates."""
+    run, so runs group without any self-join or iteration. Two
+    shuffles: the day-distinct keys on (user, day), then the window
+    re-keys on user_id — and both downstream aggregates ride that
+    second partitioning."""
     e = load(spark, sf_dir, "events")
     days = (
         e.select(
