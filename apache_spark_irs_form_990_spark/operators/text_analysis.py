@@ -338,3 +338,69 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd.cast("long").alias("n_distinct"),
         F.when(n > 0, 1.0 - nd.cast("double") / n).otherwise(0.0).alias("repetition"),
     )
+
+
+@register(
+    "text_url_domain_stats",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             concat('https://', 'host', CAST(doc_id % 7 AS VARCHAR),
+                    '.example.', CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END,
+                    '/p/', CAST(doc_id AS VARCHAR), '?ref=', lang) AS url,
+             n_chars
+      FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id,
+             regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+             regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+             regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref_param,
+             regexp_extract(url, '\\.([a-z]+)(/|$)', 1) AS tld,
+             n_chars
+      FROM urls
+    )
+    SELECT host, tld,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           count(DISTINCT ref_param) AS n_langs
+    FROM parsed
+    GROUP BY host, tld
+    """,
+)
+def text_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parse + domain-mix statistics — the CommonCrawl-style
+    per-domain accounting (docs and bytes per host) that drives
+    domain filtering and sampling weights for a web corpus. URLs are
+    synthesized deterministically onto each doc (no URL column in the
+    testdata); host/path/query extraction is pure regexp_extract with
+    patterns whose semantics match across regex engines. The domain
+    aggregate shuffles host-keyed pre-aggregated rows only."""
+    d = load(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://host"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example."),
+            F.when(F.col("doc_id") % 2 == 0, "com").otherwise("org"),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?ref="),
+            F.col("lang"),
+        ).alias("url"),
+        "n_chars",
+    )
+    parsed = urls.select(
+        "doc_id",
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        F.regexp_extract("url", r"^https?://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract("url", r"[?&]ref=([^&]*)", 1).alias("ref_param"),
+        F.regexp_extract("url", r"\.([a-z]+)(/|$)", 1).alias("tld"),
+        "n_chars",
+    )
+    return parsed.groupBy("host", "tld").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.count_distinct("ref_param").alias("n_langs"),
+    )
