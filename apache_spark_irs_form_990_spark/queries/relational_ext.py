@@ -1119,3 +1119,140 @@ def agg_skew_salted_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         (F.sum("pcents").cast("double") / 100.0).alias("sum_value"),
     )
+
+
+@register(
+    "agg_gini_concentration",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_nationkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY o_totalprice, o_orderkey) AS i,
+             count(*) OVER (PARTITION BY c_nationkey) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT c_nationkey,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           2.0 * CAST(sum(i * cents) AS DOUBLE)
+             / (CAST(max(n) AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
+             - (CAST(max(n) AS DOUBLE) + 1.0) / CAST(max(n) AS DOUBLE)
+             AS gini
+    FROM ranked
+    GROUP BY c_nationkey
+    """,
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order value per customer nation — the
+    concentration/inequality metric (is revenue dominated by a few
+    giant orders?). Uses the sorted-rank identity
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n with integer cents and a
+    deterministic rank (ties share equal x, so any rank order among
+    ties yields the same Σ(i·xᵢ) — but the orderkey tiebreak pins it
+    anyway). One window + one aggregate on the same partitioning."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_nationkey", cents("o_totalprice").alias("cents"), "o_totalprice", "o_orderkey"
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("c_nationkey")
+    ranked = joined.select(
+        "c_nationkey",
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(wn).alias("n"),
+    )
+    nd = F.max("n").cast("double")
+    return ranked.groupBy("c_nationkey").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        (
+            2.0 * F.sum(F.col("i") * F.col("cents")).cast("double")
+            / (nd * F.sum("cents").cast("double"))
+            - (nd + 1.0) / nd
+        ).alias("gini"),
+    )
+
+
+@register(
+    "join_q5_local_supplier",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_revenue_sum('revenue')}
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def join_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog: revenue from LOCAL commerce — line items where
+    the supplier sits in the customer's own nation, one Asian-region
+    row per nation. The distinctive edge is supplier⋈(suppkey AND
+    c_nation = s_nation): a join predicate spanning two dimension
+    paths. All four dimensions broadcast; lineitem⋈orders is the only
+    shuffle pair, so the plan scales with the fact side alone."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue_sum("revenue"))
+    )
+
+
+@register(
+    "win_forward_fill",
+    oracle="""
+    SELECT user_id, event_id,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_filled
+    FROM (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    """,
+)
+def win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last observation carried forward): nulls take the
+    key's most recent non-null value in event-time order — the
+    sensor/price gap-fill primitive. last(ignorenulls) over a running
+    frame is linear per partition; no self-join, no as-of lookup.
+    (Every 5th value is nulled deterministically so the fill is
+    observable in the fixture.)"""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 5 == 0, None).otherwise(F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )
