@@ -342,3 +342,71 @@ def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("last_click_ts").alias("last_click_us"),
         )
     )
+
+
+@register(
+    "join_q4_late_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND CAST(l.l_shipdate AS DATE)
+            > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def join_q4_late_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog: orders having at least one line item shipped
+    more than 60 days after ordering, counted by priority. The
+    correlated EXISTS with a cross-table date predicate becomes a
+    left-semi join whose condition spans both sides — the semi join
+    still probes (never materializes) the lineitem side."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        F.to_date(li.l_shipdate) > F.date_add(F.to_date(o.o_orderdate), 60)
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "join_q10_returned_topk",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {sql_revenue_sum('revenue')}
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def join_q10_returned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog: top-20 customers by revenue on RETURNED items
+    — the churn-risk report. The returnflag filter pushes into the
+    lineitem scan (reads a fraction of the fact before any join);
+    customer/nation broadcast; top-20 via TakeOrderedAndProject with a
+    custkey tiebreak for determinism."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(revenue_sum("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
