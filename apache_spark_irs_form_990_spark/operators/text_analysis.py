@@ -404,3 +404,67 @@ def text_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.count_distinct("ref_param").alias("n_langs"),
     )
+
+
+@register(
+    "text_contamination_check",
+    oracle="""
+    WITH bench AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 != 0
+    ),
+    bench_grams AS (
+      SELECT DISTINCT unnest([array_to_string(list_slice(t, i, i + 7), ' ')
+                      FOR i IN generate_series(1, len(t) - 7)]) AS gram
+      FROM (SELECT string_split(text, ' ') AS t FROM bench)
+    ),
+    corpus_grams AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(list_slice(t, i, i + 7), ' ')
+                     FOR i IN generate_series(1, len(t) - 7)])) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+    )
+    SELECT c.doc_id, count(*) AS n_overlapping_8grams
+    FROM corpus_grams c JOIN bench_grams b ON c.gram = b.gram
+    GROUP BY c.doc_id
+    """,
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    8-gram with the eval set (every 97th doc stands in as the
+    benchmark) — the standard n-gram contamination check run before
+    training on web data. The eval gram set is tiny and broadcasts;
+    the corpus grams stream through the broadcast join, so cost is one
+    corpus scan regardless of corpus size. Output: contaminated doc →
+    overlapping-gram count (the removal/reporting input)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+
+    def grams(df, distinct_only: bool):
+        toks = F.split(F.col("text"), " ")
+        k = F.size(toks) - 7
+        idx = F.when(k > 0, F.sequence(F.lit(1), k)).otherwise(
+            F.array().cast("array<int>")
+        )
+        g = df.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 8))
+                    )
+                )
+            ).alias("gram"),
+        )
+        return g.select("gram").distinct() if distinct_only else g
+
+    bench_grams = grams(bench, distinct_only=True)
+    corpus_grams = grams(corpus, distinct_only=False)
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlapping_8grams"))
+    )
