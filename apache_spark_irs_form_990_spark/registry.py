@@ -72,6 +72,7 @@ def _load_all() -> None:
         scans,
         sorts_sets,
         scalar_functions,
+        tpch_suite,
         windows,
         udfs,
     )
