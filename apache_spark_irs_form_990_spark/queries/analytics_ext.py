@@ -1,0 +1,332 @@
+"""Analytics extensions round 2 — market-basket, SCD2 history, entropy,
+array set algebra, stratified sampling, inter-arrival timing and IDF
+(SURVEY.md §2 B11 continuation).
+
+Like everything in `queries/`, these are EXT operators (the reference's
+only workload is the CitiesCount frequency count, `CitiesCountJob.py:18-23`);
+they generalize its filter→project→reduce pipeline to the shapes a
+corpus/behavioral pipeline needs at 100 TB.
+
+Cross-engine determinism notes specific to this module:
+
+- **Natural logs** (entropy, IDF): Spark's `ln` (Java Math.log) and
+  DuckDB's `ln` (libm) are both ≤1 ulp from the true value but not
+  guaranteed bit-identical. Every ln-derived output is rounded to 6
+  decimals — a 1-ulp (~1e-16 relative) discrepancy cannot flip a
+  6-decimal rounding except within ~1e-16 of a half-way point, which
+  the irrational inputs here never hit.
+- **Timestamps difference** is taken in integer microseconds
+  (`unix_micros`) and divided once — exact on both engines.
+- **Sampling** is content-hash based (md5 of the unique key), never
+  `df.sample()` — reproducible regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apache_spark_irs_form_990_spark.registry import register
+from apache_spark_irs_form_990_spark.tables import load
+
+
+@register(
+    "join_basket_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+    FROM items a
+    JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def join_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 50 part pairs most often bought
+    in the same order. The self-join is keyed on l_orderkey with the
+    `part_a < part_b` residual, so the blow-up is bounded by
+    (lines-per-order choose 2) per order — ~15 pairs for 6-line orders,
+    independent of table size — and the DISTINCT pre-pass collapses
+    repeat lines before pairing. Both join sides share one exchange on
+    l_orderkey (self-join of the same deduplicated frame); top-50 via
+    TakeOrderedAndProject with full key tiebreak."""
+    items = (
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, (a.ok == b.ok2) & (a.part_a < b.part_b))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+@register(
+    "win_scd2_intervals",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                 AS prev_type
+        FROM events
+      )
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
+           epoch_us(lead(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+           )) AS valid_to_us,
+           lead(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ) IS NULL AS is_current
+    FROM changes
+    """,
+)
+def win_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: compact each user's event-type stream
+    into [valid_from, valid_to) intervals — one row per *state change*,
+    open-ended on the latest. Two window passes over the SAME
+    (user_id)x(ts, event_id) sort: lag to detect changes, lead on the
+    compacted rows to close intervals; Catalyst plans a single exchange
+    + sort for the first and the compaction typically leaves few enough
+    rows that the second sort is cheap. This is the dimension-history
+    primitive behind `merge_upsert_cdc`'s source side."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "beh_user_entropy",
+    oracle="""
+    WITH per_type AS (
+      SELECT user_id, event_type, count(*) AS n_t
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(sum(n_t) AS BIGINT) AS n_events,
+           round(ln(CAST(sum(n_t) AS DOUBLE))
+                 - sum(CAST(n_t AS DOUBLE) * ln(CAST(n_t AS DOUBLE)))
+                   / CAST(sum(n_t) AS DOUBLE),
+                 6) AS entropy_nats
+    FROM per_type
+    GROUP BY user_id
+    """,
+)
+def beh_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix — the
+    "behavioral diversity" feature (0 = single-type user). Uses the
+    algebraic identity H = ln(n) - (1/n)·Σ n_t·ln(n_t) so entropy
+    falls out of ONE two-level aggregation (no per-row p·ln p
+    materialization, no join back for totals); both group-bys hash on
+    user_id so the second reuses the first's partitioning. ln outputs
+    rounded to 6 decimals (see module docstring)."""
+    e = load(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n_t"))
+    n = F.sum("n_t").cast("double")
+    return per_type.groupBy("user_id").agg(
+        F.sum("n_t").cast("long").alias("n_events"),
+        F.round(
+            F.log(n) - F.sum(F.col("n_t").cast("double") * F.log(F.col("n_t").cast("double"))) / n,
+            6,
+        ).alias("entropy_nats"),
+    )
+
+
+@register(
+    "fn_array_setops",
+    oracle="""
+    SELECT vec_id,
+           list_sort(list_distinct(list_cat(a, b))) AS arr_union,
+           list_sort(list_distinct(list_filter(a, x -> list_contains(b, x))))
+               AS arr_intersect,
+           list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x))))
+               AS arr_except,
+           len(list_distinct(list_cat(a, b))) AS n_union
+    FROM (
+      SELECT vec_id,
+             range(vec_id % 7, vec_id % 7 + 5) AS a,
+             range(vec_id % 3, vec_id % 3 + 5) AS b
+      FROM embeddings
+    )
+    """,
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (union / intersect / except) as JVM-side
+    built-ins — the set-feature primitive for tag lists and shingle
+    sets that must never fall back to Python at 100 TB. Spark's
+    array_union/intersect/except already carry set semantics; outputs
+    are array_sort-ed because the two engines order set results
+    differently (first-occurrence vs internal), making sorted form the
+    only stable cross-engine representation. Inputs are deterministic
+    integer ranges derived from the row key."""
+    e = load(spark, sf_dir, "embeddings")
+    a = F.sequence(F.col("vec_id") % 7, F.col("vec_id") % 7 + 4)
+    b = F.sequence(F.col("vec_id") % 3, F.col("vec_id") % 3 + 4)
+    return e.select(
+        "vec_id",
+        F.array_sort(F.array_union(a, b)).alias("arr_union"),
+        F.array_sort(F.array_intersect(a, b)).alias("arr_intersect"),
+        F.array_sort(F.array_except(a, b)).alias("arr_except"),
+        F.size(F.array_union(a, b)).cast("long").alias("n_union"),
+    )
+
+
+@register(
+    "sample_stratified_topn",
+    oracle="""
+    SELECT event_type, event_id, user_id
+    FROM (
+      SELECT event_type, event_id, user_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR))
+             ) AS rn
+      FROM events
+    )
+    WHERE rn <= 100
+    """,
+)
+def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: exactly 100 rows per
+    event_type stratum, chosen by md5 order of the unique key — the
+    balanced-eval-set carve that (unlike `df.sample`) is reproducible
+    on any engine/partitioning and can't under-fill rare strata.
+    One shuffle on the stratum key; the rank window never sees more
+    than a stratum per task, and at 100 TB a pre-filter on a hash
+    prefix (as in `sample_hash_deterministic`) would bound the sort
+    input before ranking."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string"))
+    )
+    return (
+        e.select("event_type", "event_id", "user_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .drop("rn")
+    )
+
+
+@register(
+    "beh_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_gaps,
+           CAST(sum(gap_us) AS DOUBLE) / 1000000.0 / count(*) AS avg_gap_s,
+           CAST(max(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_s,
+           CAST(min(gap_us) AS DOUBLE) / 1000000.0 AS min_gap_s
+    FROM gaps
+    WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def beh_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival timing per event type: how long after a user's
+    previous event (of any type) does each type arrive. Gap taken in
+    exact integer microseconds via one lag window on the (user_id)
+    partitioning, then a global per-type aggregate — window and agg
+    keys differ so this costs two shuffles, the second on a 5-row
+    domain. The sum/count division happens once per output row on
+    exact integers (order-independent)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        (F.sum("gap_us").cast("double") / 1e6 / F.count("*")).alias("avg_gap_s"),
+        (F.max("gap_us").cast("double") / 1e6).alias("max_gap_s"),
+        (F.min("gap_us").cast("double") / 1e6).alias("min_gap_s"),
+    )
+
+
+@register(
+    "text_idf_terms",
+    oracle="""
+    WITH df AS (
+      SELECT token, count(DISTINCT doc_id) AS doc_freq
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+      )
+      WHERE token <> ''
+      GROUP BY token
+    )
+    SELECT token, doc_freq,
+           round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                    / CAST(doc_freq AS DOUBLE)), 6) AS idf
+    FROM df
+    ORDER BY doc_freq DESC, token
+    LIMIT 30
+    """,
+)
+def text_idf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus IDF table: document frequency and inverse document
+    frequency for the 30 most common tokens — the weighting half of
+    TF-IDF retrieval. Tokens explode once; (doc_id, token) pairs
+    dedup map-side inside the distinct-count aggregate; the corpus
+    size N joins in as a broadcast 1-row scalar, NOT a collect() —
+    the driver never sees data. ln rounded to 6 decimals (module
+    docstring)."""
+    d = load(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    df_tab = tokens.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("doc_freq")
+    )
+    n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
+    return (
+        df_tab.crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "doc_freq",
+            F.round(
+                F.log(F.col("n_docs") / F.col("doc_freq").cast("double")), 6
+            ).alias("idf"),
+        )
+        .orderBy(F.col("doc_freq").desc(), "token")
+        .limit(30)
+    )

@@ -65,6 +65,7 @@ def _load_all() -> None:
     # Imports deferred so `import registry` alone stays cheap.
     from apache_spark_irs_form_990_spark.queries import (  # noqa: F401
         aggregates,
+        analytics_ext,
         behavioral,
         filters,
         joins,
