@@ -531,3 +531,91 @@ def dedup_paragraph_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_kept_chunks"),
         )
     )
+
+
+@register(
+    "dedup_minhash_banding_md5",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1,
+                             len(string_split(text, ' ')) - 2), ' ') AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    shingled AS (
+      SELECT doc_id,
+             unnest(list_distinct([
+               array_to_string(list_slice(t, i, i + 2), ' ')
+               FOR i IN generate_series(1, len(t) - 2)
+             ])) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+    ),
+    sig AS (
+      SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || shingle))
+                 AS band_min
+      FROM shingled, (SELECT unnest(generate_series(0, 3)) AS band)
+      GROUP BY doc_id, band
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS n_shared_bands
+    FROM sig a
+    JOIN sig b ON a.band = b.band AND a.band_min = b.band_min
+              AND a.doc_id < b.doc_id
+    GROUP BY id_a, id_b
+    """,
+)
+def dedup_minhash_banding_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding with a cross-engine-exact signature — the
+    deterministic twin of `dedup_near_minhash` (which uses xxhash64
+    seeds Spark-side and so only gets the rows-only check). Here each
+    band's minhash is min(md5(band || shingle)): md5 is defined
+    identically in both engines, so the full LSH pipeline — shingle →
+    per-band signature → bucket join → candidate pairs — hash-matches
+    the DuckDB oracle exactly.
+
+    Scale shape: the banded self-join is keyed on (band, band_min) —
+    only same-bucket docs ever meet, so cost is Σ bucket², not n².
+    Identical-text clusters make one bucket per band (bounded by
+    cluster size, the thing you WANT to find); the md5-of-shingle
+    explode is 4x the shingle count, map-side only. Same near-dupe
+    injection as the Jaccard exact baseline (doc_id%5 with last two
+    words dropped) so candidate quality is comparable across the
+    three near-dup operators."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0)))
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(near)
+    shingled = corpus.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingles(F.col("text")))).alias("shingle"),
+    )
+    banded = shingled.select(
+        "doc_id",
+        F.explode(F.array([F.lit(i) for i in range(4)])).alias("band"),
+        "shingle",
+    )
+    sig = banded.groupBy("doc_id", "band").agg(
+        F.min(
+            F.md5(F.concat_ws("|", F.col("band").cast("string"), F.col("shingle")))
+        ).alias("band_min")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_min") == F.col("b.band_min"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )

@@ -9,7 +9,7 @@ no Python in the row path — because these run over every document of a
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from apache_spark_irs_form_990_spark.queries._helpers import sql_cents
@@ -467,4 +467,111 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_overlapping_8grams"))
+    )
+
+
+@register(
+    "text_filter_funnel",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE n_chars >= 200) AS pass_len,
+           count(*) FILTER (WHERE n_chars >= 200
+                              AND len(string_split(text, ' ')) >= 40)
+               AS pass_len_tok,
+           count(*) FILTER (WHERE n_chars >= 200
+                              AND len(string_split(text, ' ')) >= 40
+                              AND CAST(len(list_distinct(string_split(text, ' ')))
+                                       AS DOUBLE)
+                                  / len(string_split(text, ' ')) >= 0.3)
+               AS pass_all
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-filter funnel accounting: per language, how many documents
+    survive each successive quality gate (length → token count →
+    lexical diversity). The observability primitive for corpus prep —
+    when a pipeline drops 40% of a language, this table says WHICH gate
+    did it. All four counts are conditional aggregates over ONE scan
+    (cumulative conjunctions as count_if), so the cost is one pass
+    regardless of how many gates the funnel grows."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    g1 = F.col("n_chars") >= 200
+    g2 = g1 & (F.size(toks) >= 40)
+    g3 = g2 & (
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks) >= 0.3
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(g1).alias("pass_len"),
+        F.count_if(g2).alias("pass_len_tok"),
+        F.count_if(g3).alias("pass_all"),
+    )
+
+
+@register(
+    "text_tfidf_top_term",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM tok WHERE token <> '' GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, count(DISTINCT doc_id) AS doc_freq
+      FROM tok WHERE token <> '' GROUP BY token
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents)
+    SELECT doc_id, token AS top_token,
+           CAST(tf AS BIGINT) AS tf, score
+    FROM (
+      SELECT t.doc_id, t.token, t.tf,
+             round(t.tf * ln(n.nd / d.doc_freq), 6) AS score,
+             row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY round(t.tf * ln(n.nd / d.doc_freq), 6) DESC, t.token
+             ) AS rn
+      FROM tf t JOIN df d ON t.token = d.token, n
+    ) WHERE rn = 1
+    """,
+)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document most-distinctive term by TF-IDF — the keyword
+    extraction primitive. Term frequencies and document frequencies
+    come from the same exploded token pass (two aggregations); IDF
+    joins back by token (broadcastable: vocabulary ≪ corpus); corpus
+    size is a broadcast 1-row scalar. Scores round to 6 decimals
+    before the per-doc argmax so a sub-ulp ln() divergence can neither
+    change a hash nor flip the winner; rank ties break on the token
+    string."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_tab = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("doc_freq"))
+    nd = d.agg(F.count("*").cast("double").alias("nd"))
+    scored = (
+        tf.join(F.broadcast(df_tab), "token")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("nd") / F.col("doc_freq")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("token").alias("top_token"), "tf", "score")
     )
