@@ -69,6 +69,7 @@ def _load_all() -> None:
         behavioral,
         filters,
         joins,
+        profiling_ext,
         relational_ext,
         scans,
         sorts_sets,
