@@ -211,3 +211,29 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cnt") > 5)
     )
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+    SELECT o_orderpriority,
+           bit_and(CAST(o_custkey % 256 AS BIGINT)) AS mask_and,
+           bit_or(CAST(o_custkey % 256 AS BIGINT)) AS mask_or,
+           bit_xor(CAST(o_custkey % 256 AS BIGINT)) AS mask_xor
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate functions (bit_and/or/xor) — flag-mask
+    consolidation (e.g. OR of per-shard capability bits, XOR parity
+    checks). All three are commutative/associative, so they partial-
+    aggregate map-side like any sum; 8-bit masked keys keep the result
+    readable."""
+    o = load(spark, sf_dir, "orders")
+    m = (F.col("o_custkey") % 256).cast("long")
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_and(m).alias("mask_and"),
+        F.bit_or(m).alias("mask_or"),
+        F.bit_xor(m).alias("mask_xor"),
+    )

@@ -330,3 +330,33 @@ def text_idf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc_freq").desc(), "token")
         .limit(30)
     )
+
+
+@register(
+    "reshape_pivot_api",
+    oracle="""
+    SELECT user_id,
+           coalesce(count(*) FILTER (WHERE event_type = 'click'), 0) AS click,
+           coalesce(count(*) FILTER (WHERE event_type = 'error'), 0) AS error,
+           coalesce(count(*) FILTER (WHERE event_type = 'purchase'), 0)
+               AS purchase,
+           coalesce(count(*) FILTER (WHERE event_type = 'signup'), 0) AS signup,
+           coalesce(count(*) FILTER (WHERE event_type = 'view'), 0) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def reshape_pivot_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataFrame `.pivot()` API path (vs `agg_pivot_events`' manual
+    count_if rewrite). The value list is passed EXPLICITLY — omitting
+    it makes Spark run a blocking distinct scan to discover columns,
+    a hidden extra job you never want against a 100 TB fact. With the
+    list given, this plans exactly like the manual rewrite: one
+    shuffle, PivotFirst aggregates. Absent combinations yield null
+    counts, coalesced to 0 to match SQL count semantics."""
+    e = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = e.groupBy("user_id").pivot("event_type", types).count()
+    for t in types:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)))
+    return out

@@ -548,3 +548,40 @@ def fn_encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.hex(raw)).alias("hexed"),
         F.decode(F.unbase64(F.base64(raw)), "utf-8").alias("roundtrip"),
     )
+
+
+@register(
+    "fn_math_extended",
+    oracle="""
+    SELECT q,
+           round(sqrt(CAST(q AS DOUBLE)), 6) AS sqrt_q,
+           round(exp(CAST(q AS DOUBLE) / 50.0), 6) AS exp_q,
+           round(ln(CAST(q AS DOUBLE)), 6) AS ln_q,
+           round(sin(CAST(q AS DOUBLE)), 6) AS sin_q,
+           round(pow(1.01, CAST(q AS DOUBLE)), 6) AS pow_q,
+           count(*) AS n
+    FROM (SELECT CAST(round(l_quantity) AS BIGINT) AS q FROM lineitem)
+    GROUP BY q
+    """,
+)
+def fn_math_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcendental scalar surface: sqrt/exp/ln/sin/pow over the
+    quantity domain — grouped FIRST so each function evaluates once per
+    distinct value (50 rows), not once per fact row; at 100 TB that
+    turns 6e9 libm calls into 50. All outputs rounded to 6 decimals:
+    JVM StrictMath and libm agree to ≤1 ulp, which 6-decimal rounding
+    absorbs (see analytics_ext module docstring)."""
+    li = load(spark, sf_dir, "lineitem")
+    g = li.select(
+        F.round("l_quantity").cast("long").alias("q")
+    ).groupBy("q").agg(F.count("*").alias("n"))
+    qd = F.col("q").cast("double")
+    return g.select(
+        "q",
+        F.round(F.sqrt(qd), 6).alias("sqrt_q"),
+        F.round(F.exp(qd / 50.0), 6).alias("exp_q"),
+        F.round(F.log(qd), 6).alias("ln_q"),
+        F.round(F.sin(qd), 6).alias("sin_q"),
+        F.round(F.pow(F.lit(1.01), qd), 6).alias("pow_q"),
+        "n",
+    )

@@ -253,3 +253,105 @@ def test_union_distinct_except(spark, rows, rows2):
         "SELECT DISTINCT k, s FROM (SELECT k, s FROM t UNION ALL SELECT k, s FROM t2) "
         "EXCEPT ALL SELECT DISTINCT k, s FROM t2",
     )
+
+
+@given(
+    evts=st.lists(
+        st.tuples(
+            st.integers(0, 3),                    # user
+            st.sampled_from(["a", "b", "c"]),     # state
+        ),
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_scd2_interval_model(spark, evts):
+    """SCD2 compaction against a pure-Python interval model: compacted
+    intervals must tile each user's event range, alternate states, and
+    mark exactly one open (is_current) interval per active user."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(evts, columns=["u", "state"])
+    pdf["id"] = range(len(pdf))  # event time = arrival order, unique
+    sdf = spark.createDataFrame(pdf, schema="u int, state string, id long")
+
+    w = Window.partitionBy("u").orderBy("id")
+    changes = (
+        sdf.withColumn("prev", F.lag("state").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("state")))
+    )
+    out = (
+        changes.select(
+            "u",
+            "state",
+            F.col("id").alias("valid_from"),
+            F.lead("id").over(Window.partitionBy("u").orderBy("id")).alias(
+                "valid_to"
+            ),
+        )
+        .toPandas()
+        .sort_values(["u", "valid_from"], ignore_index=True)
+    )
+
+    # model: itertools.groupby-style compaction per user
+    model = []
+    for u in sorted(pdf["u"].unique()):
+        seq = pdf[pdf["u"] == u].sort_values("id")
+        runs = []
+        for _, r in seq.iterrows():
+            if not runs or runs[-1][0] != r["state"]:
+                runs.append([r["state"], r["id"]])
+        for i, (state, start) in enumerate(runs):
+            end = runs[i + 1][1] if i + 1 < len(runs) else None
+            model.append((u, state, start, end))
+    model_df = pd.DataFrame(
+        model, columns=["u", "state", "valid_from", "valid_to"]
+    )
+    out = out.astype(object).where(pd.notna(out), None)
+    model_df = model_df.astype(object).where(pd.notna(model_df), None)
+    assert out.astype(str).values.tolist() == model_df.astype(str).values.tolist()
+
+
+@given(
+    lines=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 6)),  # (order, part)
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_basket_pairs_bruteforce(spark, lines):
+    """Co-occurrence pair counts against an itertools brute force —
+    duplicate lines must not inflate counts (DISTINCT pre-pass)."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(lines, columns=["ok", "part"])
+    sdf = spark.createDataFrame(pdf, schema="ok int, part int")
+
+    items = sdf.distinct()
+    a = items.select(F.col("ok").alias("oka"), F.col("part").alias("pa"))
+    b = items.select(F.col("ok").alias("okb"), F.col("part").alias("pb"))
+    out = (
+        a.join(b, (F.col("oka") == F.col("okb")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n"))
+        .toPandas()
+        .sort_values(["pa", "pb"], ignore_index=True)
+    )
+
+    from collections import Counter
+
+    cnt = Counter()
+    for ok in pdf["ok"].unique():
+        parts = sorted(set(pdf[pdf["ok"] == ok]["part"]))
+        for x, y in combinations(parts, 2):
+            cnt[(x, y)] += 1
+    model_df = pd.DataFrame(
+        [(x, y, n) for (x, y), n in sorted(cnt.items())],
+        columns=["pa", "pb", "n"],
+    )
+    if len(out) == 0 and len(model_df) == 0:
+        return
+    assert out.values.tolist() == model_df.values.tolist()
