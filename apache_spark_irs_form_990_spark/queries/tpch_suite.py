@@ -739,3 +739,165 @@ def join_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents("c_acctbal")).cast("double") / 100.0).alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier per part (argmin over a derived cost view)
+# --------------------------------------------------------------------------
+@register(
+    "join_q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 / count(*) AS avg_price
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, l_suppkey, avg_price FROM (
+        SELECT l_partkey, l_suppkey, avg_price,
+               row_number() OVER (PARTITION BY l_partkey
+                                  ORDER BY avg_price, l_suppkey) AS rn
+        FROM ps
+      ) WHERE rn = 1
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal, n.n_name,
+           b.avg_price
+    FROM best b
+    JOIN part p     ON p.p_partkey = b.l_partkey
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+    ORDER BY s.s_acctbal DESC, p.p_partkey
+    LIMIT 100
+    """,
+)
+def join_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog: for each part in one size/type family, the
+    supplier selling it cheapest (average realized unit price from
+    lineitem stands in for the absent `partsupp.ps_supplycost`). The
+    correlated min-subquery becomes a per-part argmin window over the
+    (part, supplier) aggregate; the part-family predicate prunes the
+    broadcast dim BEFORE the fact aggregation so the groupBy shuffles
+    only the family's lines (~1/300 of the fact), and the exact-cents
+    average makes the argmin engine-identical (suppkey tiebreak)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    ps = (
+        li.join(F.broadcast(p.select("p_partkey", "p_name")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey", "p_partkey", "p_name")
+        .agg(
+            (
+                F.sum(cents("l_extendedprice")).cast("double")
+                / 100.0
+                / F.count(F.lit(1))
+            ).alias("avg_price")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("avg_price", "l_suppkey")
+    best = ps.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "avg_price")
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — important stock (share-of-total HAVING via scalar subquery)
+# --------------------------------------------------------------------------
+@register(
+    "join_q11_important_parts",
+    oracle=f"""
+    WITH vals AS (
+      SELECT l.l_partkey, {sql_revenue_sum('value')}
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_5'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, value
+    FROM vals
+    WHERE value > (SELECT sum(value) * 0.001 FROM vals)
+    """,
+)
+def join_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog: parts whose NATION_5-supplied revenue exceeds
+    0.1% of that nation's total (lineitem revenue stands in for
+    partsupp stock value). The scalar total re-aggregates the ALREADY
+    grouped per-part values (tiny input) and broadcasts back as a
+    1-row cross join — the fact is read and shuffled exactly once.
+    Threshold comparison is double-on-exact-cents on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    vals = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(revenue_sum("value"))
+    )
+    total = vals.agg((F.sum("value") * 0.001).alias("thresh"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("thresh"))
+        .select("l_partkey", "value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — suppliers with excess supply of a part family (semi-join chain)
+# --------------------------------------------------------------------------
+@register(
+    "join_q20_excess_supply",
+    oracle="""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_7'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'cold%'
+          AND CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+          AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING sum(CAST(round(l.l_quantity) AS BIGINT)) > 100
+      )
+    """,
+)
+def join_q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog: NATION_7 suppliers who moved >100 units of
+    some 'cold*' part during 1997 — the candidate list for the
+    excess-inventory promotion. The IN-subquery is a left-semi join
+    against the HAVING-filtered (supplier, part) aggregate; date +
+    name predicates prune scan and broadcast dim before the fact
+    aggregation, and the semi probe carries only suppkey."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01"))
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("cold%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    movers = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(movers, s.s_suppkey == movers.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+    )

@@ -147,3 +147,32 @@ def test_multimodal_metadata_query_prunes_payload_source(spark):
     # metadata-only query never reads columns beyond doc_id/text
     # (text is the payload stand-in source here; lang/source/n_chars pruned)
     assert_read_schema_only(df, {"doc_id", "text"}, "struct<")
+
+
+def test_q6_no_join_partial_final_agg(spark):
+    """Q6 must stay join-free with a partial+final aggregate pair."""
+    df = QUERIES["agg_q6_forecast_revenue"](spark, SF_DIR)
+    assert_not_in_plan(df, "Join")
+    assert count_occurrences(df, "HashAggregate") == 2
+
+
+def test_q9_all_dimensions_broadcast(spark):
+    """Q9's part/supplier/nation (and AQE-converted orders at this SF)
+    must all be broadcast — the fact side never shuffles for a dim."""
+    df = QUERIES["join_q9_product_profit"](spark, SF_DIR)
+    assert_in_plan(df, "BroadcastHashJoin", at_least=3)
+
+
+def test_q18_topk_avoids_global_sort(spark):
+    """Q18's ORDER BY + LIMIT 100 must plan as TakeOrderedAndProject,
+    never a full Sort of the join result."""
+    df = QUERIES["join_q18_large_orders"](spark, SF_DIR)
+    assert_in_plan(df, "TakeOrderedAndProject")
+
+
+def test_q21_single_fact_scan(spark):
+    """Q21's EXISTS + NOT EXISTS must de-correlate to ONE lineitem scan
+    (3 scans total: lineitem, orders, supplier) — the naive quantifier
+    translation reads the fact three times."""
+    df = QUERIES["join_q21_waiting_supplier"](spark, SF_DIR)
+    assert count_occurrences(df, "FileScan") == 3
