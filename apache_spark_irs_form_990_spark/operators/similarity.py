@@ -378,3 +378,94 @@ def sim_cosine_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "sim_label_centroids",
+    oracle="""
+    SELECT label, CAST(i AS BIGINT) AS pos,
+           CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT))
+                AS DOUBLE) / 1000.0 / count(*) AS mean_milli
+    FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+    GROUP BY label, pos
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (element-wise mean embedding) in long form
+    (label, dimension, mean) — the codebook-training primitive behind
+    IVF/k-means. posexplode turns the array into (pos, value) rows so
+    the mean is an ordinary hash aggregate on (label, pos): fully
+    parallel, no array reassembly, 64x row amplification map-side
+    only. Milli-int sums keep the mean exact under any merge order."""
+    e = load(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode(_milli_vec(F.col("embedding"))).alias("pos0", "mv")
+    )
+    return (
+        exploded.groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg(
+            (F.sum("mv").cast("double") / 1000.0 / F.count(F.lit(1))).alias(
+                "mean_milli"
+            )
+        )
+    )
+
+
+@register(
+    "sim_label_contrast",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.label = b.label AS same_label,
+             CAST(round(
+               CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+                    AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(a.v, x -> x * x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(b.v, x -> x * x)) AS DOUBLE)))
+               * 1000000) AS BIGINT) AS cos_micro
+      FROM m a JOIN m b ON a.vec_id < b.vec_id
+    )
+    SELECT same_label,
+           count(*) AS n_pairs,
+           CAST(sum(cos_micro) AS DOUBLE) / 1000000.0 / count(*) AS avg_cosine
+    FROM pairs
+    GROUP BY same_label
+    """,
+)
+def sim_label_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality metric: average cosine within labels vs
+    across labels (a healthy embedding separates the two). Each pair's
+    cosine snaps to integer MICRO-COSINE before summing so the two
+    group averages are exact under any aggregation order — the same
+    integerize-before-sum rule as revenue cents, applied to a derived
+    double. All-pairs is O(n²) by design at test scale; the 100 TB
+    variant samples pairs per label (hash-bucket sampling) or reuses
+    the LSH/IVF cell structure to bound candidates."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _milli_vec(F.col("embedding")).alias("v")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("ida"), F.col("label").alias("la"), F.col("v").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("idb"), F.col("label").alias("lb"), F.col("v").alias("vb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")).cast("double") / (
+        F.sqrt(_sq_norm(F.col("va")).cast("double"))
+        * F.sqrt(_sq_norm(F.col("vb")).cast("double"))
+    )
+    pairs = a.join(b, F.col("ida") < F.col("idb")).select(
+        (F.col("la") == F.col("lb")).alias("same_label"),
+        F.round(cos * 1_000_000).cast("long").alias("cos_micro"),
+    )
+    return pairs.groupBy("same_label").agg(
+        F.count("*").alias("n_pairs"),
+        (F.sum("cos_micro").cast("double") / 1e6 / F.count(F.lit(1))).alias(
+            "avg_cosine"
+        ),
+    )

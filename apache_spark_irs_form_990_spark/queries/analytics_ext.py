@@ -360,3 +360,85 @@ def reshape_pivot_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in types:
         out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)))
     return out
+
+
+@register(
+    "sql_recursive_calendar",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months WHERE m < DATE '2001-08-01'
+    )
+    SELECT CAST(CAST(m AS DATE) AS VARCHAR) AS month_start,
+           coalesce(o.n_orders, 0) AS n_orders
+    FROM months
+    LEFT JOIN (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m2,
+             count(*) AS n_orders
+      FROM orders GROUP BY m2
+    ) o ON CAST(months.m AS DATE) = CAST(o.m2 AS DATE)
+    """,
+)
+def sql_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (a Spark 4 SQL capability the reference era
+    lacked entirely): generate an 80-month calendar spine by recursion,
+    then left-join monthly order counts so empty months surface as
+    explicit zeros — the gap-free time-series scaffold reports need.
+    The recursion runs on the driver-side plan (80 iterations of a
+    1-row frame, negligible); the fact aggregates once and joins
+    broadcast-wise to the tiny spine."""
+    from apache_spark_irs_form_990_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH FROM months WHERE m < DATE '2001-08-01'
+        )
+        SELECT CAST(m AS STRING) AS month_start,
+               coalesce(o.n_orders, CAST(0 AS BIGINT)) AS n_orders
+        FROM months
+        LEFT JOIN (
+          SELECT to_date(date_trunc('month', o_orderdate)) AS m2,
+                 count(*) AS n_orders
+          FROM orders GROUP BY m2
+        ) o ON months.m = o.m2
+        """
+    )
+
+
+@register(
+    "beh_power_users",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    ),
+    thresh AS (
+      SELECT quantile_cont(CAST(n_events AS DOUBLE), 0.9) AS p90 FROM per_user
+    )
+    SELECT u.user_id, u.n_events
+    FROM per_user u, thresh
+    WHERE CAST(u.n_events AS DOUBLE) >= thresh.p90
+    """,
+)
+def beh_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user carve: users at or above the 90th percentile of
+    event volume. The percentile is computed over the ALREADY
+    aggregated per-user counts (tiny) and broadcast back as a 1-row
+    threshold — never a second pass over raw events. Exact
+    PERCENTILE_CONT on integer counts interpolates identically in both
+    engines (position (n-1)p, exact binary fraction 0.9... is not an
+    exact fraction, but both engines compute the same double)."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    thresh = per_user.agg(
+        F.expr("percentile(CAST(n_events AS DOUBLE), 0.9)").alias("p90")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(thresh))
+        .filter(F.col("n_events").cast("double") >= F.col("p90"))
+        .select("user_id", "n_events")
+    )
