@@ -619,3 +619,50 @@ def dedup_minhash_banding_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_shared_bands"))
     )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000,
+             upper(text) || '  '
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS norm_fp,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_variants
+    FROM corpus
+    GROUP BY norm_fp
+    HAVING count(*) > 1
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: case-fold, trim, collapse
+    whitespace runs, THEN fingerprint — catches the trivially-mutated
+    copies (re-encoded, re-wrapped, upper-cased) that byte-exact
+    `dedup_exact_hash` misses but near-dup LSH is overkill for. In a
+    corpus pipeline this runs between the two: one map-side
+    normalization + one groupBy on the fingerprint. Variants are
+    injected deterministically (doc_id%7: upper-cased + trailing
+    whitespace) so the operator provably collapses them; min(doc_id)
+    is the canonical-survivor rule."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    corpus = docs.unionByName(mutated)
+    norm = F.md5(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
+    )
+    return (
+        corpus.groupBy(norm.alias("norm_fp"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_variants"),
+        )
+        .filter(F.col("n_variants") > 1)
+    )

@@ -575,3 +575,41 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("token").alias("top_token"), "tf", "score")
     )
+
+
+@register(
+    "text_char_classes",
+    oracle="""
+    SELECT lang,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')))
+                AS BIGINT) AS n_alpha,
+           CAST(sum(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                AS BIGINT) AS n_digit,
+           CAST(sum(length(text) - length(replace(text, ' ', ''))) AS BIGINT)
+               AS n_space,
+           CAST(sum(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')))
+                AS DOUBLE) / sum(length(text)) AS alpha_ratio
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class census per language: alphabetic / digit /
+    whitespace counts and the alpha ratio — the cheapest corpus
+    health features (binary-junk and boilerplate shift these hard).
+    Counting by length-difference after class-stripping keeps the
+    whole thing in codegen'd string built-ins: no explode, no UDF,
+    one aggregate over exact integer counts."""
+    d = load(spark, sf_dir, "documents")
+    ln = F.length("text")
+    n_alpha = ln - F.length(F.regexp_replace("text", "[a-z]", ""))
+    n_digit = ln - F.length(F.regexp_replace("text", "[0-9]", ""))
+    n_space = ln - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    return d.groupBy("lang").agg(
+        F.sum(ln).cast("long").alias("n_chars"),
+        F.sum(n_alpha).cast("long").alias("n_alpha"),
+        F.sum(n_digit).cast("long").alias("n_digit"),
+        F.sum(n_space).cast("long").alias("n_space"),
+        (F.sum(n_alpha).cast("double") / F.sum(ln)).alias("alpha_ratio"),
+    )

@@ -442,3 +442,48 @@ def beh_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_events").cast("double") >= F.col("p90"))
         .select("user_id", "n_events")
     )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH c2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_nationkey END AS nk
+      FROM customer
+    ),
+    n2 AS (
+      SELECT CASE WHEN n_nationkey = 0 THEN NULL ELSE n_nationkey END AS nk,
+             n_name
+      FROM nation
+    )
+    SELECT coalesce(n2.n_name, '<null-key>') AS n_name,
+           count(*) AS n_cust
+    FROM c2 JOIN n2 ON c2.nk IS NOT DISTINCT FROM n2.nk
+    GROUP BY n_name
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of silently dropping — the semantics
+    you need when a dimension models 'unknown' as a real bucket.
+    Nulls are injected deterministically on both sides; the plan is
+    still a hash join (null-safe equality is hashable: null gets its
+    own hash bucket), so scale behavior matches a plain equi-join."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 97 == 0, None)
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+    )
+    n = load(spark, sf_dir, "nation").select(
+        F.when(F.col("n_nationkey") == 0, None)
+        .otherwise(F.col("n_nationkey"))
+        .alias("nk2"),
+        "n_name",
+    )
+    return (
+        c.join(F.broadcast(n), c.nk.eqNullSafe(F.col("nk2")))
+        .groupBy(F.coalesce("n_name", F.lit("<null-key>")).alias("n_name"))
+        .agg(F.count("*").alias("n_cust"))
+    )
