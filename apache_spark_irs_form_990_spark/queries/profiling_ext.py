@@ -328,3 +328,90 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_slope"
         ),
     )
+
+
+@register(
+    "agg_median_abs_dev",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           any_value(m.med_qty) AS med_qty,
+           quantile_cont(abs(l.l_quantity - m.med_qty), 0.5) AS mad_qty,
+           count(*) AS n
+    FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def agg_median_abs_dev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust spread measure
+    that outliers can't drag the way stddev lets them. Two passes over
+    the same grouping key: per-group median, broadcast back, then the
+    median of absolute deviations; both exact interpolated percentiles
+    over integer-valued doubles, so cross-engine identical. At 100 TB
+    swap the exact percentile for approx_percentile and keep the
+    two-pass shape."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med_qty")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.any_value("med_qty").alias("med_qty"),
+            F.expr("percentile(abs(l_quantity - med_qty), 0.5)").alias("mad_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "win_outlier_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT o_orderpriority,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 / count(*) AS mean_price,
+             sqrt(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                           * CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS DOUBLE) / 10000.0 / count(*)
+                  - pow(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                             AS DOUBLE) / 100.0 / count(*), 2)) AS std_price
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+           round((o.o_totalprice - s.mean_price) / s.std_price, 6) AS z
+    FROM orders o JOIN stats s ON o.o_orderpriority = s.o_orderpriority
+    WHERE abs((o.o_totalprice - s.mean_price) / s.std_price) > 3.0
+    """,
+)
+def win_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier flagging per group: rows more than 3 population
+    standard deviations from their group mean. Mean and variance come
+    from exact integer cents moments (Σx, Σx² as BIGINTs) evaluated in
+    ONE unordered window over the group partition — no join back, one
+    shuffle; the z expression is the identical double formula on both
+    engines, rounded to 6 only for output (the >3 cut uses the raw
+    value; 3.0 sits far from any accumulation boundary)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    c = F.round(F.col("o_totalprice") * 100).cast("long")
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(c).over(w).cast("double") / 100.0
+    s2 = F.sum(c * c).over(w).cast("double") / 10000.0
+    mean = s1 / n
+    std = F.sqrt(s2 / n - F.pow(mean, F.lit(2)))
+    z = (F.col("o_totalprice") - mean) / std
+    return (
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice", z.alias("zraw"))
+        .filter(F.abs(F.col("zraw")) > 3.0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.round("zraw", 6).alias("z"),
+        )
+    )

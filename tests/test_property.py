@@ -355,3 +355,78 @@ def test_basket_pairs_bruteforce(spark, lines):
     if len(out) == 0 and len(model_df) == 0:
         return
     assert out.values.tolist() == model_df.values.tolist()
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=1, max_size=20), min_size=1, max_size=15
+    )
+)
+@settings(**SETTINGS)
+def test_normalized_fingerprint_invariance(spark, texts):
+    """The normalization fingerprint (lower/trim/collapse-whitespace →
+    md5) must be invariant under case flips and whitespace padding, and
+    distinct for texts that differ after normalization."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i, t in enumerate(texts):
+        rows.append((2 * i, t))
+        rows.append((2 * i + 1, "  " + t.upper() + " "))  # mutated twin
+    pdf = pd.DataFrame(rows, columns=["id", "text"])
+    sdf = spark.createDataFrame(pdf, schema="id long, text string")
+    norm_fp = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " "))
+    out = sdf.select("id", norm_fp.alias("fp")).toPandas()
+    fp = dict(zip(out["id"], out["fp"]))
+
+    import hashlib
+    import re
+
+    for i, t in enumerate(texts):
+        # twin pairs always collapse
+        assert fp[2 * i] == fp[2 * i + 1]
+        # fingerprint equals the python model of the same normalization
+        model = hashlib.md5(
+            re.sub(" +", " ", t.lower().strip()).encode()
+        ).hexdigest()
+        assert fp[2 * i] == model
+
+
+@given(
+    counts=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(1, 30)),  # (type, n)
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_entropy_identity_bounds(spark, counts):
+    """The ln-identity entropy aggregate must equal the direct
+    -Σ p·ln p within float tolerance and respect 0 <= H <= ln(k)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    # collapse duplicate types (mirror groupBy(user,type) pre-agg)
+    agg: dict[int, int] = {}
+    for t, n in counts:
+        agg[t] = agg.get(t, 0) + n
+    pdf = pd.DataFrame(
+        [(t, n) for t, n in sorted(agg.items())], columns=["t", "n_t"]
+    )
+    sdf = spark.createDataFrame(pdf, schema="t int, n_t long")
+    n = F.sum("n_t").cast("double")
+    out = sdf.agg(
+        (
+            F.log(n)
+            - F.sum(F.col("n_t").cast("double") * F.log(F.col("n_t").cast("double")))
+            / n
+        ).alias("h")
+    ).collect()[0]["h"]
+
+    total = sum(agg.values())
+    model = -sum(
+        (c / total) * math.log(c / total) for c in agg.values()
+    )
+    assert abs(out - model) < 1e-9
+    assert -1e-12 <= out <= math.log(len(agg)) + 1e-9
