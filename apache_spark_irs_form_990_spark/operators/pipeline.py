@@ -90,3 +90,88 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_chars"
         ),
     )
+
+
+@register(
+    "pipeline_pretrain_mix",
+    oracle="""
+    WITH gated AS (
+      SELECT doc_id, text, lang, source,
+             string_split(text, ' ') AS toks
+      FROM documents
+      WHERE n_chars >= 200
+        AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) >= 0.3
+    ),
+    dedup AS (
+      SELECT doc_id, lang, source, len(toks) AS n_tokens FROM (
+        SELECT *,
+               row_number() OVER (
+                 PARTITION BY md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g'))
+                 ORDER BY doc_id
+               ) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ),
+    per_source AS (
+      SELECT source,
+             count(*) AS n_kept,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM dedup GROUP BY source
+    ),
+    totals AS (
+      SELECT CAST(sum(n_kept) AS DOUBLE) AS total_kept,
+             count(*) AS n_sources
+      FROM per_source
+    )
+    SELECT p.source, p.n_kept, p.n_tokens,
+           round(CAST(p.n_kept AS DOUBLE) / t.total_kept, 6) AS share,
+           round(t.total_kept / (t.n_sources * CAST(p.n_kept AS DOUBLE)), 6)
+               AS uniform_mix_weight
+    FROM per_source p, totals t
+    """,
+)
+def pipeline_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining-mix recipe as ONE fused plan: quality gates
+    (length + lexical diversity) → normalization-aware dedup (first
+    doc_id survives per folded fingerprint) → per-source token
+    accounting → uniform-mixing weights (sample source s with weight ∝
+    total/n_s to flatten the domain distribution). The gates and the
+    fingerprint evaluate in the same codegen pass; the dedup window is
+    the single data-sized shuffle; everything after runs on |sources|
+    rows with the 2-row totals broadcast back. This is the complement
+    of `pipeline_corpus_prep` (which grades dedup→filter→stats): here
+    the product is the SAMPLING PLAN a trainer consumes."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    gated = d.filter(
+        (F.col("n_chars") >= 200)
+        & (F.size(F.array_distinct(toks)).cast("double") / F.size(toks) >= 0.3)
+    )
+    fp = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " "))
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    dedup = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.size(toks).cast("long").alias("n_tokens"))
+    )
+    per_source = dedup.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    # totals via an unpartitioned window over the |sources|-row frame:
+    # a cross join against a separate totals aggregate would duplicate
+    # the whole corpus subtree (verified: neither plan-time reuse nor
+    # AQE dedups it) — the window keeps ONE lineage, one corpus shuffle.
+    wt = Window.partitionBy()
+    total_kept = F.sum("n_kept").over(wt).cast("double")
+    n_sources = F.count(F.lit(1)).over(wt)
+    return per_source.select(
+        "source",
+        "n_kept",
+        "n_tokens",
+        F.round(F.col("n_kept").cast("double") / total_kept, 6).alias("share"),
+        F.round(
+            total_kept / (n_sources * F.col("n_kept").cast("double")), 6
+        ).alias("uniform_mix_weight"),
+    )

@@ -258,3 +258,32 @@ def win_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_of_status"
         ),
     )
+
+
+@register(
+    "win_minmax_scale",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round((o_totalprice - min(o_totalprice) OVER w)
+                 / (max(o_totalprice) OVER w - min(o_totalprice) OVER w),
+                 6) AS price_scaled
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority)
+    """,
+)
+def win_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling to [0,1] — the normalization
+    step before distance-based models. One unordered window produces
+    both extrema (Spark evaluates min and max in a single Window
+    operator over the same partition spec); the scaled value is a
+    single double expression on stored 2-decimal values, identical in
+    both engines, rounded only for output stability."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    lo = F.min("o_totalprice").over(w)
+    hi = F.max("o_totalprice").over(w)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round((F.col("o_totalprice") - lo) / (hi - lo), 6).alias("price_scaled"),
+    )

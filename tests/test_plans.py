@@ -176,3 +176,23 @@ def test_q21_single_fact_scan(spark):
     translation reads the fact three times."""
     df = QUERIES["join_q21_waiting_supplier"](spark, SF_DIR)
     assert count_occurrences(df, "FileScan") == 3
+
+
+def test_ivf_broadcasts_codebook_and_takeordered(spark):
+    """IVF ANN: codebook/query join as broadcasts (corpus scan stays
+    parallel); final top-10 via TakeOrderedAndProject."""
+    df = QUERIES["sim_cosine_ann_ivf"](spark, SF_DIR)
+    assert_in_plan(df, "BroadcastHashJoin", at_least=1)
+    assert_in_plan(df, "TakeOrderedAndProject")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_pretrain_mix_single_data_shuffle(spark):
+    """The fused pretraining-mix pipeline may shuffle the corpus only
+    once (the dedup window); later stages run on |sources| rows."""
+    df = QUERIES["pipeline_pretrain_mix"](spark, SF_DIR)
+    # exchanges: dedup window hash partitioning + per-source aggregate
+    # pair + the 1-row totals single partition; the corpus-sized one is
+    # the window's — bounded count guards against plan regressions.
+    assert count_occurrences(df, "Exchange") <= 4
+    assert_not_in_plan(df, "CartesianProduct")
