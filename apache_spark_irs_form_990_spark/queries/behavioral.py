@@ -189,3 +189,104 @@ def beh_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaks.groupBy("user_id").agg(
         F.max("streak").cast("long").alias("longest_streak")
     )
+
+
+@register(
+    "beh_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             max(CAST(o_orderdate AS DATE)) AS last_order,
+             count(*) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    anchor AS (SELECT max(last_order) AS max_day FROM per_cust),
+    scored AS (
+      SELECT p.o_custkey,
+             datediff('day', p.last_order, a.max_day) AS recency_days,
+             p.frequency, p.monetary,
+             ntile(4) OVER (ORDER BY datediff('day', p.last_order, a.max_day),
+                            p.o_custkey) AS r_quart,
+             ntile(4) OVER (ORDER BY p.frequency DESC, p.o_custkey) AS f_quart,
+             ntile(4) OVER (ORDER BY p.monetary DESC, p.o_custkey) AS m_quart
+      FROM per_cust p, anchor a
+    )
+    SELECT CAST(r_quart AS BIGINT) AS r_quart,
+           CAST(f_quart AS BIGINT) AS f_quart,
+           CAST(m_quart AS BIGINT) AS m_quart,
+           count(*) AS n_customers,
+           CAST(sum(CAST(round(monetary * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS segment_revenue
+    FROM scored
+    GROUP BY r_quart, f_quart, m_quart
+    """,
+)
+def beh_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile-score recency / frequency /
+    monetary per customer, then size each of the ≤64 segments. The
+    quartile windows are UNPARTITIONED (ntile needs a global order) —
+    viable because they run on the per-customer AGGREGATE, which is
+    |customers| rows, not orders; each orders by an exact integer
+    (days / count / cents via the monetary double of exact cents) with
+    the custkey tiebreak making ntile's cut points deterministic. The
+    recency anchor (corpus max date) broadcasts as a 1-row cross
+    join."""
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count("*").alias("frequency"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double") / 100.0).alias("monetary"),
+    )
+    anchor = per_cust.agg(F.max("last_order").alias("max_day"))
+    scored = per_cust.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days", F.datediff("max_day", "last_order")
+    )
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    scored = (
+        scored.withColumn("r_quart", F.ntile(4).over(wr).cast("long"))
+        .withColumn("f_quart", F.ntile(4).over(wf).cast("long"))
+        .withColumn("m_quart", F.ntile(4).over(wm).cast("long"))
+    )
+    return scored.groupBy("r_quart", "f_quart", "m_quart").agg(
+        F.count("*").alias("n_customers"),
+        (F.sum(F.round(F.col("monetary") * 100).cast("long")).cast("double") / 100.0).alias("segment_revenue"),
+    )
+
+
+@register(
+    "beh_first_touch_attribution",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, event_type, ts, event_id,
+             first_value(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS first_touch
+      FROM events
+    )
+    SELECT first_touch, count(*) AS n_purchases
+    FROM firsts
+    WHERE event_type = 'purchase'
+    GROUP BY first_touch
+    """,
+)
+def beh_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every purchase credits the event type
+    that STARTED its user's history. first_value over the user's
+    event-time order rides the same (user_id) exchange the other
+    behavioral windows use; the purchase filter applies after the
+    window (it needs non-purchase rows to determine the first touch),
+    then a 5-row aggregate. No self-join against a separate
+    first-event table — one pass."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = e.withColumn("first_touch", F.first("event_type").over(w))
+    return (
+        firsts.filter(F.col("event_type") == "purchase")
+        .groupBy("first_touch")
+        .agg(F.count("*").alias("n_purchases"))
+    )
