@@ -395,13 +395,19 @@ def win_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE unordered window over the group partition — no join back, one
     shuffle; the z expression is the identical double formula on both
     engines, rounded to 6 only for output (the >3 cut uses the raw
-    value; 3.0 sits far from any accumulation boundary)."""
+    value; 3.0 sits far from any accumulation boundary).
+
+    Overflow note: squared cents (~2.5e15 each) overflow int64 within
+    ~4k rows, so Σx² accumulates in DECIMAL(38,0) — exact like the
+    BIGINT path (DuckDB's HUGEINT sum is exact too), then one cast to
+    double of the same exact integer on both engines."""
     o = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority")
     c = F.round(F.col("o_totalprice") * 100).cast("long")
+    c_dec = c.cast("decimal(38,0)")
     n = F.count(F.lit(1)).over(w)
     s1 = F.sum(c).over(w).cast("double") / 100.0
-    s2 = F.sum(c * c).over(w).cast("double") / 10000.0
+    s2 = F.sum(c_dec * c_dec).over(w).cast("double") / 10000.0
     mean = s1 / n
     std = F.sqrt(s2 / n - F.pow(mean, F.lit(2)))
     z = (F.col("o_totalprice") - mean) / std
