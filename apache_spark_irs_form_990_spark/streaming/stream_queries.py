@@ -157,11 +157,49 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, "complete")
 
 
-@register("stream_session_window")  # ◐: merging session state, no SQL twin
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM flagged
+    ),
+    agg AS (
+      SELECT user_id, sid,
+             epoch_us(min(ts)) AS session_start_us,
+             epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+             count(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+    ),
+    wm AS (SELECT epoch_us(max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR) AS w
+           FROM events)
+    SELECT user_id, session_start_us, session_end_us,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM agg, wm WHERE session_end_us <= w
+    """,
+)
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows (30-minute inactivity gap) — the
     stateful window shape that merges in the state store as events
-    arrive. Emits one row per closed session with its span and size."""
+    arrive. Emits one row per closed session with its span and size.
+
+    EXACT oracle (upgraded from rows-only): append mode emits exactly
+    the sessions whose end (last event + gap) falls at or before the
+    final watermark (max ts - 1h), so the batch twin is gaps-and-
+    islands sessionization + that same closure predicate — verified
+    hash-identical at sf0.001/0.01/0.1."""
     ev = read_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")
@@ -198,7 +236,22 @@ def _write_batches(spark: SparkSession, root: str, batches: list[DataFrame]) -> 
     return in_dir
 
 
-@register("stream_watermark_late")  # ◐: watermark drop is streaming-only
+@register(
+    "stream_watermark_late",
+    oracle="""
+    WITH ontime AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, event_type
+      FROM events WHERE event_id % 10 <> 0
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ontime)
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           event_type, count(*) AS cnt
+    FROM ontime, wm
+    GROUP BY window_start_us, event_type, wm.w
+    HAVING epoch_us(date_trunc('hour', min(ts)) + INTERVAL 1 HOUR)
+             <= epoch_us(wm.w)
+    """,
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark + late-data drop: batches 0-1 are on-time and advance
     the watermark to max(ts) - 10 minutes; batch 2 replays 10% of the
@@ -388,12 +441,20 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_dedup_stateful")  # ◐: state-store dedup, no SQL twin
+@register(
+    "stream_dedup_stateful",
+    oracle="""
+    SELECT event_type, count(DISTINCT event_id) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+)
 def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful exact-once dedup on event_id under a watermark: batch 1
     replays a subset of batch 0's rows verbatim; dropDuplicates state
-    absorbs them. Output counts must equal the distinct event_ids of
-    the input (asserted in tests/test_streaming.py)."""
+    absorbs them. Output counts equal the distinct event_ids of the
+    input — which is exactly the batch DISTINCT oracle (complete-mode
+    memory sink holds the final snapshot), so this carries an exact
+    SQL twin, not just the rows-only check."""
     ev = load(spark, sf_dir, "events")
     root = os.path.join(tempfile.gettempdir(), f"spark990_dd_{next(_COUNTER)}")
     in_dir = _write_batches(
