@@ -12,7 +12,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from apache_spark_irs_form_990_spark.queries._helpers import revenue_sum, sql_revenue_sum
@@ -136,3 +136,34 @@ def dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial phase dedups map-side so the shuffle carries unique rows
     only (north-star `dedup` seed, generalized in operators/dedup.py)."""
     return load(spark, sf_dir, "lineitem").select("l_suppkey", "l_returnflag").distinct()
+
+
+@register(
+    "sort_multi_null_order",
+    oracle="""
+    SELECT c_custkey, bal,
+           CAST(row_number() OVER (
+             ORDER BY bal DESC NULLS FIRST, c_custkey
+           ) AS BIGINT) AS rk
+    FROM (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_acctbal END AS bal
+      FROM customer
+    )
+    """,
+)
+def sort_multi_null_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit null-ordering semantics: DESC with NULLS FIRST (the
+    non-default pairing in both engines — Spark's desc defaults nulls
+    LAST, so `desc_nulls_first` must be said out loud). The rank is
+    materialized as a column so the driver's order-insensitive hash
+    still verifies the ORDER — a sort query is only checkable if its
+    order is data. Nulls injected deterministically (custkey%10)."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    w = Window.orderBy(F.col("bal").desc_nulls_first(), "c_custkey")
+    return c.withColumn("rk", F.row_number().over(w).cast("long"))
