@@ -487,3 +487,63 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce("n_name", F.lit("<null-key>")).alias("n_name"))
         .agg(F.count("*").alias("n_cust"))
     )
+
+
+@register(
+    "ts_resample_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS day_value
+      FROM events GROUP BY user_id, day
+    ),
+    bounds AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                           AS DATE) AS day
+      FROM bounds
+    )
+    SELECT s.user_id, CAST(s.day AS VARCHAR) AS day,
+           coalesce(d.n_events, 0) AS n_events,
+           coalesce(d.day_value, 0.0) AS day_value
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def ts_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resampling with gap fill: every user gets a dense calendar
+    row for every day in their own [first, last] activity range, with
+    explicit zeros where nothing happened — the step that turns an
+    event log into a model-ready regular time series. The spine comes
+    from exploding a per-user `sequence(d0, d1)` (rows ∝ user-days, no
+    cross join against a global calendar), and the left join back to
+    the daily aggregate reuses the same (user_id) partitioning. Value
+    sums are exact cents."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0).alias("day_value"),
+        )
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.col("day").cast("string").alias("day"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
+        )
+    )
