@@ -611,3 +611,44 @@ def fn_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(hits).alias("hits"),
         F.size(hits).cast("long").alias("n_hits"),
     )
+
+
+@register(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity - 25 = 0 THEN NULL
+                ELSE l_extendedprice / (l_quantity - 25) END AS per_unit_off25,
+           CASE WHEN l_quantity - 25 = 0 THEN NULL
+                ELSE CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          % CAST(l_quantity - 25 AS BIGINT) AS BIGINT) END
+               AS cents_mod
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    """,
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic under ANSI mode: `try_divide` / `try_mod`
+    return NULL where strict evaluation would raise (division by zero
+    when quantity hits the offset). Under ANSI SQL (this engine's
+    default) a plain `/` would fail the whole job on one bad row —
+    try_* is how a 100 TB pipeline survives dirty denominators without
+    disabling ANSI everywhere. Oracle twin states the same semantics
+    with explicit CASE guards. The quotient is emitted UNROUNDED:
+    both engines produce the bit-identical IEEE double from identical
+    operands, whereas round(x, 2) of a near-half-boundary quotient is
+    where engine rounding rules diverge (the cents convention exists
+    precisely to avoid that — here the raw double is already stable)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    denom = (F.col("l_quantity") - 25).cast("long")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("try_divide(l_extendedprice, l_quantity - 25)").alias(
+            "per_unit_off25"
+        ),
+        F.expr(
+            "try_mod(CAST(round(l_extendedprice * 100) AS BIGINT),"
+            " CAST(l_quantity - 25 AS BIGINT))"
+        ).alias("cents_mod"),
+    )
