@@ -547,3 +547,45 @@ def ts_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
         )
     )
+
+
+@register(
+    "ts_ema_per_user",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           list_reduce(list(CAST(value AS DOUBLE)
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id),
+                       (acc, x) -> 0.125 * x + 0.875 * acc) AS ema
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def ts_ema_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average per user — the recursive smoother
+    (ema_t = a*x_t + (1-a)*ema_{t-1}) that standard window frames
+    CANNOT express (each value depends on the whole prefix). Spark's
+    higher-order `aggregate` folds the user's time-ordered value array
+    instead: collect → array_sort on (ts, event_id) struct → fold,
+    seeded with the first value exactly like DuckDB's list_reduce.
+    alpha = 0.125 is an exact binary fraction, so the fold is the same
+    IEEE operation sequence in both engines — bit-identical output
+    with NO rounding. Per-key history must fit in one row's array
+    (fine for bounded per-entity histories; for unbounded streams use
+    `applyInPandasWithState`, see stream_custom_state)."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", F.col("value").cast("double").alias("v")))
+            ),
+            lambda s: s.getField("v"),
+        ).alias("vals"),
+    )
+    ema = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: F.lit(0.125) * x + F.lit(0.875) * acc,
+    )
+    return per_user.select("user_id", "n_events", ema.alias("ema"))
