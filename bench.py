@@ -63,12 +63,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
         # noop sink: materializes every output row/column without the
         # count() shortcut (which lets Catalyst prune projections) and
-        # without filesystem write cost.
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # without filesystem write cost. min-of-2 runs: local[N] timings
+        # carry 20-30% machine-load noise per run; the min is the
+        # stable steady-state estimate (both runs are post-warm-up).
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
