@@ -613,3 +613,102 @@ def text_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(n_space).cast("long").alias("n_space"),
         (F.sum(n_alpha).cast("double") / F.sum(ln)).alias("alpha_ratio"),
     )
+
+
+@register(
+    "text_chunk_sliding",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(t, i * 25 + 1, i * 25 + 50), ' ')
+               AS chunk_text,
+           CAST(len(list_slice(t, i * 25 + 1, i * 25 + 50)) AS BIGINT)
+               AS n_tokens
+    FROM toks,
+         (SELECT unnest(generate_series(0, 1000)) AS i)
+    WHERE i * 25 < len(t)
+    """,
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: 50-token chunks with stride 25 (50%
+    overlap) — how long documents become training/embedding inputs.
+    Chunk indices come from a per-doc `sequence(0, ceil)` explode, all
+    JVM-side array slicing: the 2x token amplification (overlap factor)
+    happens map-side with no shuffle at all; downstream embedding/
+    dedup stages see (doc_id, chunk_idx) keys. The final partial chunk
+    is kept (standard for training data; filter `n_tokens = 50` for
+    fixed-shape batches)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.floor((n - 1) / 25).cast("int"))
+    return (
+        d.select("doc_id", toks.alias("t"), F.explode(idx).alias("chunk_idx"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice("t", F.col("chunk_idx") * 25 + 1, 50)).alias(
+                "chunk_text"
+            ),
+            F.size(F.slice("t", F.col("chunk_idx") * 25 + 1, 50))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "text_pack_bins",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, n_tok,
+             CAST(floor((sum(n_tok) OVER (ORDER BY doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) - n_tok) / 2048.0)
+                  AS BIGINT) AS bin_id
+      FROM sized
+    )
+    SELECT bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM placed
+    GROUP BY bin_id
+    """,
+)
+def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-cut): documents in deterministic
+    doc_id order are laid head-to-tail and cut into 2048-token bins —
+    each doc's bin is its preceding cumulative token count div the
+    budget, the exact assignment a concatenating data loader produces.
+    One running-sum window over integer token counts (the global order
+    is the packing CONTRACT; at 100 TB you pack per shard — partition
+    by a shard key and the same expression runs shard-parallel), then
+    a per-bin rollup. Exact integers end to end."""
+    d = load(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    placed = sized.select(
+        "doc_id",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 2048)
+        .cast("long")
+        .alias("bin_id"),
+    )
+    return placed.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
