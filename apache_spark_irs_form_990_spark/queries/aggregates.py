@@ -260,3 +260,61 @@ def agg_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
         F.size(F.collect_set("o_orderstatus")).cast("long").alias("n_statuses"),
     )
+
+
+@register(
+    "agg_linreg_grouped",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderpriority,
+             CAST(datediff('day', DATE '1995-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round((count(*) * CAST(sum(x * y) AS DOUBLE)
+                  - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+                 / (count(*) * CAST(sum(x * x) AS DOUBLE)
+                    - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+                 / 100.0, 6) AS slope_per_day,
+           round((CAST(sum(y) AS DOUBLE)
+                  - (count(*) * CAST(sum(x * y) AS DOUBLE)
+                     - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+                    / (count(*) * CAST(sum(x * x) AS DOUBLE)
+                       - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+                    * CAST(sum(x) AS DOUBLE))
+                 / count(*) / 100.0, 6) AS intercept_dollars
+    FROM pts
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_linreg_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression (price trend over order date) from
+    exact integer moments — Σx, Σy, Σxy, Σx² as BIGINTs in one
+    aggregate pass, closed-form slope/intercept evaluated identically
+    on both engines (the grouped generalization of the Zipf fit;
+    matches what regr_slope/regr_intercept would give, computed here
+    without depending on either engine's regr_* internals). Cents
+    un-scale at the end; rounded to 6 for output."""
+    o = load(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderpriority",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01"))
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x").cast("double")
+    sy = F.sum("y").cast("double")
+    sxy = F.sum(F.col("x") * F.col("y")).cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pts.groupBy("o_orderpriority").agg(
+        n.alias("n"),
+        F.round(slope / 100.0, 6).alias("slope_per_day"),
+        F.round(intercept / 100.0, 6).alias("intercept_dollars"),
+    )

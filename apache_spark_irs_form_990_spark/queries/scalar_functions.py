@@ -652,3 +652,40 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(l_quantity - 25 AS BIGINT))"
         ).alias("cents_mod"),
     )
+
+
+@register(
+    "fn_timezone_convert",
+    oracle="""
+    SELECT event_id,
+           strftime(timezone('America/New_York',
+                             CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC'),
+                    '%Y-%m-%d %H:%M:%S') AS ny_local,
+           strftime(timezone('Asia/Tokyo',
+                             CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC'),
+                    '%Y-%m-%d %H:%M:%S') AS tokyo_local,
+           CAST(hour(timezone('America/New_York',
+                              CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC'))
+                AS BIGINT) AS ny_hour
+    FROM events
+    """,
+)
+def fn_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion: UTC event times rendered in named zones
+    (DST-correct via tzdata on both engines; January and July events
+    in the fixture cross the EST/EDT boundary). Output as second-
+    precision formatted strings — the cross-engine-stable rendering;
+    the oracle expression anchors the zone explicitly on both ends so
+    it is independent of either engine's session timezone."""
+    from apache_spark_irs_form_990_spark.tables import load as _load
+
+    e = _load(spark, sf_dir, "events")
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    tokyo = F.from_utc_timestamp("ts", "Asia/Tokyo")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return e.select(
+        "event_id",
+        F.date_format(ny, fmt).alias("ny_local"),
+        F.date_format(tokyo, fmt).alias("tokyo_local"),
+        F.hour(ny).cast("long").alias("ny_hour"),
+    )

@@ -287,3 +287,71 @@ def win_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.round((F.col("o_totalprice") - lo) / (hi - lo), 6).alias("price_scaled"),
     )
+
+
+@register(
+    "win_rolling_corr",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                  AS BIGINT) AS y
+      FROM events
+    ),
+    framed AS (
+      SELECT user_id, event_id,
+             count(*) OVER w AS n,
+             sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             sum(x * y) OVER w AS sxy,
+             sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+      FROM seq
+      WINDOW w AS (PARTITION BY user_id ORDER BY y
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           CASE WHEN n > 1
+                 AND n * sxx - sx * sx > 0
+                 AND n * syy - sy * sy > 0
+                THEN (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                     / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                            * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+                ELSE NULL END AS trend_corr
+    FROM framed
+    """,
+)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling correlation of value against time-order over a 10-row
+    trailing frame — the windowed trend detector (+1 steadily rising,
+    -1 falling). All five moments accumulate as exact integers inside
+    ONE window spec (Spark evaluates the six aggregates in a single
+    Window operator over one sort); the closed form divides once per
+    row — identical doubles on both engines, no rounding. Degenerate
+    frames (size 1, zero variance) yield NULL explicitly."""
+    e = load(spark, sf_dir, "events")
+    w_rn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.row_number().over(w_rn).cast("long").alias("y"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("y")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    num = n * sxy.cast("double") - sx.cast("double") * sy
+    varx = n * sxx.cast("double") - sx.cast("double") * sx
+    vary = n * syy.cast("double") - sy.cast("double") * sy
+    corr = F.when(
+        (n > 1) & (varx > 0) & (vary > 0), num / F.sqrt(varx * vary)
+    ).otherwise(F.lit(None))
+    return seq.select("user_id", "event_id", corr.alias("trend_corr"))
