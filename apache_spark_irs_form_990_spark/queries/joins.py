@@ -410,3 +410,91 @@ def join_q10_returned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             event_type = 'purchase' AS is_p
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    framed AS (
+      SELECT user_id, event_id, ts, is_p,
+             last_value(CASE WHEN NOT is_p THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_click_us,
+             first_value(CASE WHEN NOT is_p THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_click_us
+      FROM tagged
+    )
+    SELECT user_id, event_id,
+           epoch_us(ts) AS purchase_us,
+           CASE
+             WHEN prev_click_us IS NULL THEN next_click_us
+             WHEN next_click_us IS NULL THEN prev_click_us
+             WHEN epoch_us(ts) - prev_click_us <= next_click_us - epoch_us(ts)
+               THEN prev_click_us
+             ELSE next_click_us
+           END AS nearest_click_us
+    FROM framed
+    WHERE is_p
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event as-of join, BOTH directions: each purchase pairs
+    with its temporally closest click, before or after (the
+    backward-only variant is `join_asof_event`). Same union-and-window
+    composition — one (user_id) shuffle, one sort serves both the
+    backward `last_value` and forward `first_value` scans; ties at
+    equal distance resolve backward deterministically. No range
+    self-join, so cost stays linear in events at any scale."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    tagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("event_type") == "purchase").alias("is_p"),
+    )
+    order = [F.col("ts"), F.col("is_p"), F.col("event_id")]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    click_us = F.when(~F.col("is_p"), F.unix_micros("ts"))
+    framed = tagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "is_p",
+        F.last(click_us, ignorenulls=True).over(w_prev).alias("prev_click_us"),
+        F.first(click_us, ignorenulls=True).over(w_next).alias("next_click_us"),
+    )
+    us = F.unix_micros("ts")
+    nearest = (
+        F.when(F.col("prev_click_us").isNull(), F.col("next_click_us"))
+        .when(F.col("next_click_us").isNull(), F.col("prev_click_us"))
+        .when(
+            us - F.col("prev_click_us") <= F.col("next_click_us") - us,
+            F.col("prev_click_us"),
+        )
+        .otherwise(F.col("next_click_us"))
+    )
+    return framed.filter("is_p").select(
+        "user_id",
+        "event_id",
+        us.alias("purchase_us"),
+        nearest.alias("nearest_click_us"),
+    )

@@ -355,3 +355,56 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n > 1) & (varx > 0) & (vary > 0), num / F.sqrt(varx * vary)
     ).otherwise(F.lit(None))
     return seq.select("user_id", "event_id", corr.alias("trend_corr"))
+
+
+@register(
+    "win_max_drawdown",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ),
+    run AS (
+      SELECT user_id, event_id, cents,
+             max(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS peak
+      FROM seq
+    )
+    SELECT user_id, event_id,
+           CAST(peak AS BIGINT) AS peak_cents,
+           CASE WHEN peak > 0
+                THEN CAST(peak - cents AS DOUBLE) / peak
+                ELSE NULL END AS drawdown
+    FROM run
+    """,
+)
+def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running peak and drawdown: each observation against the highest
+    value seen so far in its key's history — the risk metric shape
+    (peak-to-trough decline). One running-max window over exact cents;
+    the drawdown ratio divides two exact integers, so the double is
+    engine-identical unrounded. Zero/negative peaks yield NULL rather
+    than a meaningless ratio."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    seq = e.select("user_id", "event_id", "ts", cents.alias("cents"))
+    peak = F.max("cents").over(w)
+    run = seq.select("user_id", "event_id", "cents", peak.alias("peak"))
+    dd = F.when(
+        F.col("peak") > 0,
+        (F.col("peak") - F.col("cents")).cast("double") / F.col("peak"),
+    ).otherwise(F.lit(None))
+    return run.select(
+        "user_id",
+        "event_id",
+        F.col("peak").cast("long").alias("peak_cents"),
+        dd.alias("drawdown"),
+    )
