@@ -712,3 +712,62 @@ def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register(
+    "text_vocab_growth",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    clean AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_tok FROM clean GROUP BY doc_id
+    ),
+    firsts AS (
+      SELECT min_doc, count(*) AS n_new FROM (
+        SELECT token, min(doc_id) AS min_doc FROM clean GROUP BY token
+      ) GROUP BY min_doc
+    )
+    SELECT p.doc_id,
+           CAST(sum(p.n_tok) OVER w AS BIGINT) AS cum_tokens,
+           CAST(sum(coalesce(f.n_new, 0)) OVER w AS BIGINT) AS cum_vocab
+    FROM per_doc p
+    LEFT JOIN firsts f ON f.min_doc = p.doc_id
+    WINDOW w AS (ORDER BY p.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law): cumulative distinct
+    vocabulary vs cumulative tokens in doc_id order — the
+    diminishing-returns signal for corpus collection (flattening curve
+    = new data adds few new types). Running COUNT(DISTINCT) at corpus
+    scale uses the first-occurrence trick globally: each token charges
+    its min(doc_id), new-type counts aggregate per doc, and one
+    running sum over the |docs|-sized frame yields the curve — the
+    exploded token table is touched exactly twice (per-doc counts,
+    per-token minima), never held in window state."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    per_doc = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    firsts = (
+        tok.groupBy("token")
+        .agg(F.min("doc_id").alias("min_doc"))
+        .groupBy("min_doc")
+        .agg(F.count("*").alias("n_new"))
+    )
+    joined = per_doc.join(
+        firsts, per_doc.doc_id == firsts.min_doc, "left"
+    ).select("doc_id", "n_tok", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        "doc_id",
+        F.sum("n_tok").over(w).cast("long").alias("cum_tokens"),
+        F.sum("n_new").over(w).cast("long").alias("cum_vocab"),
+    )
