@@ -290,3 +290,61 @@ def beh_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("first_touch")
         .agg(F.count("*").alias("n_purchases"))
     )
+
+
+@register(
+    "beh_conversion_window",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_signup_us,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_purchase_us
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_signed_up,
+           count(*) FILTER (WHERE first_purchase_us > first_signup_us)
+               AS n_converted_ever,
+           count(*) FILTER (WHERE first_purchase_us > first_signup_us
+                              AND first_purchase_us - first_signup_us
+                                  <= CAST(604800000000 AS BIGINT))
+               AS n_converted_7d,
+           CAST(count(*) FILTER (WHERE first_purchase_us > first_signup_us
+                                   AND first_purchase_us - first_signup_us
+                                       <= CAST(604800000000 AS BIGINT)) AS DOUBLE)
+             / count(*) AS cvr_7d
+    FROM per_user
+    WHERE first_signup_us IS NOT NULL
+    """,
+)
+def beh_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion: of users who signed up, how many made
+    their first purchase AFTER signup and within 7 days — the
+    windowed-funnel semantics `beh_funnel_ordered` (unbounded) can't
+    answer. Both event timestamps reduce to conditional-min integers
+    in ONE aggregate pass over events; the window test is integer
+    microsecond arithmetic on the tiny per-user frame. Single fact
+    shuffle on user_id; final report is one row."""
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias(
+            "first_signup_us"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias(
+            "first_purchase_us"
+        ),
+    )
+    signed = per_user.filter(F.col("first_signup_us").isNotNull())
+    converted = F.col("first_purchase_us") > F.col("first_signup_us")
+    within = converted & (
+        F.col("first_purchase_us") - F.col("first_signup_us")
+        <= 7 * 86400 * 1_000_000
+    )
+    return signed.agg(
+        F.count("*").alias("n_signed_up"),
+        F.count_if(converted).alias("n_converted_ever"),
+        F.count_if(within).alias("n_converted_7d"),
+        (F.count_if(within).cast("double") / F.count("*")).alias("cvr_7d"),
+    )
