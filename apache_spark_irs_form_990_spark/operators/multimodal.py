@@ -143,3 +143,48 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("doc_id", "payload").mapInPandas(
         run, schema="doc_id long, frame_idx int, frame_bytes binary"
     )
+
+
+@register(
+    "mm_binary_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 4 = 0
+    )
+    SELECT sha256(text) AS payload_fp,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies,
+           CAST(min(octet_length(CAST(text AS BLOB))) AS BIGINT) AS n_bytes
+    FROM corpus
+    GROUP BY payload_fp
+    HAVING count(*) > 1
+    """,
+)
+def mm_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over BINARY payloads: sha-256 of the raw bytes, the
+    multimodal twin of text `dedup_exact_hash` — how re-uploaded
+    images/audio collapse in a media corpus. The hash computes
+    map-side next to the scan so only 32-byte digests shuffle, never
+    payloads (at 100 TB of media that is the entire game); min(doc_id)
+    is the canonical survivor. Duplicate payloads are injected
+    deterministically (doc_id%4 re-encoded under a new id). DuckDB's
+    sha256(VARCHAR) hashes the same UTF-8 bytes Spark's
+    sha2(encode(text), 256) does, so the fingerprints match
+    byte-for-byte."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(dupes)
+    payload = F.encode("text", "utf-8")
+    return (
+        corpus.groupBy(F.sha2(payload, 256).alias("payload_fp"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.min(F.length(payload)).cast("long").alias("n_bytes"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
