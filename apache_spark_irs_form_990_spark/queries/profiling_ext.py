@@ -421,3 +421,65 @@ def win_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("zraw", 6).alias("z"),
         )
     )
+
+
+@register(
+    "audit_snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+      SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    snap_b AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) + 100
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS v
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, CAST(round(o_totalprice * 100) AS BIGINT)
+      FROM orders WHERE o_orderkey % 17 = 0
+    )
+    SELECT CASE
+             WHEN a.k IS NULL THEN 'added'
+             WHEN b.k IS NULL THEN 'removed'
+             WHEN a.v <> b.v THEN 'changed'
+             ELSE 'unchanged'
+           END AS status,
+           count(*) AS n_rows
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k
+    GROUP BY status
+    """,
+)
+def audit_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-diff audit: classify every key across two snapshots as
+    added / removed / changed / unchanged — the reconciliation query
+    behind replication checks and CDC validation. One full-outer join
+    on the key (both sides shuffle once on the same key), value
+    comparison in exact cents, and a 4-row rollup. Snapshot B is
+    derived deterministically (drop %13 keys, bump %7 values, add %17
+    under new keys) so every class is populated and the expected
+    counts are provable."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    snap_a = o.select(F.col("o_orderkey").alias("ka"), cents.alias("va"))
+    kept = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("kb"),
+        F.when(F.col("o_orderkey") % 7 == 0, cents + 100)
+        .otherwise(cents)
+        .alias("vb"),
+    )
+    added = o.filter(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("kb"), cents.alias("vb")
+    )
+    snap_b = kept.unionByName(added)
+    joined = snap_a.join(snap_b, snap_a.ka == snap_b.kb, "full_outer")
+    status = (
+        F.when(F.col("ka").isNull(), "added")
+        .when(F.col("kb").isNull(), "removed")
+        .when(F.col("va") != F.col("vb"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.groupBy(status.alias("status")).agg(
+        F.count("*").alias("n_rows")
+    )

@@ -284,3 +284,54 @@ def ingest_jsonl_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_amt"
         ),
     )
+
+
+_CSV_GOOD = [
+    "1,Berkeley,100.50",
+    "2,madison,25.00",
+    "3,BERKELEY,17.25",
+    "4,austin,3.10",
+]
+_CSV_BAD = [
+    "5,NoAmount",             # too few columns
+    "6,Chicago,not_a_number", # unparseable double
+]
+
+
+def write_csv_fixture(tmp_root: str | None = None) -> str:
+    root = os.path.join(tmp_root or tempfile.gettempdir(), "spark990_csv_fixture")
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, "records.csv")
+    with open(path, "w") as f:
+        f.write("\n".join(_CSV_GOOD + _CSV_BAD) + "\n")
+    return path
+
+
+@register("ingest_csv_permissive")  # ◐ rows-only: fixture file, no oracle view
+def ingest_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV read under PERMISSIVE mode — completes the line-source trio
+    (XML manifest / JSONL / CSV) of the reference's skip-bad-record
+    semantics (A15, `IRSSpark.py:213-220`): short rows null-fill,
+    unparseable typed fields null out, and the raw offending line is
+    preserved in ``_corrupt_record`` for quarantine — the job never
+    dies. Same city-count shape as the JSONL variant so the two
+    sources are directly comparable in tests (test_xml_ingest.py
+    asserts the corrupt-row accounting)."""
+    path = write_csv_fixture()
+    schema = "id long, city string, amt double, _corrupt_record string"
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()
+    )
+    good = raw.filter(
+        F.col("_corrupt_record").isNull() & F.col("amt").isNotNull()
+    )
+    return good.groupBy(F.lower("city").alias("city")).agg(
+        F.count("*").alias("cnt"),
+        (F.sum(F.round(F.col("amt") * 100).cast("long")).cast("double") / 100.0).alias(
+            "sum_amt"
+        ),
+    )

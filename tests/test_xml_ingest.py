@@ -82,3 +82,22 @@ def test_jsonl_permissive_corrupt_accounting(spark):
         for r in registry.queries()["ingest_jsonl_permissive"](spark, "").collect()
     }
     assert got == {("berkeley", 2), ("madison", 2)}
+
+
+def test_csv_permissive_accounting(spark):
+    """CSV PERMISSIVE: 4 good rows aggregate; the short row and the
+    bad-double row are excluded from the clean aggregate (corrupt or
+    null-filled), never fatal."""
+    from apache_spark_irs_form_990_spark.sources.xml_ingest import (
+        ingest_csv_permissive,
+    )
+
+    out = {
+        r["city"]: (r["cnt"], r["sum_amt"])
+        for r in ingest_csv_permissive(spark, "").collect()
+    }
+    assert out == {
+        "berkeley": (2, 117.75),
+        "madison": (1, 25.0),
+        "austin": (1, 3.1),
+    }
