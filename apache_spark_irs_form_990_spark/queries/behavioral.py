@@ -348,3 +348,63 @@ def beh_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(within).alias("n_converted_7d"),
         (F.count_if(within).cast("double") / F.count("*")).alias("cvr_7d"),
     )
+
+
+@register(
+    "beh_weekly_churn",
+    oracle="""
+    WITH user_weeks AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(datediff('day', DATE '2024-01-01',
+                                 CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, week,
+             lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week
+      FROM user_weeks
+    ),
+    last_week AS (SELECT max(week) AS w_last FROM user_weeks)
+    SELECT f.week,
+           count(*) AS n_active,
+           count(*) FILTER (WHERE f.next_week IS NULL OR f.next_week > f.week + 1)
+               AS n_churned,
+           round(CAST(count(*) FILTER (WHERE f.next_week IS NULL
+                                          OR f.next_week > f.week + 1) AS DOUBLE)
+                 / count(*), 6) AS churn_rate
+    FROM flagged f, last_week
+    WHERE f.week < last_week.w_last
+    GROUP BY f.week
+    """,
+)
+def beh_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week churn: of users active in week w, how many have
+    NO activity in week w+1 (gap or permanent exit both count — the
+    retention complement). Works on the deduplicated user-week table
+    (tiny vs events), detects the gap with one lead() per user — no
+    week-to-week self-join — and excludes the final observed week
+    (its churn is right-censored). The ratio divides two exact counts;
+    rounded for output."""
+    e = load(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / 7.0
+    ).cast("long")
+    user_weeks = e.select("user_id", week.alias("week")).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    flagged = user_weeks.withColumn("next_week", F.lead("week").over(w))
+    last_week = user_weeks.agg(F.max("week").alias("w_last"))
+    churned = F.col("next_week").isNull() | (
+        F.col("next_week") > F.col("week") + 1
+    )
+    return (
+        flagged.crossJoin(F.broadcast(last_week))
+        .filter(F.col("week") < F.col("w_last"))
+        .groupBy("week")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.count_if(churned).alias("n_churned"),
+            F.round(
+                F.count_if(churned).cast("double") / F.count("*"), 6
+            ).alias("churn_rate"),
+        )
+    )
