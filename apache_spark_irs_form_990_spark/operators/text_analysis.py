@@ -771,3 +771,83 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").over(w).cast("long").alias("cum_tokens"),
         F.sum("n_new").over(w).cast("long").alias("cum_vocab"),
     )
+
+
+@register(
+    "text_js_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    clean AS (SELECT source, token FROM tok WHERE token <> ''),
+    st AS (SELECT source, token, count(*) AS n_st FROM clean GROUP BY source, token),
+    s_tot AS (SELECT source, count(*) AS n_s FROM clean GROUP BY source),
+    g_tok AS (SELECT token, count(*) AS n_t FROM clean GROUP BY token),
+    g_tot AS (SELECT count(*) AS n FROM clean),
+    grid AS (
+      SELECT s.source, t.token, s.n_s, t.n_t, g.n,
+             coalesce(st.n_st, 0) AS n_st
+      FROM s_tot s
+      CROSS JOIN g_tok t
+      CROSS JOIN g_tot g
+      LEFT JOIN st ON st.source = s.source AND st.token = t.token
+    ),
+    terms AS (
+      SELECT source,
+             CAST(round(1000000000 * (
+               0.5 * (CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END
+                      + CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0 END)
+             )) AS BIGINT) AS nano
+      FROM (
+        SELECT source,
+               CAST(n_st AS DOUBLE) / n_s AS p,
+               CAST(n_t - n_st AS DOUBLE) / (n - n_s) AS q,
+               (CAST(n_st AS DOUBLE) / n_s
+                + CAST(n_t - n_st AS DOUBLE) / (n - n_s)) / 2.0 AS m
+        FROM grid
+      )
+    )
+    SELECT source, CAST(sum(nano) AS DOUBLE) / 1e9 AS js_nats
+    FROM terms GROUP BY source
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift detector: Jensen-Shannon divergence between
+    each source's token distribution and the rest of the corpus (0 =
+    indistinguishable; ln 2 = disjoint vocabularies) — the drift gate
+    before admitting a new source into a training mix. The vocab x
+    sources grid is tiny (bounded by vocabulary, not corpus), every
+    p/q is a ratio of exact integers, and each JS term snaps to
+    integer NANO-NATS before summing so the per-source total is
+    order-independent — the Zipf/entropy integerization rule applied
+    to a two-distribution functional."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    st = tok.groupBy("source", "token").agg(F.count("*").alias("n_st"))
+    s_tot = tok.groupBy("source").agg(F.count("*").alias("n_s"))
+    g_tok = tok.groupBy("token").agg(F.count("*").alias("n_t"))
+    g_tot = tok.agg(F.count("*").alias("n"))
+    grid = (
+        s_tot.crossJoin(F.broadcast(g_tok))
+        .crossJoin(F.broadcast(g_tot))
+        .join(st, ["source", "token"], "left")
+        .withColumn("n_st", F.coalesce("n_st", F.lit(0)))
+    )
+    p = F.col("n_st").cast("double") / F.col("n_s")
+    q = (F.col("n_t") - F.col("n_st")).cast("double") / (
+        F.col("n") - F.col("n_s")
+    )
+    m = (p + q) / 2.0
+    term = 0.5 * (
+        F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(q > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+    nano = F.round(F.lit(1_000_000_000) * term).cast("long")
+    return (
+        grid.select("source", nano.alias("nano"))
+        .groupBy("source")
+        .agg((F.sum("nano").cast("double") / 1e9).alias("js_nats"))
+    )
