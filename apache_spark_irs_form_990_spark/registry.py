@@ -74,6 +74,7 @@ def _load_all() -> None:
         scans,
         sorts_sets,
         scalar_functions,
+        stats_ext,
         tpch_suite,
         windows,
         udfs,
