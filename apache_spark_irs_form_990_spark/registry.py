@@ -68,6 +68,7 @@ def _load_all() -> None:
         analytics_ext,
         behavioral,
         filters,
+        graph_ext,
         joins,
         profiling_ext,
         relational_ext,
