@@ -71,6 +71,7 @@ def _load_all() -> None:
         graph_ext,
         joins,
         profiling_ext,
+        quality_ext,
         relational_ext,
         scans,
         sorts_sets,
