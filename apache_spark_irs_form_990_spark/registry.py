@@ -73,6 +73,7 @@ def _load_all() -> None:
         profiling_ext,
         quality_ext,
         relational_ext,
+        robust_ext,
         scans,
         sorts_sets,
         scalar_functions,
