@@ -69,6 +69,7 @@ def _load_all() -> None:
         behavioral,
         filters,
         graph_ext,
+        patterns_ext,
         joins,
         profiling_ext,
         quality_ext,
