@@ -79,6 +79,7 @@ def _load_all() -> None:
         sorts_sets,
         scalar_functions,
         stats_ext,
+        temporal_ext,
         tpch_suite,
         windows,
         udfs,
