@@ -69,6 +69,7 @@ def _load_all() -> None:
         behavioral,
         filters,
         graph_ext,
+        inference_ext,
         patterns_ext,
         joins,
         profiling_ext,
