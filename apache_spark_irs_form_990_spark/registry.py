@@ -70,6 +70,7 @@ def _load_all() -> None:
         filters,
         graph_ext,
         inference_ext,
+        mining_ext,
         patterns_ext,
         joins,
         profiling_ext,
