@@ -36,11 +36,6 @@ from apache_spark_irs_form_990_spark.tables import load
 
 _COUNTER = itertools.count()
 
-EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
-
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet with the same
@@ -56,11 +51,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     stage = os.path.join(tempfile.gettempdir(), f"spark990_events_{sf_tag}")
     os.makedirs(stage, exist_ok=True)
+    src = os.path.join(sf_dir, "events.parquet")
     dst = os.path.join(stage, "events.parquet")
-    if not os.path.exists(dst):
-        shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
-    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # re-stage when the driver regenerates testdata (size is a cheap proxy)
+    if not os.path.exists(dst) or os.path.getsize(dst) != os.path.getsize(src):
+        shutil.copy(src, dst)
+    # The file stream needs a declared schema; mirror whatever the current
+    # generator wrote (nanos-as-long vs micros TIMESTAMP_NTZ) and normalize
+    # ts to a session-TZ timestamp exactly like the batch loader (tables.py).
+    raw_schema = spark.read.parquet(src).schema
+    raw = spark.readStream.schema(raw_schema).format("parquet").load(stage)
+    ts_type = raw_schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_completion(result: DataFrame, output_mode: str) -> DataFrame:

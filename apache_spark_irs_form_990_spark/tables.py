@@ -42,6 +42,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # up across a microsecond boundary and diverge from DuckDB's
             # exact floor on the same nanos.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # Some generator versions write micros TIMESTAMP_NTZ instead of
+            # nanos. unix_micros()/window() require TIMESTAMP_LTZ; the session
+            # TZ is pinned to UTC (session.py) so this cast relabels the same
+            # instant without shifting values, matching DuckDB's naive reads.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
