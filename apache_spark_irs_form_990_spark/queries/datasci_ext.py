@@ -1,0 +1,724 @@
+"""Data-science / experimentation extensions — hypothesis tests (Welch,
+ANOVA), distribution drift (PSI), correlograms, seasonal decomposition,
+new-vs-returning traffic split, and the ML data-prep primitives a
+training pipeline needs (deterministic train/val/test carving, k-fold
+assignment, class weights, embedding-norm audits, term burstiness).
+
+All EXT relative to the reference (whose only aggregate is the
+CitiesCount frequency sum, `IRSSpark.py:181` + `CitiesCountJob.py:14-16`);
+these generalize that partial+final aggregation pattern to the
+experiment-analysis and dataset-curation layer of a 100 TB platform.
+
+Cross-engine determinism (same conventions as sibling modules):
+
+- Moments are EXACT BIGINT sums of integer-valued or integerized
+  inputs; closed-form statistics are one double expression written
+  with the IDENTICAL association tree on both engines (IEEE ops are
+  correctly rounded, so identical inputs + identical tree = identical
+  bits). No `pow()` anywhere — squares are written `x*x` because libm
+  `pow` is not correctly rounded on every platform.
+- Per-group double terms that must be SUMMED across groups are first
+  snapped to exact integers (`round(term * 1e6)`), making the sum
+  order-independent under any partitioning.
+- Deterministic sampling/splits use md5 (cross-engine-stable), never
+  `df.sample()` (seed- and partitioning-dependent) — same reasoning
+  as [[sample_hash_deterministic]] / [[ml_feature_hash_bucket]].
+- Ordering keys over derived doubles carry full integer tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apache_spark_irs_form_990_spark.queries._helpers import (
+    cents,
+    dsum,
+    sql_cents,
+    sql_dsum,
+)
+from apache_spark_irs_form_990_spark.registry import register
+from apache_spark_irs_form_990_spark.tables import load
+
+
+# --------------------------------------------------------------------------
+# Hypothesis tests
+# --------------------------------------------------------------------------
+
+
+def _var_expr(q: Column, s: Column, n: Column) -> Column:
+    """Sample variance from exact integer moments: (Σx² − (Σx)²/n)/(n−1)."""
+    return (q.cast("double") - s.cast("double") * s.cast("double") / n) / (n - 1)
+
+
+_SQL_VAR = (
+    "(CAST({q} AS DOUBLE) - CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE) / {n})"
+    " / ({n} - 1)"
+)
+
+
+@register(
+    "stats_welch_t_test",
+    oracle=f"""
+    WITH m AS (
+      SELECT
+        CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS s1,
+        CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q1,
+        CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS s2,
+        CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q2
+      FROM lineitem
+    )
+    SELECT n1, n2,
+      round(CAST(s1 AS DOUBLE)/n1 - CAST(s2 AS DOUBLE)/n2, 6) AS mean_diff,
+      round((CAST(s1 AS DOUBLE)/n1 - CAST(s2 AS DOUBLE)/n2)
+            / sqrt({_SQL_VAR.format(q="q1", s="s1", n="n1")} / n1
+                 + {_SQL_VAR.format(q="q2", s="s2", n="n2")} / n2), 6) AS t_stat,
+      round((({_SQL_VAR.format(q="q1", s="s1", n="n1")} / n1
+              + {_SQL_VAR.format(q="q2", s="s2", n="n2")} / n2)
+             * ({_SQL_VAR.format(q="q1", s="s1", n="n1")} / n1
+              + {_SQL_VAR.format(q="q2", s="s2", n="n2")} / n2))
+            / (({_SQL_VAR.format(q="q1", s="s1", n="n1")} / n1
+                * ({_SQL_VAR.format(q="q1", s="s1", n="n1")} / n1)) / (n1 - 1)
+             + ({_SQL_VAR.format(q="q2", s="s2", n="n2")} / n2
+                * ({_SQL_VAR.format(q="q2", s="s2", n="n2")} / n2)) / (n2 - 1)),
+            6) AS dof
+    FROM m
+    """,
+)
+def stats_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test on order quantity
+    between return flags 'R' and 'A': t statistic and Welch–
+    Satterthwaite degrees of freedom. One aggregation pass collects
+    six exact BIGINT moments (conditional n/Σq/Σq² per arm — the
+    map-side combine handles everything, no join, no second scan);
+    the statistic is a single closed-form double expression, so the
+    plan is scan → partial agg → 1-row exchange → final agg at any
+    data size. Squares are spelled `x*x`, not `pow`, for cross-libm
+    bit-identity."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    flag = F.col("l_returnflag")
+    m = li.agg(
+        F.sum(F.when(flag == "R", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(flag == "R", q).otherwise(0)).alias("s1"),
+        F.sum(F.when(flag == "R", q * q).otherwise(0)).alias("q1"),
+        F.sum(F.when(flag == "A", 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(flag == "A", q).otherwise(0)).alias("s2"),
+        F.sum(F.when(flag == "A", q * q).otherwise(0)).alias("q2"),
+    )
+    n1, s1, q1 = F.col("n1"), F.col("s1"), F.col("q1")
+    n2, s2, q2 = F.col("n2"), F.col("s2"), F.col("q2")
+    vn1 = _var_expr(q1, s1, n1) / n1
+    vn2 = _var_expr(q2, s2, n2) / n2
+    mean_diff = s1.cast("double") / n1 - s2.cast("double") / n2
+    return m.select(
+        "n1",
+        "n2",
+        F.round(mean_diff, 6).alias("mean_diff"),
+        F.round(mean_diff / F.sqrt(vn1 + vn2), 6).alias("t_stat"),
+        F.round(
+            ((vn1 + vn2) * (vn1 + vn2))
+            / ((vn1 * vn1) / (n1 - 1) + (vn2 * vn2) / (n2 - 1)),
+            6,
+        ).alias("dof"),
+    )
+
+
+@register(
+    "stats_anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                  AS BIGINT) AS q
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(s) AS BIGINT) AS st,
+             CAST(sum(CAST(round((CAST(q AS DOUBLE)
+                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                            * 1000000) AS BIGINT)) AS BIGINT) AS ssw_micro,
+             CAST(sum(CAST(round((CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                            * 1000000) AS BIGINT)) AS BIGINT) AS sb_micro
+      FROM g
+    )
+    SELECT k, nt AS n_total,
+      round(CAST(ssw_micro AS DOUBLE) / 1000000.0, 6) AS ss_within,
+      round(CAST(sb_micro AS DOUBLE) / 1000000.0
+            - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt, 6) AS ss_between,
+      round(((CAST(sb_micro AS DOUBLE) / 1000000.0
+              - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt) / (k - 1))
+            / ((CAST(ssw_micro AS DOUBLE) / 1000000.0) / (nt - k)), 6) AS f_stat
+    FROM t
+    """,
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test of quantity across the return-flag groups.
+    Two-level aggregation: the only data-sized pass collects exact
+    (n, Σq, Σq²) per group; the second aggregate runs over the tiny
+    group table. Per-group double terms (s²/n, the within-group sum
+    of squares) are snapped to exact micro-units before the cross-
+    group sum so the result is independent of group merge order —
+    the same integerize-then-sum discipline as [[agg_geo_harmonic_mean]]."""
+    li = load(spark, sf_dir, "lineitem")
+    qv = F.col("l_quantity").cast("long")
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(qv).alias("s"),
+        F.sum(qv * qv).alias("q"),
+    )
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    ssw_term = (q.cast("double") - s.cast("double") * s.cast("double") / n)
+    sb_term = s.cast("double") * s.cast("double") / n
+    t = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(n).alias("nt"),
+        F.sum(s).alias("st"),
+        F.sum(F.round(ssw_term * 1000000).cast("long")).alias("ssw_micro"),
+        F.sum(F.round(sb_term * 1000000).cast("long")).alias("sb_micro"),
+    )
+    k, nt, st = F.col("k"), F.col("nt"), F.col("st")
+    ssw = F.col("ssw_micro").cast("double") / 1000000.0
+    ssb = F.col("sb_micro").cast("double") / 1000000.0 - st.cast(
+        "double"
+    ) * st.cast("double") / nt
+    return t.select(
+        "k",
+        nt.alias("n_total"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(ssb, 6).alias("ss_between"),
+        F.round((ssb / (k - 1)) / (ssw / (nt - k)), 6).alias("f_stat"),
+    )
+
+
+@register(
+    "stats_psi_drift",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 5000000 AS bin,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END AS is_a
+      FROM orders
+    ),
+    c AS (SELECT bin, CAST(sum(is_a) AS BIGINT) AS ca,
+                 CAST(sum(1 - is_a) AS BIGINT) AS cb FROM b GROUP BY bin),
+    t AS (
+      SELECT bin, ca, cb,
+             CAST(count(*) OVER () AS BIGINT) AS k,
+             CAST(sum(ca) OVER () AS BIGINT) AS na,
+             CAST(sum(cb) OVER () AS BIGINT) AS nb
+      FROM c
+    )
+    SELECT max(k) AS n_bins, max(na) AS n_a, max(nb) AS n_b,
+      round(CAST(sum(CAST(round(
+        ((CAST(ca + 1 AS DOUBLE) / (na + k)) - (CAST(cb + 1 AS DOUBLE) / (nb + k)))
+        * ln((CAST(ca + 1 AS DOUBLE) / (na + k))
+             / (CAST(cb + 1 AS DOUBLE) / (nb + k)))
+        * 1000000000) AS BIGINT)) AS DOUBLE) / 1000000000.0, 6) AS psi
+    FROM t
+    """,
+)
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-price distribution,
+    early period (< 1998) vs late — the standard model-monitoring
+    drift score. Prices land in fixed $50k bins by exact integer-cents
+    division (no data-dependent quantile pass); both period counts
+    come out of ONE aggregation via conditional sums; bin count and
+    totals are unordered windows over the tiny bin table. Laplace
+    +1 smoothing keeps ln finite on one-sided bins. Per-bin PSI terms
+    are integerized to nano-nats before summing (order-independent;
+    ≫ the ≤1-ulp cross-libm ln discrepancy, same argument as
+    [[text_js_divergence]])."""
+    o = load(spark, sf_dir, "orders")
+    b = o.select(
+        F.expr(f"{'CAST(round(o_totalprice * 100) AS BIGINT)'} div 5000000").alias(
+            "bin"
+        ),
+        F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"), 1)
+        .otherwise(0)
+        .alias("is_a"),
+    )
+    c = b.groupBy("bin").agg(
+        F.sum("is_a").alias("ca"), F.sum(1 - F.col("is_a")).alias("cb")
+    )
+    w = Window.partitionBy()
+    t = c.select(
+        "bin",
+        "ca",
+        "cb",
+        F.count("*").over(w).cast("long").alias("k"),
+        F.sum("ca").over(w).alias("na"),
+        F.sum("cb").over(w).alias("nb"),
+    )
+    p = (F.col("ca") + 1).cast("double") / (F.col("na") + F.col("k"))
+    qq = (F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("k"))
+    term_nano = F.round((p - qq) * F.log(p / qq) * 1000000000).cast("long")
+    return t.agg(
+        F.max("k").alias("n_bins"),
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.round(F.sum(term_nano).cast("double") / 1000000000.0, 6).alias("psi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time series
+# --------------------------------------------------------------------------
+
+_SQL_DAILY_REV = """
+    daily AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS rev
+      FROM orders GROUP BY 1
+    )
+"""
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order revenue in exact whole dollars (cents div 100 —
+    integer floor, not a rounding double division)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+            ).alias("day")
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("rc"))
+        .select("day", F.expr("rc div 100").alias("rev"))
+    )
+
+
+_ACF_LAGS = (1, 2, 3, 4, 5, 6, 7)
+
+
+def _acf_oracle() -> str:
+    lag_cols = ",\n             ".join(
+        f"lag(rev, {k}) OVER (ORDER BY day) AS y{k}" for k in _ACF_LAGS
+    )
+    stacked = "\n      UNION ALL ".join(
+        f"SELECT {k} AS lag_k, rev AS x, y{k} AS y FROM lagged"
+        f" WHERE y{k} IS NOT NULL"
+        for k in _ACF_LAGS
+    )
+    return f"""
+    WITH {_SQL_DAILY_REV},
+    lagged AS (
+      SELECT day, rev,
+             {lag_cols}
+      FROM daily
+    ),
+    stacked AS (
+      {stacked}
+    )
+    SELECT lag_k, CAST(count(*) AS BIGINT) AS n,
+      round((count(*) * CAST(sum(x * y) AS DOUBLE)
+             - CAST(sum(x) AS DOUBLE) * sum(y))
+            / (sqrt(count(*) * CAST(sum(x * x) AS DOUBLE)
+                    - CAST(sum(x) AS DOUBLE) * sum(x))
+               * sqrt(count(*) * CAST(sum(y * y) AS DOUBLE)
+                      - CAST(sum(y) AS DOUBLE) * sum(y))), 6) AS acf
+    FROM stacked GROUP BY lag_k
+    """
+
+
+@register("ts_acf_multi_lag", oracle=_acf_oracle())
+def ts_acf_multi_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlogram: Pearson autocorrelation of daily revenue at lags
+    1..7 — the multi-lag generalization of [[ts_autocorr_daily]].
+    All seven lag columns come out of ONE window pass over the
+    post-aggregation daily series (tiny at any fact size — the
+    single-partition sort is over ~n_days rows, not the fact table),
+    `stack` unpivots them to (lag, x, y) pairs map-side, and one
+    hash aggregate computes the five exact BIGINT moments per lag.
+    Daily revenue is held in whole dollars so Σxy stays under 2^63
+    through SF ~100; beyond that, swap the moment sums to
+    decimal(38,0) (same plan shape)."""
+    daily = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "rev", *[F.lag("rev", k).over(w).alias(f"y{k}") for k in _ACF_LAGS]
+    )
+    stack_args = ", ".join(f"{k}, rev, y{k}" for k in _ACF_LAGS)
+    stacked = lagged.selectExpr(
+        f"stack({len(_ACF_LAGS)}, {stack_args}) AS (lag_k, x, y)"
+    ).filter(F.col("y").isNotNull())
+    n = F.count("*")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    acf = (n * sxy.cast("double") - sx.cast("double") * sy) / (
+        F.sqrt(n * sxx.cast("double") - sx.cast("double") * sx)
+        * F.sqrt(n * syy.cast("double") - sy.cast("double") * sy)
+    )
+    return stacked.groupBy("lag_k").agg(
+        n.cast("long").alias("n"), F.round(acf, 6).alias("acf")
+    )
+
+
+@register(
+    "ts_seasonal_decompose_dow",
+    oracle=f"""
+    WITH {_SQL_DAILY_REV},
+    w AS (
+      SELECT day, rev,
+             sum(rev) OVER (ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+             count(*) OVER (ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+      FROM daily
+    ),
+    d AS (
+      SELECT ((day + 3) % 7) + 1 AS dow,
+             CAST(round((rev - CAST(s7 AS DOUBLE) / 7) * 1000000) AS BIGINT) AS dm
+      FROM w WHERE n7 = 7
+    )
+    SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(sum(dm) AS DOUBLE) / 1000000.0 / count(*), 6) AS seasonal
+    FROM d GROUP BY dow
+    """,
+)
+def ts_seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition, step one: detrend daily
+    revenue with a centered 7-row moving average (full windows only),
+    then average the detrended residual per ISO weekday — the
+    classical-decomposition seasonal component. The weekday comes from
+    pure integer arithmetic on the epoch day number (day 0 = Thursday
+    → ISO dow = ((day+3) % 7) + 1), sidestepping locale-dependent
+    date builtins entirely. Trend is an exact-integer sum divided
+    once; residuals are integerized to micro-dollars before the
+    per-dow mean so the aggregation is order-independent. The window
+    runs on the post-agg daily series (single partition over ~n_days
+    rows — bounded regardless of fact scale)."""
+    daily = _daily_revenue(spark, sf_dir)
+    fr = Window.orderBy("day").rowsBetween(-3, 3)
+    w = daily.select(
+        "day",
+        "rev",
+        F.sum("rev").over(fr).alias("s7"),
+        F.count("*").over(fr).alias("n7"),
+    )
+    dm = F.round(
+        (F.col("rev") - F.col("s7").cast("double") / 7) * 1000000
+    ).cast("long")
+    d = w.filter(F.col("n7") == 7).select(
+        (((F.col("day") + 3) % 7) + 1).alias("dow"), dm.alias("dm")
+    )
+    return d.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(F.sum("dm").cast("double") / 1000000.0 / F.count("*"), 6).alias(
+            "seasonal"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Behavioral
+# --------------------------------------------------------------------------
+
+
+@register(
+    "beh_new_vs_returning",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, day,
+             min(day) OVER (PARTITION BY user_id) AS first_day
+      FROM ud
+    )
+    SELECT day,
+           CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(sum(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returning
+    FROM f GROUP BY day
+    """,
+)
+def beh_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into first-ever-seen (new) vs
+    returning — the growth-accounting view every product dashboard
+    leads with. One user_id exchange serves both the user-day dedup
+    and the per-user first-day window (unordered min — no sort frame);
+    the final per-day aggregate shuffles only the deduped user-day
+    table. No self-join back to events."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).distinct()
+    f = ud.withColumn(
+        "first_day", F.min("day").over(Window.partitionBy("user_id"))
+    )
+    return f.groupBy("day").agg(
+        F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)).alias(
+            "n_new"
+        ),
+        F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)).alias(
+            "n_returning"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# ML data prep
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ml_train_test_split",
+    oracle="""
+    WITH s AS (
+      SELECT CASE
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+               ELSE 'test' END AS split,
+             n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+    FROM s GROUP BY split
+    """,
+)
+def ml_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test carve of the document
+    corpus by content hash of the key: the first md5 byte partitions
+    the hex space at 'cc' (204/256 ≈ 79.7%) and 'e6' (+26/256 ≈
+    10.2%). Hash-based splits are stable under re-partitioning,
+    re-ingestion order, and engine choice — `df.sample()` and
+    `randomSplit()` are neither reproducible cross-engine nor stable
+    as the corpus grows (same reasoning as
+    [[sample_hash_deterministic]]). Map-side classification; the only
+    shuffle carries 3 groups of partial aggregates."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    s = docs.select(
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test").alias(
+            "split"
+        ),
+        "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    return s.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+    )
+
+
+@register(
+    "ml_kfold_balance",
+    oracle=f"""
+    WITH f AS (
+      SELECT CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 5 AS fold,
+             o_custkey, o_totalprice, o_orderpriority
+      FROM orders
+    )
+    SELECT fold, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           {sql_dsum("o_totalprice", "sum_price")},
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+    FROM f GROUP BY fold
+    """,
+)
+def ml_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation assignment by md5 of the order key
+    (16 bits of hash mod 5), with the per-fold balance audit that
+    validates the split: row count, distinct customers, exact-cents
+    revenue, and high-priority share. Hash-mod assignment keeps every
+    fold stable as data arrives — no global row numbering, no shuffle
+    to assign; the fold id is a map-side expression and the audit is
+    one aggregation (distinct-count planned via Expand)."""
+    o = load(spark, sf_dir, "orders")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 5
+    )
+    return (
+        o.withColumn("fold", fold)
+        .groupBy("fold")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+            dsum("o_totalprice", "sum_price"),
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+                ).otherwise(0)
+            ).alias("n_urgent"),
+        )
+    )
+
+
+@register(
+    "ml_class_weights",
+    oracle="""
+    WITH g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    )
+    SELECT lang, n AS n_docs,
+           round(CAST(sum(n) OVER () AS DOUBLE)
+                 / (count(*) OVER () * n), 6) AS weight
+    FROM g
+    """,
+)
+def ml_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced inverse-frequency class weights per document language
+    (sklearn's `class_weight='balanced'`: N / (k · n_c)) — the
+    knob that reweights a skewed training corpus. One aggregation
+    pass over the data; the N and k normalizers are unordered windows
+    over the |langs|-row group table, so no scalar-subquery second
+    scan. The weight is one ratio of exact integers (single IEEE
+    division — bit-identical cross-engine)."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy()
+    return g.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.round(
+            F.sum("n").over(w).cast("double") / (F.count("*").over(w) * F.col("n")),
+            6,
+        ).alias("weight"),
+    )
+
+
+@register(
+    "ml_embedding_norm_audit",
+    oracle="""
+    WITH v AS (
+      SELECT label,
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                    * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+               AS BIGINT) AS ss
+      FROM embeddings
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      round(CAST(sum(CAST(round(sqrt(CAST(ss AS DOUBLE) / 1000000000000.0)
+                                * 1000000) AS BIGINT)) AS DOUBLE)
+            / 1000000.0 / count(*), 6) AS avg_norm,
+      round(min(sqrt(CAST(ss AS DOUBLE) / 1000000000000.0)), 6) AS min_norm,
+      round(max(sqrt(CAST(ss AS DOUBLE) / 1000000000000.0)), 6) AS max_norm
+    FROM v GROUP BY label
+    """,
+)
+def ml_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm audit per label: count, mean, min, max of
+    vector norms — the sanity gate before cosine math (zero or
+    exploding norms break similarity search). The squared norm is an
+    exact BIGINT via per-element micro-integerization folded entirely
+    inside the array (higher-order `aggregate` — no explode, no
+    shuffle of elements; only (label, ss) pairs move). sqrt of
+    identical doubles is correctly rounded, hence bit-identical;
+    the mean re-integerizes per-row norms so the group sum is
+    order-independent."""
+    emb = load(spark, sf_dir, "embeddings")
+
+    def micro(x: Column) -> Column:
+        return F.round(x.cast("double") * 1000000).cast("long")
+
+    ss = F.aggregate(
+        "embedding",
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + micro(x) * micro(x),
+    )
+    v = emb.select("label", ss.alias("ss"))
+    norm = F.sqrt(F.col("ss").cast("double") / 1000000000000.0)
+    return v.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.round(
+            F.sum(F.round(norm * 1000000).cast("long")).cast("double")
+            / 1000000.0
+            / F.count("*"),
+            6,
+        ).alias("avg_norm"),
+        F.round(F.min(norm), 6).alias("min_norm"),
+        F.round(F.max(norm), 6).alias("max_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Text / corpus curation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_term_burstiness",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dc AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c
+      FROM tok WHERE term <> '' GROUP BY term, doc_id
+    ),
+    pt AS (
+      SELECT term, CAST(sum(c) AS BIGINT) AS tf,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c * c) AS BIGINT) AS ssc
+      FROM dc GROUP BY term
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents)
+    SELECT term, tf, df,
+           round((CAST(ssc AS DOUBLE) - CAST(tf AS DOUBLE) * tf / nd) / tf,
+                 6) AS burstiness
+    FROM pt, n
+    ORDER BY tf DESC, term LIMIT 20
+    """,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (variance-to-mean ratio of per-document counts,
+    zeros included) for the corpus's top-20 terms — bursty terms
+    concentrate in few documents (topical), VMR≈1 is Poisson-like
+    (function words); a standard corpus-curation diagnostic. The VMR
+    reduces to (Σc² − tf²/N)/tf, so only exact integer moments
+    (tf, df, Σc²) flow through the two aggregation levels; the corpus
+    size N is a 1-row broadcast cross join. Top-20 by exact integer
+    tf with a term tiebreak plans as TakeOrderedAndProject — no
+    global sort."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dc = tok.groupBy("term", "doc_id").agg(F.count("*").cast("long").alias("c"))
+    pt = dc.groupBy("term").agg(
+        F.sum("c").alias("tf"),
+        F.count("*").cast("long").alias("df"),
+        F.sum(F.col("c") * F.col("c")).alias("ssc"),
+    )
+    n = docs.agg(F.count("*").cast("long").alias("nd"))
+    tf, ssc, nd = F.col("tf"), F.col("ssc"), F.col("nd")
+    return (
+        pt.crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "tf",
+            "df",
+            F.round(
+                (ssc.cast("double") - tf.cast("double") * tf / nd) / tf, 6
+            ).alias("burstiness"),
+        )
+        .orderBy(F.col("tf").desc(), "term")
+        .limit(20)
+    )

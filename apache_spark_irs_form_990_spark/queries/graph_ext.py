@@ -394,3 +394,75 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle="WITH "
+    + _SQL_COPURCHASE.format(support=2)
+    + """,
+    d AS (SELECT pa AS u, pb AS v FROM e
+          UNION ALL SELECT pb, pa FROM e),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM d GROUP BY u),
+    common AS (
+      SELECT a.u AS pa, b.u AS pb, CAST(count(*) AS BIGINT) AS cn
+      FROM d a JOIN d b ON a.v = b.v AND a.u < b.u
+      GROUP BY 1, 2
+    )
+    SELECT c.pa, c.pb, c.cn AS n_common, da.dg AS deg_a, db.dg AS deg_b,
+           round(CAST(c.cn AS DOUBLE) / (da.dg + db.dg - c.cn), 6) AS jaccard
+    FROM common c
+    JOIN deg da ON c.pa = da.u
+    JOIN deg db ON c.pb = db.u
+    ORDER BY CAST(c.cn AS DOUBLE) / (da.dg + db.dg - c.cn) DESC, c.pa, c.pb
+    LIMIT 20
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural node similarity: Jaccard overlap of co-purchase
+    neighborhoods for the 20 most-similar part pairs — the link-
+    prediction / substitute-product primitive. Built on the same
+    support-filtered edge list as [[graph_triangle_count]]
+    (`localCheckpoint`-ed once, reused by the degree table and both
+    sides of the wedge join). Common-neighbor counting is the
+    canonical ordered wedge join (u<w sharing v), whose fan-out is
+    Σ_v deg(v)² over the SUPPORT-FILTERED graph — the support
+    threshold is the scale knob, exactly as in the triangle census.
+    Jaccard = cn/(deg_a+deg_b-cn) is one IEEE division of exact
+    integers; top-20 orders by that ratio (bit-identical both
+    engines) with full id tiebreaks, planning as
+    TakeOrderedAndProject."""
+    e = _copurchase_edges(spark, sf_dir, support=2).select("pa", "pb").localCheckpoint()
+    d = e.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
+        e.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    deg = d.groupBy("u").agg(F.count("*").cast("long").alias("dg"))
+    a = d.select(F.col("u").alias("pa"), F.col("v").alias("w"))
+    b = d.select(F.col("u").alias("pb"), F.col("v").alias("w2"))
+    common = (
+        a.join(b, (F.col("w") == F.col("w2")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("long").alias("cn"))
+    )
+    da = deg.select(F.col("u").alias("pa"), F.col("dg").alias("deg_a"))
+    db = deg.select(F.col("u").alias("pb"), F.col("dg").alias("deg_b"))
+    j = (
+        common.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            "pa",
+            "pb",
+            F.col("cn").alias("n_common"),
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    key = F.col("n_common").cast("double") / (
+        F.col("deg_a") + F.col("deg_b") - F.col("n_common")
+    )
+    return j.orderBy(key.desc(), "pa", "pb").limit(20)

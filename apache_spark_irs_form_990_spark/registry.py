@@ -67,6 +67,7 @@ def _load_all() -> None:
         aggregates,
         analytics_ext,
         behavioral,
+        datasci_ext,
         filters,
         graph_ext,
         inference_ext,
