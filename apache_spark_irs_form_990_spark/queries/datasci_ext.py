@@ -722,3 +722,448 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tf").desc(), "term")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 2: rank statistics, inequality, information theory, profiling
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stats_spearman_rho",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_discount * 100) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    mq AS (SELECT q, CAST(sum(c) AS BIGINT) AS cq FROM cells GROUP BY q),
+    mq2 AS (
+      SELECT q,
+             2 * (CAST(sum(cq) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) - cq) + cq + 1 AS mx
+      FROM mq
+    ),
+    md AS (SELECT d, CAST(sum(c) AS BIGINT) AS cd FROM cells GROUP BY d),
+    md2 AS (
+      SELECT d,
+             2 * (CAST(sum(cd) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) - cd) + cd + 1 AS my
+      FROM md
+    ),
+    j AS (
+      SELECT c, mx, my
+      FROM cells JOIN mq2 USING (q) JOIN md2 USING (d)
+    ),
+    m AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * mx) AS BIGINT) AS sx,
+             CAST(sum(c * my) AS BIGINT) AS sy,
+             CAST(sum(c * mx * my) AS BIGINT) AS sxy,
+             CAST(sum(c * mx * mx) AS BIGINT) AS sxx,
+             CAST(sum(c * my * my) AS BIGINT) AS syy
+      FROM j
+    )
+    SELECT n,
+      round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+            / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+               * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+            6) AS rho
+    FROM m
+    """,
+)
+def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and discount with
+    EXACT midrank tie handling. Both variables live on tiny integer
+    domains (50 quantities × 11 discount cents), so ranks come from
+    the domain-collapsed contingency table, not a data-sized sort:
+    one aggregation builds the (q, d, count) cells; doubled midranks
+    (2·avg-rank, kept integral) derive from running sums over the
+    ~50-row marginals; Pearson-over-midranks needs five more exact
+    BIGINT moments. The only data-sized pass is the first hash
+    aggregate — ranking 600M rows costs the same shuffle as counting
+    them. Moment products stay under 2^63 through SF ~1 (Σc·mx² ≤
+    4n³); beyond that, decimal(38,0) sums, same plan."""
+    li = load(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_quantity").cast("long").alias("q"),
+        cents("l_discount").alias("d"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    cum = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    mq2 = (
+        cells.groupBy("q")
+        .agg(F.sum("c").alias("cq"))
+        .select(
+            "q",
+            (
+                2 * (F.sum("cq").over(cum).cast("long") - F.col("cq"))
+                + F.col("cq")
+                + 1
+            ).alias("mx"),
+        )
+    )
+    cum_d = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    md2 = (
+        cells.groupBy("d")
+        .agg(F.sum("c").alias("cd"))
+        .select(
+            "d",
+            (
+                2 * (F.sum("cd").over(cum_d).cast("long") - F.col("cd"))
+                + F.col("cd")
+                + 1
+            ).alias("my"),
+        )
+    )
+    j = cells.join(F.broadcast(mq2), "q").join(F.broadcast(md2), "d")
+    c, mx, my = F.col("c"), F.col("mx"), F.col("my")
+    m = j.agg(
+        F.sum(c).alias("n"),
+        F.sum(c * mx).alias("sx"),
+        F.sum(c * my).alias("sy"),
+        F.sum(c * mx * my).alias("sxy"),
+        F.sum(c * mx * mx).alias("sxx"),
+        F.sum(c * my * my).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    rho = (n * sxy.cast("double") - sx.cast("double") * sy) / (
+        F.sqrt(n * sxx.cast("double") - sx.cast("double") * sx)
+        * F.sqrt(n * syy.cast("double") - sy.cast("double") * sy)
+    )
+    return m.select("n", F.round(rho, 6).alias("rho"))
+
+
+@register(
+    "stats_wilson_ci",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS s
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, s,
+      round(CAST(s AS DOUBLE) / n, 6) AS p_hat,
+      round(((CAST(s AS DOUBLE) / n + 3.8416 / (2 * n))
+             - 1.96 * sqrt((CAST(s AS DOUBLE) / n) * (1 - CAST(s AS DOUBLE) / n) / n
+                           + 3.8416 / (4 * n * n)))
+            / (1 + 3.8416 / n), 6) AS ci_low,
+      round(((CAST(s AS DOUBLE) / n + 3.8416 / (2 * n))
+             + 1.96 * sqrt((CAST(s AS DOUBLE) / n) * (1 - CAST(s AS DOUBLE) / n) / n
+                           + 3.8416 / (4 * n * n)))
+            / (1 + 3.8416 / n), 6) AS ci_high
+    FROM g
+    """,
+)
+def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Wilson score confidence interval for the high-value rate
+    (value ≥ 50) per event type — the binomial CI that behaves at
+    extreme rates, which dashboards should use instead of the normal
+    approximation. One aggregation pass (n and successes per group);
+    the interval is a closed-form double expression from two exact
+    integers (z = 1.96, z² = 3.8416 as literals), identical tree both
+    engines, so no tolerance needed."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("value") >= 50, 1).otherwise(0)).alias("s"),
+    )
+    n, s = F.col("n"), F.col("s")
+    p = s.cast("double") / n
+    center = p + F.lit(3.8416) / (2 * n)
+    half = 1.96 * F.sqrt(p * (1 - p) / n + F.lit(3.8416) / (4 * n * n))
+    denom = 1 + F.lit(3.8416) / n
+    return g.select(
+        "event_type",
+        "n",
+        "s",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("ci_low"),
+        F.round((center + half) / denom, 6).alias("ci_high"),
+    )
+
+
+@register(
+    "agg_theil_index",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT o.o_orderpriority, g.n,
+             CAST(round(
+               (CAST(CAST(round(o.o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                / (CAST(g.s AS DOUBLE) / g.n))
+               * ln(CAST(CAST(round(o.o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                    / (CAST(g.s AS DOUBLE) / g.n))
+               * 1000000000) AS BIGINT) AS term_nano
+      FROM orders o JOIN g ON o.o_orderpriority = g.o_orderpriority
+    )
+    SELECT o_orderpriority, max(n) AS n_orders,
+           round(CAST(sum(term_nano) AS DOUBLE) / 1000000000.0 / max(n),
+                 6) AS theil
+    FROM t GROUP BY o_orderpriority
+    """,
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of order value per priority class —
+    the decomposable entropy-based concentration measure that
+    complements [[agg_gini_concentration]] (Gini needs a global rank;
+    Theil needs only the group mean). Two passes: a tiny group-mean
+    aggregate broadcast back onto the fact scan, then per-row
+    (x/μ)·ln(x/μ) terms integerized to nano-nats for an order-
+    independent sum. Terms are bounded by (max/μ)·ln(max/μ), so the
+    nano-sum holds under 2^63 through ~1e9 rows per group; swap to
+    decimal sums beyond."""
+    o = load(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.sum(cents("o_totalprice")).alias("s"),
+        F.count("*").cast("long").alias("n"),
+    )
+    j = o.join(F.broadcast(g), "o_orderpriority")
+    x = cents("o_totalprice").cast("double")
+    mu = F.col("s").cast("double") / F.col("n")
+    term = F.round((x / mu) * F.log(x / mu) * 1000000000).cast("long")
+    return (
+        j.select("o_orderpriority", "n", term.alias("term_nano"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n_orders"),
+            F.round(
+                F.sum("term_nano").cast("double") / 1000000000.0 / F.max("n"), 6
+            ).alias("theil"),
+        )
+    )
+
+
+@register(
+    "agg_entropy_conditional",
+    oracle="""
+    WITH c AS (
+      SELECT isodow(ts) AS dow, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT dow, c,
+             CAST(sum(c) OVER (PARTITION BY dow) AS BIGINT) AS cd
+      FROM c
+    )
+    SELECT dow, max(cd) AS n_events,
+      round(-(CAST(sum(CAST(round((CAST(c AS DOUBLE) / cd)
+                                  * ln(CAST(c AS DOUBLE) / cd)
+                                  * 1000000000) AS BIGINT)) AS DOUBLE)
+              / 1000000000.0), 6) AS h_bits_nat
+    FROM t GROUP BY dow
+    """,
+)
+def agg_entropy_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy H(event_type | weekday): how predictable
+    the event mix is on each ISO weekday — the information-theoretic
+    companion to [[beh_user_entropy]] (per-user) and
+    [[text_js_divergence]] (per-source drift). The domain collapses
+    to ≤ 7×|types| cells in one aggregation; the per-day normalizer
+    is an unordered window over that tiny table; each p·ln p term is
+    integerized to nano-nats before summing (order-independent,
+    ≫ 1-ulp libm ln spread). ISO weekday via `weekday()+1` /
+    `isodow` as in [[ts_seasonality_dow]]."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy(
+        (F.weekday("ts") + 1).cast("long").alias("dow"), "event_type"
+    ).agg(F.count("*").cast("long").alias("c"))
+    t = c.select(
+        "dow",
+        "c",
+        F.sum("c").over(Window.partitionBy("dow")).cast("long").alias("cd"),
+    )
+    p = F.col("c").cast("double") / F.col("cd")
+    term = F.round(p * F.log(p) * 1000000000).cast("long")
+    return t.groupBy("dow").agg(
+        F.max("cd").alias("n_events"),
+        F.round(
+            -(F.sum(term).cast("double") / 1000000000.0), 6
+        ).alias("h_bits_nat"),
+    )
+
+
+@register(
+    "beh_type_overlap_jaccard",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    cnt AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1
+    ),
+    pair AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both, ca.n AS n_a, cb.n AS n_b,
+           round(CAST(p.n_both AS DOUBLE) / (ca.n + cb.n - p.n_both),
+                 6) AS jaccard
+    FROM pair p
+    JOIN cnt ca ON p.type_a = ca.event_type
+    JOIN cnt cb ON p.type_b = cb.event_type
+    """,
+)
+def beh_type_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: Jaccard similarity of the user sets
+    behind every pair of event types — the segment-overlap question
+    ("do purchasers also click?") answered without materializing user
+    sets. The (user, type) dedup and the ordered self-join share one
+    user_id exchange; pair fan-out is bounded by |types|² per user
+    (≤ C(5,2) = 10 pairs here), independent of event volume. Type
+    totals broadcast back onto the 10-row pair table."""
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    cnt = ut.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select(F.col("user_id").alias("uid2"), F.col("event_type").alias("type_b"))
+    pair = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("uid2"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    ca = cnt.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pair.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "profile_histogram_equidepth",
+    oracle="""
+    WITH w AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+    FROM w GROUP BY bucket
+    """,
+)
+def profile_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of order value: 10 buckets of
+    equal row count with their exact boundaries — the companion to
+    the fixed-width [[agg_histogram_bins]] and the shape optimizers
+    use for selectivity estimation. `ntile` is ANSI-identical on both
+    engines; the unique (price, key) sort makes bucket assignment
+    deterministic under ties. This exact form needs one global sort —
+    the 100 TB path replaces it with `approx_percentile` cutpoints
+    (one pass, no sort) at the cost of boundary exactness; the decile
+    COUNTS this query audits are what validate that approximation."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@register(
+    "ops_fulfillment_latency",
+    oracle="""
+    WITH j AS (
+      SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+             (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+               // 86400000000 AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT month, CAST(count(*) AS BIGINT) AS n_lines,
+           quantile_cont(lag_days, 0.5) AS p50_days,
+           quantile_cont(lag_days, 0.9) AS p90_days
+    FROM j GROUP BY month
+    """,
+)
+def ops_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order month (p50/p90
+    days) — the accumulating-snapshot metric behind every fulfillment
+    SLA dashboard. The orders side prunes to two columns before the
+    join (broadcastable at dimension-like sizes; shuffle join with
+    AQE otherwise); lag lands as an exact integer day count (floored
+    epoch-micros difference), and the exact interpolated percentiles
+    use the same `percentile` ↔ `quantile_cont` pairing as
+    [[agg_percentiles]]. At 100 TB the exact percentile's per-group
+    sort swaps for `approx_percentile` with identical plan shape."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.expr(
+            "(unix_micros(cast(l_shipdate as timestamp))"
+            " - unix_micros(cast(o_orderdate as timestamp))) div 86400000000"
+        ).alias("lag_days"),
+    )
+    return j.groupBy("month").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.expr("percentile(lag_days, 0.5)").alias("p50_days"),
+        F.expr("percentile(lag_days, 0.9)").alias("p90_days"),
+    )
+
+
+@register(
+    "text_stopword_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN token IN ('a', 'the', 'of', 'in', 'to')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+           round(CAST(sum(CASE WHEN token IN ('a', 'the', 'of', 'in', 'to')
+                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*),
+                 6) AS stop_ratio
+    FROM tok WHERE token <> ''
+    GROUP BY lang
+    """,
+)
+def text_stopword_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword coverage per language — the cheap language-quality
+    gate from the C4/Gopher filter families (natural prose carries a
+    stable function-word share; machine-generated or boilerplate text
+    does not). The stopword list is a tiny literal IN-list compiled
+    into codegen (no join); the explode is map-side and the shuffle
+    carries |langs| groups of three integers. The ratio is one IEEE
+    division of exact counts."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    stop = F.col("token").isin("a", "the", "of", "in", "to")
+    n_stop = F.sum(F.when(stop, 1).otherwise(0))
+    return tok.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        n_stop.alias("n_stop"),
+        F.round(n_stop.cast("double") / F.count("*"), 6).alias("stop_ratio"),
+    )
