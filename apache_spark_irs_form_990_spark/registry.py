@@ -69,6 +69,7 @@ def _load_all() -> None:
         behavioral,
         datasci_ext,
         filters,
+        frontier_ext,
         graph_ext,
         inference_ext,
         mining_ext,
