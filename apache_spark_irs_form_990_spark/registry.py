@@ -70,6 +70,7 @@ def _load_all() -> None:
         datasci_ext,
         filters,
         frontier_ext,
+        frontier2_ext,
         graph_ext,
         inference_ext,
         mining_ext,
