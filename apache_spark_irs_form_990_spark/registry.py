@@ -71,6 +71,7 @@ def _load_all() -> None:
         filters,
         frontier_ext,
         frontier2_ext,
+        frontier3_ext,
         graph_ext,
         inference_ext,
         mining_ext,
