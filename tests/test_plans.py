@@ -196,3 +196,41 @@ def test_pretrain_mix_single_data_shuffle(spark):
     # the window's — bounded count guards against plan regressions.
     assert count_occurrences(df, "Exchange") <= 4
     assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_bfs_iterations_never_rescan_fact(spark):
+    """BFS rounds run on the checkpointed edge list: the returned
+    plan's lineage must start at the in-memory RDD, with zero parquet
+    scans — proving round N does not replay the lineitem join chain."""
+    df = QUERIES["graph_bfs_hops"](spark, SF_DIR)
+    assert count_occurrences(df, "FileScan") == 0
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_roc_auc_single_domain_window(spark):
+    """ROC-AUC ranks the VALUE DOMAIN, not rows: the window input is
+    the post-aggregate frame (one data-sized exchange for the value
+    collapse, window on the domain-sized single partition)."""
+    df = QUERIES["ml_roc_auc"](spark, SF_DIR)
+    assert count_occurrences(df, "Exchange hashpartitioning") == 1
+
+
+def test_attribution_window_on_join_output(spark):
+    """Linear attribution: no Python eval, no cartesian blow-up — the
+    time-bound join is an equi-join on user with range residual."""
+    df = QUERIES["beh_attribution_linear"](spark, SF_DIR)
+    assert_not_in_plan(df, "CartesianProduct")
+    assert_not_in_plan(df, "BatchEvalPython")
+
+
+def test_rank_delta_broadcasts_part_dim(spark):
+    df = QUERIES["win_rank_delta_mom"](spark, SF_DIR)
+    assert_in_plan(df, "BroadcastHashJoin", at_least=1)
+
+
+def test_histogram_log2_partial_agg(spark):
+    """Log2 bucketing happens map-side: partial+final hash aggregate,
+    no window, no sort."""
+    df = QUERIES["agg_histogram_log2"](spark, SF_DIR)
+    assert count_occurrences(df, "HashAggregate") >= 2
+    assert_not_in_plan(df, "Exchange rangepartitioning")
