@@ -72,6 +72,7 @@ def _load_all() -> None:
         frontier_ext,
         frontier2_ext,
         frontier3_ext,
+        frontier4_ext,
         graph_ext,
         inference_ext,
         mining_ext,
