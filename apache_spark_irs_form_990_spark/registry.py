@@ -73,6 +73,7 @@ def _load_all() -> None:
         frontier2_ext,
         frontier3_ext,
         frontier4_ext,
+        frontier5_ext,
         graph_ext,
         inference_ext,
         mining_ext,

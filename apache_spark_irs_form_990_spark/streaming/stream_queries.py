@@ -619,3 +619,46 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("purchase_id", "click_id", "user_id")
     return run_to_completion(joined, "append")
+
+
+@register("stream_outer_join_unmatched")  # ◐ rows-only: tail-state emission timing
+def stream_outer_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-outer stream-stream join: every purchase joined to the same
+    user's clicks from the preceding 30 minutes; purchases with no
+    qualifying click emit with a NULL click_id AFTER the watermark
+    passes their join-eviction bound (the outer row cannot be emitted
+    earlier — a matching click might still arrive). The watermark +
+    range condition is therefore not just state GC but the CORRECTNESS
+    clock for the outer side. On a bounded file stream the final
+    watermark may hold back the last window's unmatched rows (no
+    later batch advances it), so this query gets the rows-only check
+    plus a behavioral test (tests/test_streaming.py) asserting the
+    matched subset equals the batch range-join exactly."""
+    ev = read_events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    ev2 = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev2.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select("purchase_id", "click_id", "user_id")
+    return run_to_completion(joined, "append")

@@ -63,3 +63,43 @@ def test_stream_session_window_shape(spark):
     assert rows, "no sessions emitted"
     assert all(r.session_start_us <= r.session_end_us for r in rows)
     assert all(r.n_events >= 1 for r in rows)
+
+
+def test_stream_outer_join_matched_subset_exact(spark):
+    """The matched rows of the left-outer stream-stream join must equal
+    the batch range-join exactly; unmatched purchases may be held back
+    by the final watermark but never fabricated."""
+    from apache_spark_irs_form_990_spark.streaming.stream_queries import (
+        stream_outer_join_unmatched,
+    )
+    from apache_spark_irs_form_990_spark.tables import load
+    from pyspark.sql import functions as F
+
+    out = stream_outer_join_unmatched(spark, SMOKE_SF_DIR)
+    matched = {
+        (r.purchase_id, r.click_id)
+        for r in out.filter(F.col("click_id").isNotNull()).collect()
+    }
+    ev = load(spark, SMOKE_SF_DIR, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = {
+        (r.purchase_id, r.click_id)
+        for r in p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        ).collect()
+    }
+    assert matched == batch
+    # no duplicate emission of any purchase row (matched or outer)
+    assert out.count() == out.distinct().count()
