@@ -74,6 +74,7 @@ def _load_all() -> None:
         frontier3_ext,
         frontier4_ext,
         frontier5_ext,
+        frontier6_ext,
         graph_ext,
         inference_ext,
         mining_ext,
