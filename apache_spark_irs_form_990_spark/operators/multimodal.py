@@ -114,7 +114,30 @@ def decode_features(media: DataFrame) -> DataFrame:
     )
 
 
-@register("mm_decode_features")  # ◐ rows-only: decode kernel is a stub
+@register(
+    "mm_decode_features",
+    # The decode kernel is a stub, but a DETERMINISTIC one — so the
+    # oracle re-derives it in SQL (byte-fold over the first 64 payload
+    # bytes; payloads are ASCII here, so ord(char) == byte) and the
+    # whole mapInPandas plumbing is hash-checked, not just row-counted.
+    oracle="""
+    WITH codes AS (
+      SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+             list_reduce(
+               [CAST(0 AS BIGINT)] ||
+                 [CAST(ord(substr(text, i, 1)) AS BIGINT)
+                  FOR i IN generate_series(1, least(64, len(text)))],
+               (acc, b) -> (acc * 131 + b) % 1000003) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(64 + h % 1024 AS INT) AS width,
+           CAST(64 + (h // 1024) % 1024 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           n_bytes
+    FROM codes
+    """,
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode(payload) -> typed features via Arrow-batched mapInPandas.
     The kernel is the documented stub; the plumbing (batch iteration,

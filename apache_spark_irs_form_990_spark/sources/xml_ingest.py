@@ -209,10 +209,21 @@ def write_fixture(tmp_root: str | None = None) -> str:
     return manifest
 
 
-# -- registered queries (◐ rows-only: inputs are XML files, not oracle views)
+# -- registered queries. Inputs are fixture FILES, not the oracle's
+# parquet views — but the fixtures are deterministic by construction,
+# so each query carries an exact VALUES-literal oracle (the golden
+# multiset, mirroring the reference's README.md:42-58 golden table)
+# instead of the weaker rows-only check.
 
 
-@register("ingest_manifest_xml")
+@register(
+    "ingest_manifest_xml",
+    oracle="""
+    SELECT City, CAST(Count AS BIGINT) AS Count FROM (VALUES
+      ('berkeley', 2), ('madison', 2)
+    ) AS t(City, Count)
+    """,
+)
 def ingest_manifest_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest -> fetch -> flatten, then the CitiesCount golden query.
     Expected multiset at any sf: {(berkeley,2), (madison,2)} from the
@@ -224,7 +235,14 @@ def ingest_manifest_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cities_count(flattened)
 
 
-@register("ingest_badrecord_skip")
+@register(
+    "ingest_badrecord_skip",
+    oracle="""
+    SELECT CAST(7 AS BIGINT) AS records,
+           CAST(3 AS BIGINT) AS files_processed,
+           CAST(1 AS BIGINT) AS files_failed
+    """,
+)
 def ingest_badrecord_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bad-record semantics + metrics (reference A14/A15): 3 files in,
     1 malformed -> files_processed=3, files_failed=1, records=7."""
@@ -255,7 +273,14 @@ def write_jsonl_fixture(tmp_root: str | None = None) -> str:
     return path
 
 
-@register("ingest_jsonl_permissive")  # ◐ rows-only: fixture file, no oracle view
+@register(
+    "ingest_jsonl_permissive",
+    oracle="""
+    SELECT city, CAST(cnt AS BIGINT) AS cnt, CAST(sum_amt AS DOUBLE) AS sum_amt
+    FROM (VALUES ('berkeley', 2, 124.5), ('madison', 2, 16.25))
+      AS t(city, cnt, sum_amt)
+    """,
+)
 def ingest_jsonl_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines read under PERMISSIVE mode — the declarative form of
     the reference's skip-bad-record semantics (A15) for line-oriented
@@ -307,7 +332,15 @@ def write_csv_fixture(tmp_root: str | None = None) -> str:
     return path
 
 
-@register("ingest_csv_permissive")  # ◐ rows-only: fixture file, no oracle view
+@register(
+    "ingest_csv_permissive",
+    oracle="""
+    SELECT city, CAST(cnt AS BIGINT) AS cnt, CAST(sum_amt AS DOUBLE) AS sum_amt
+    FROM (VALUES ('austin', 1, 3.1), ('berkeley', 2, 117.75),
+                 ('madison', 1, 25.0))
+      AS t(city, cnt, sum_amt)
+    """,
+)
 def ingest_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV read under PERMISSIVE mode — completes the line-source trio
     (XML manifest / JSONL / CSV) of the reference's skip-bad-record
