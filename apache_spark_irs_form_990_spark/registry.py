@@ -75,6 +75,7 @@ def _load_all() -> None:
         frontier4_ext,
         frontier5_ext,
         frontier6_ext,
+        frontier7_ext,
         graph_ext,
         inference_ext,
         mining_ext,
