@@ -76,6 +76,7 @@ def _load_all() -> None:
         frontier5_ext,
         frontier6_ext,
         frontier7_ext,
+        frontier8_ext,
         graph_ext,
         inference_ext,
         mining_ext,
