@@ -77,6 +77,7 @@ def _load_all() -> None:
         frontier6_ext,
         frontier7_ext,
         frontier8_ext,
+        frontier9_ext,
         graph_ext,
         inference_ext,
         mining_ext,

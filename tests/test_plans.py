@@ -234,3 +234,28 @@ def test_histogram_log2_partial_agg(spark):
     df = QUERIES["agg_histogram_log2"](spark, SF_DIR)
     assert count_occurrences(df, "HashAggregate") >= 2
     assert_not_in_plan(df, "Exchange rangepartitioning")
+
+
+def test_join_hint_forces_shuffle_hash(spark):
+    """The SHUFFLE_HASH hint must override the default fact-fact
+    sort-merge strategy."""
+    df = QUERIES["sql_join_hints"](spark, SF_DIR)
+    assert_in_plan(df, "ShuffledHashJoin")
+    assert_not_in_plan(df, "SortMergeJoin")
+
+
+def test_nested_struct_scan_prunes_payload(spark):
+    """The metadata-only aggregate over the media parquet must read the
+    struct leaves and never the binary payload column."""
+    df = QUERIES["scan_nested_struct_prune"](spark, SF_DIR)
+    plan = physical_plan(df)
+    read_schema = plan.split("ReadSchema:", 1)[1].split("\n")[0]
+    assert "payload" not in read_schema, read_schema
+    assert "kind" in read_schema and "n_bytes" in read_schema, read_schema
+
+
+def test_parameterized_filter_pushes_down(spark):
+    """The :threshold parameter must constant-fold into a pushed scan
+    filter exactly like a hand-written literal."""
+    df = QUERIES["sql_parameterized_args"](spark, SF_DIR)
+    assert_pushed_filter(df, "GreaterThan(c_acctbal,1000.0)")
