@@ -78,6 +78,7 @@ def _load_all() -> None:
         frontier7_ext,
         frontier8_ext,
         frontier9_ext,
+        frontier10_ext,
         graph_ext,
         inference_ext,
         mining_ext,
