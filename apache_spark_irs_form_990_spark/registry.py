@@ -79,6 +79,7 @@ def _load_all() -> None:
         frontier8_ext,
         frontier9_ext,
         frontier10_ext,
+        frontier11_ext,
         graph_ext,
         inference_ext,
         mining_ext,
