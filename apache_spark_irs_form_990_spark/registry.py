@@ -80,6 +80,7 @@ def _load_all() -> None:
         frontier9_ext,
         frontier10_ext,
         frontier11_ext,
+        frontier12_ext,
         graph_ext,
         inference_ext,
         mining_ext,

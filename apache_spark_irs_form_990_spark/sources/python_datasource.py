@@ -1,0 +1,63 @@
+"""Custom Python DataSource (Spark 4 DataSource API) — a first-class
+connector, the modern answer to the reference's hand-rolled per-URI
+fetch loop (`IRSSpark.py:192-244`): instead of smuggling I/O into
+`mapPartitionsWithIndex`, the source declares its schema and its
+partitioning and Spark owns scheduling, retries and pruning.
+
+`Filing990Source` generates deterministic synthetic 990-filing records
+(the shape of the reference's domain — EIN, filer city, revenue) from
+pure integer arithmetic, split across N input partitions exactly like
+a real connector splits files/ranges. Registered under the short name
+``filing990``; `spark.read.format("filing990").option("rows", ...)`.
+
+In production the same class shape wraps any Python-reachable system
+(a REST API, a proprietary archive, a message queue snapshot): the
+`partitions()` method is the split planner, `read(partition)` the
+per-task iterator — both run distributed, nothing flows through the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_CITIES = ("berkeley", "madison", "austin", "chicago", "boston")
+
+
+class Filing990Source(DataSource):
+    """Synthetic 990-filings connector: rows = (ein, city, revenue_cents)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "filing990"
+
+    def schema(self) -> str:
+        return "ein bigint, city string, revenue_cents bigint"
+
+    def reader(self, schema) -> "Filing990Reader":
+        return Filing990Reader(self.options)
+
+
+class Filing990Reader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.rows = int(options.get("rows", 1000))
+        self.num_partitions = int(options.get("partitions", 4))
+
+    def partitions(self):
+        # split planner: contiguous EIN ranges, one per input partition
+        return [InputPartition(i) for i in range(self.num_partitions)]
+
+    def read(self, partition):
+        per = -(-self.rows // self.num_partitions)  # ceil
+        start = partition.value * per
+        end = min(start + per, self.rows)
+        for i in range(start, end):
+            yield (i, _CITIES[i % 5], (i * 7919) % 10000000)
+
+
+def register_filing990(spark) -> None:
+    """Idempotent registration of the connector short name."""
+    try:
+        spark.dataSource.register(Filing990Source)
+    except Exception:
+        pass  # already registered in this session
