@@ -81,6 +81,7 @@ def _load_all() -> None:
         frontier10_ext,
         frontier11_ext,
         frontier12_ext,
+        frontier13_ext,
         graph_ext,
         inference_ext,
         mining_ext,
