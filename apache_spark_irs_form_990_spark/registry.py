@@ -82,6 +82,7 @@ def _load_all() -> None:
         frontier11_ext,
         frontier12_ext,
         frontier13_ext,
+        frontier14_ext,
         graph_ext,
         inference_ext,
         mining_ext,
