@@ -83,6 +83,7 @@ def _load_all() -> None:
         frontier12_ext,
         frontier13_ext,
         frontier14_ext,
+        frontier15_ext,
         graph_ext,
         inference_ext,
         mining_ext,
