@@ -84,6 +84,7 @@ def _load_all() -> None:
         frontier13_ext,
         frontier14_ext,
         frontier15_ext,
+        frontier16_ext,
         graph_ext,
         inference_ext,
         mining_ext,
