@@ -85,6 +85,7 @@ def _load_all() -> None:
         frontier14_ext,
         frontier15_ext,
         frontier16_ext,
+        frontier17_ext,
         graph_ext,
         inference_ext,
         mining_ext,
