@@ -86,6 +86,7 @@ def _load_all() -> None:
         frontier15_ext,
         frontier16_ext,
         frontier17_ext,
+        frontier18_ext,
         graph_ext,
         inference_ext,
         mining_ext,
