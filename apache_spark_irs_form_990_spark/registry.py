@@ -87,6 +87,7 @@ def _load_all() -> None:
         frontier16_ext,
         frontier17_ext,
         frontier18_ext,
+        frontier19_ext,
         graph_ext,
         inference_ext,
         mining_ext,
