@@ -88,6 +88,7 @@ def _load_all() -> None:
         frontier17_ext,
         frontier18_ext,
         frontier19_ext,
+        frontier20_ext,
         graph_ext,
         inference_ext,
         mining_ext,
