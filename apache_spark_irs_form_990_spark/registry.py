@@ -89,6 +89,7 @@ def _load_all() -> None:
         frontier18_ext,
         frontier19_ext,
         frontier20_ext,
+        frontier21_ext,
         graph_ext,
         inference_ext,
         mining_ext,
