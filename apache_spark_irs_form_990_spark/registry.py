@@ -90,6 +90,7 @@ def _load_all() -> None:
         frontier19_ext,
         frontier20_ext,
         frontier21_ext,
+        frontier22_ext,
         graph_ext,
         inference_ext,
         mining_ext,
