@@ -1,0 +1,106 @@
+"""Frontier extensions, part 23 — rank-biased overlap between two
+document rankings (SURVEY.md §2 B11 continuation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apache_spark_irs_form_990_spark.registry import register
+from apache_spark_irs_form_990_spark.tables import load
+
+_RBO_DEPTH = 50
+
+
+@register(
+    "ml_rank_biased_overlap",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS p1,
+             row_number() OVER (
+               ORDER BY len(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) DESC, doc_id) AS p2
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, greatest(p1, p2) AS md FROM scored
+      WHERE greatest(p1, p2) <= {_RBO_DEPTH}
+    ),
+    ovl AS (
+      SELECT d.d, CAST(count(m.doc_id) AS BIGINT) AS ov
+      FROM range(1, {_RBO_DEPTH + 1}) AS d(d)
+      LEFT JOIN m ON m.md <= d.d
+      GROUP BY d.d
+    ),
+    terms AS (
+      SELECT list(pow(0.5, d - 1) * (CAST(ov AS DOUBLE) / d)
+                  ORDER BY d) AS ts
+      FROM ovl
+    )
+    SELECT CAST((SELECT max(ov) FROM ovl) AS BIGINT)
+             AS overlap_at_depth,
+           round(0.5 * list_reduce([CAST(0.0 AS DOUBLE)] || ts,
+                                   (a, b) -> a + b), 6) AS rbo_p05
+    FROM terms
+    """,
+)
+def ml_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (RBO, p=0.5, depth 50) between two document
+    rankings — by character count vs by token count — the top-weighted
+    ranking-similarity measure for comparing retrieval systems or
+    checking that a cheap ranker tracks an expensive one (Kendall/
+    Spearman [[stats_spearman_rho]] weight all positions equally; RBO
+    cares most about the top, like users do). The key identity:
+    overlap at depth d = #{docs : max(rank₁, rank₂) ≤ d}, so one join
+    of the two rankings yields per-doc max-ranks and the whole depth
+    profile falls out of a 50-row spine join — no quadratic prefix
+    intersection. p = 0.5 makes the depth weights exact binary
+    fractions, and each term is (exact ratio)×2^{-(d-1)} folded in
+    fixed depth order — bit-identical cross-engine. The two global
+    ranking sorts are the data-sized work; at 100 TB they'd come from
+    the score pipelines' own top-k outputs instead."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    )
+    scored = docs.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_chars"), "doc_id"))
+        .alias("p1"),
+        F.row_number()
+        .over(Window.orderBy(n_tokens.desc(), F.col("doc_id")))
+        .alias("p2"),
+    )
+    m = scored.select(
+        "doc_id", F.greatest("p1", "p2").alias("md")
+    ).filter(F.col("md") <= _RBO_DEPTH)
+    depths = spark.range(1, _RBO_DEPTH + 1).select(
+        F.col("id").cast("int").alias("d")
+    )
+    overlaps = (
+        depths.join(F.broadcast(m), F.col("md") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("doc_id").alias("ov"))
+    )
+    terms = overlaps.agg(
+        F.max("ov").alias("overlap_at_depth"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "ov"))),
+            lambda s: F.pow(F.lit(0.5), s.getField("d") - 1)
+            * (s.getField("ov").cast("double") / s.getField("d")),
+        ).alias("ts"),
+    )
+    rbo = F.round(
+        0.5
+        * F.aggregate(
+            F.col("ts"), F.lit(0.0), lambda acc, v: acc + v
+        ),
+        6,
+    )
+    return terms.select(
+        F.col("overlap_at_depth").cast("long").alias("overlap_at_depth"),
+        rbo.alias("rbo_p05"),
+    )

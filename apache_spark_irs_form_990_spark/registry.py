@@ -91,6 +91,7 @@ def _load_all() -> None:
         frontier20_ext,
         frontier21_ext,
         frontier22_ext,
+        frontier23_ext,
         graph_ext,
         inference_ext,
         mining_ext,
