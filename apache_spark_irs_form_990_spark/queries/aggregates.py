@@ -243,7 +243,8 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_set_sorted",
     oracle="""
     SELECT o_orderpriority,
-           list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+               AS statuses,
            CAST(len(list_distinct(list(o_orderstatus))) AS BIGINT) AS n_statuses
     FROM orders
     GROUP BY o_orderpriority
@@ -251,13 +252,17 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered set aggregation: the distinct values per group as a
-    SORTED array — collect_set's nondeterministic order made canonical,
-    the only form safe to hash, diff, or join on. Set semantics bound
-    the state per group by the value domain (3 statuses here), so
-    unlike collect_list this aggregates safely over any group size."""
+    SORTED, comma-joined canonical string — collect_set's
+    nondeterministic order made canonical, the only form safe to hash,
+    diff, or join on (serialized to a scalar so any harness can hash
+    it). Set semantics bound the state per group by the value domain
+    (3 statuses here), so unlike collect_list this aggregates safely
+    over any group size."""
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias(
+            "statuses"
+        ),
         F.size(F.collect_set("o_orderstatus")).cast("long").alias("n_statuses"),
     )
 

@@ -167,11 +167,15 @@ def beh_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_setops",
     oracle="""
     SELECT vec_id,
-           list_sort(list_distinct(list_cat(a, b))) AS arr_union,
-           list_sort(list_distinct(list_filter(a, x -> list_contains(b, x))))
-               AS arr_intersect,
-           list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x))))
-               AS arr_except,
+           coalesce(array_to_string(
+             list_sort(list_distinct(list_cat(a, b))), ','), '') AS arr_union,
+           coalesce(array_to_string(
+             list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))),
+             ','), '') AS arr_intersect,
+           coalesce(array_to_string(
+             list_sort(list_distinct(
+               list_filter(a, x -> NOT list_contains(b, x)))),
+             ','), '') AS arr_except,
            len(list_distinct(list_cat(a, b))) AS n_union
     FROM (
       SELECT vec_id,
@@ -186,18 +190,24 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-ins — the set-feature primitive for tag lists and shingle
     sets that must never fall back to Python at 100 TB. Spark's
     array_union/intersect/except already carry set semantics; outputs
-    are array_sort-ed because the two engines order set results
-    differently (first-occurrence vs internal), making sorted form the
-    only stable cross-engine representation. Inputs are deterministic
+    are array_sort-ed (engines order set results differently) and
+    serialized to canonical comma-joined strings — the only stable,
+    hashable cross-engine representation. Inputs are deterministic
     integer ranges derived from the row key."""
     e = load(spark, sf_dir, "embeddings")
     a = F.sequence(F.col("vec_id") % 7, F.col("vec_id") % 7 + 4)
     b = F.sequence(F.col("vec_id") % 3, F.col("vec_id") % 3 + 4)
+
+    def canon(arr):
+        return F.array_join(
+            F.transform(F.array_sort(arr), lambda x: x.cast("string")), ","
+        )
+
     return e.select(
         "vec_id",
-        F.array_sort(F.array_union(a, b)).alias("arr_union"),
-        F.array_sort(F.array_intersect(a, b)).alias("arr_intersect"),
-        F.array_sort(F.array_except(a, b)).alias("arr_except"),
+        canon(F.array_union(a, b)).alias("arr_union"),
+        canon(F.array_intersect(a, b)).alias("arr_intersect"),
+        canon(F.array_except(a, b)).alias("arr_except"),
         F.size(F.array_union(a, b)).cast("long").alias("n_union"),
     )
 

@@ -591,7 +591,9 @@ def fn_math_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_regex_extract_all",
     oracle="""
     SELECT doc_id,
-           list_sort(regexp_extract_all(text, '[a-z]*ow[a-z]*')) AS hits,
+           coalesce(array_to_string(
+             list_sort(regexp_extract_all(text, '[a-z]*ow[a-z]*')), ','), '')
+               AS hits,
            len(regexp_extract_all(text, '[a-z]*ow[a-z]*')) AS n_hits
     FROM documents
     """,
@@ -599,16 +601,17 @@ def fn_math_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """regexp_extract_all: every match per document as an array (the
     multi-match sibling of regexp_extract, needed for entity/URL
-    harvesting). Arrays emitted sorted — match ORDER is identical in
-    both engines (left-to-right), but sorted form also survives any
-    future canonicalization; count comes from the same expression,
-    which Catalyst's common-subexpression elimination evaluates
-    once."""
+    harvesting). Matches emitted sorted and comma-joined — match ORDER
+    is identical in both engines (left-to-right), but the sorted,
+    serialized scalar form is the only representation every
+    canonicalization harness can sort and hash; count comes from the
+    same expression, which Catalyst's common-subexpression elimination
+    evaluates once."""
     d = load(spark, sf_dir, "documents")
     hits = F.expr("regexp_extract_all(text, '[a-z]*ow[a-z]*', 0)")
     return d.select(
         "doc_id",
-        F.array_sort(hits).alias("hits"),
+        F.array_join(F.array_sort(hits), ",").alias("hits"),
         F.size(hits).cast("long").alias("n_hits"),
     )
 
