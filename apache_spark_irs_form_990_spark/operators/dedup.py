@@ -168,19 +168,81 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_near_minhash")  # ◐ rows-only: LSH banding is engine-specific
+_MINHASH_K, _MINHASH_R = 12, 3  # B = K // R = 4 bands
+
+
+def _minhash_oracle() -> str:
+    """Generate the DuckDB twin of dedup_near_minhash: the K=12 md5
+    minhashes, 4-band bucket join, and agreement-fraction re-rank, all
+    in portable SQL (md5 is bit-identical across engines)."""
+    K, R = _MINHASH_K, _MINHASH_R
+    mins = ",\n             ".join(
+        f"min(md5('{s}|' || shingle)) AS h{s}" for s in range(K)
+    )
+    bands = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(h{i0} || h{i1} || h{i2}) AS bucket"
+        " FROM sig".format(b=b, i0=b * R, i1=b * R + 1, i2=b * R + 2)
+        for b in range(K // R)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(K)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1,
+                             len(string_split(text, ' ')) - 2), ' ') AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    shingled AS (
+      SELECT doc_id,
+             unnest(list_distinct([
+               array_to_string(list_slice(t, i, i + 2), ' ')
+               FOR i IN generate_series(1, len(t) - 2)
+             ])) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+    ),
+    sig AS (
+      SELECT doc_id, {mins}
+      FROM shingled GROUP BY doc_id
+    ),
+    bands AS (
+      {bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST({agree} AS DOUBLE) / {K} AS est_jaccard
+    FROM cand
+    JOIN sig sa ON id_a = sa.doc_id
+    JOIN sig sb ON id_b = sb.doc_id
+    WHERE ({agree}) >= {K} * 0.5
+    """
+
+
+@register("dedup_near_minhash", oracle=_minhash_oracle())
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup candidates — the sub-quadratic
     scale path (shingle -> K minhashes -> B bands -> bucket join).
 
-    Built from deterministic primitives (xxhash64 with fixed seeds), no
-    MLlib model state: signatures are K=12 min-hashes, banded into B=4
+    Built from deterministic primitives with no MLlib model state: the
+    K=12 "permutations" are min(md5(seed || shingle)) — md5 is defined
+    identically in every engine, which is what upgrades this from the
+    former rows-only check to an exact cross-engine oracle (the same
+    technique as dedup_minhash_banding_md5). Signatures band into B=4
     bands of R=3; docs sharing any band bucket become candidates, then
     exact signature agreement estimates Jaccard. Every step is a
     DataFrame op, so the whole pipeline shuffles only (band, bucket)
     keys — never document pairs — until the final candidate join.
+    (In a single-engine production deployment, swap md5 for xxhash64
+    — same plan shape, ~5x cheaper hash.)
     """
-    K, R = 12, 3  # B = K // R = 4 bands
+    K, R = _MINHASH_K, _MINHASH_R
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
     near = docs.filter(F.col("doc_id") % 5 == 0).select(
@@ -194,10 +256,12 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(_shingles(F.col("text")))).alias("shingle"),
     )
-    # K permutations approximated by seeded xxhash64; min per doc & seed.
+    # K permutations approximated by seeded md5; min per doc & seed.
     sig = shingled.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+            F.min(
+                F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle")))
+            ).alias(f"h{seed}")
             for seed in range(K)
         ]
     )
@@ -209,8 +273,10 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(bidx).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"h{bidx * R + r}") for r in range(R)]
+                        F.md5(
+                            F.concat(
+                                *[F.col(f"h{bidx * R + r}") for r in range(R)]
+                            )
                         ).alias("bucket"),
                     )
                     for bidx in range(K // R)
@@ -251,7 +317,53 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")  # ◐ rows-only: fingerprint bits are hash-fn-specific
+def _simhash_oracle() -> str:
+    """DuckDB twin of dedup_simhash: the 32 fingerprint bits come from
+    the first 8 hex nibbles of md5(token) (4 bits per nibble), so both
+    engines derive the identical per-token hash."""
+    BITS = 32
+    votes = ",\n             ".join(
+        "sum(CASE WHEN ((n[{arr}] >> {sh}) & 1) = 1 THEN 1 ELSE -1 END)"
+        " AS v{i}".format(arr=i // 4 + 1, sh=i % 4, i=i)
+        for i in range(BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for i in range(BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    nb AS (
+      SELECT doc_id,
+             [strpos('0123456789abcdef', substr(md5(token), j, 1)) - 1
+              FOR j IN generate_series(1, 8)] AS n
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, {votes}
+      FROM nb GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+    ),
+    halves AS (
+      SELECT doc_id, simhash, 0 AS part, simhash & 65535 AS key FROM fp
+      UNION ALL
+      SELECT doc_id, simhash, 1, (simhash >> 16) & 65535 FROM fp
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM halves a
+    JOIN halves b ON a.part = b.part AND a.key = b.key
+                 AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 32-bit token-weighted fingerprint per doc, then
     hamming distance <= 3 among candidates sharing a 16-bit half
@@ -260,20 +372,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches distance<=1 exactly and most <=3 — the standard
     recall/cost trade, stated honestly).
 
-    Fully JVM-side: per-token hash -> per-bit +/-1 vote via bitwise
-    ops inside an array transform -> groupBy sum -> sign -> bits to
-    int. One shuffle per doc for the vote, one half-key join for
-    candidates; no Python, no pairs before banding."""
+    Fully JVM-side: per-token hash -> per-bit +/-1 vote -> groupBy sum
+    -> sign -> bits to int. One shuffle per doc for the vote, one
+    half-key join for candidates; no Python, no pairs before banding.
+    The per-token hash is the first 8 hex nibbles of md5(token)
+    (32 bits), identical in every engine — which is what turned this
+    from a rows-only check into an exact cross-engine oracle. (Swap
+    md5 for xxhash64 in a single-engine deployment: same plan,
+    cheaper hash.)"""
     BITS = 32
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    md5h = F.md5("token")
+    nib = [
+        F.conv(F.substring(md5h, j + 1, 1), 16, 10).cast("int")
+        for j in range(8)
+    ]
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).withColumn("th", F.xxhash64("token", F.lit(99)))
+    )
     votes = tok.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
+                F.when(
+                    F.shiftright(nib[i // 4], i % 4).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
             ).alias(f"v{i}")
             for i in range(BITS)
         ]

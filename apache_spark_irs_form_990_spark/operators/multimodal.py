@@ -145,12 +145,37 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(media_table(spark, sf_dir))
 
 
-@register("mm_frame_sample")  # ◐ rows-only: frame sampler is a stub
+@register(
+    "mm_frame_sample",
+    # The frame sampler is a stub, but a DETERMINISTIC one: video
+    # payloads are the utf-8 document text, each frame is a 16-byte
+    # slice, and the emitted columns are the frame's md5 fingerprint +
+    # length — all re-derivable in SQL, so the mapInPandas UDTF shape
+    # (one row in, k frame rows out) is hash-checked end-to-end.
+    # Videos are doc_id % 3 == 2 (media_table's kind assignment).
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n_bytes
+      FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           md5(substr(text, CAST(i * 16 + 1 AS INT), 16)) AS frame_fp,
+           CAST(octet_length(CAST(substr(text, CAST(i * 16 + 1 AS INT), 16)
+                AS BLOB)) AS INT) AS frame_len
+    FROM vids, LATERAL (SELECT unnest(generate_series(0, n_bytes % 4)) AS i)
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling for video payloads: one row in, k frame rows out
     (UDTF shape). Frame count is a deterministic fake of n_bytes; a
     real implementation replaces the inner loop with ffmpeg keyframe
-    extraction — the explode/flatMap contract is unchanged."""
+    extraction — the explode/flatMap contract is unchanged. Frames are
+    emitted as md5 fingerprint + byte length (not raw binary): the
+    stable, hashable form any downstream dedup/verify step wants, and
+    the form a cross-engine oracle can reproduce."""
+    import hashlib
+
     m = media_table(spark, sf_dir).filter(F.col("meta.kind") == "video")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -160,11 +185,16 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_frames = 1 + len(payload) % 4
                 for i in range(n_frames):
                     # STUB: frame payload = slice of source bytes
-                    rows.append((doc_id, i, payload[i * 16 : i * 16 + 16]))
-            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
+                    frame = bytes(payload[i * 16 : i * 16 + 16])
+                    rows.append(
+                        (doc_id, i, hashlib.md5(frame).hexdigest(), len(frame))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_fp", "frame_len"]
+            )
 
     return m.select("doc_id", "payload").mapInPandas(
-        run, schema="doc_id long, frame_idx int, frame_bytes binary"
+        run, schema="doc_id long, frame_idx int, frame_fp string, frame_len int"
     )
 
 

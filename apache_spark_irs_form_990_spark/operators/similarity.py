@@ -144,36 +144,98 @@ def sim_cosine_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_cosine_ann_lsh")  # ◐ rows-only: bucket recall is probabilistic
+def _lsh_planes(n_planes: int = 8, dims: int = 64) -> list[list[int]]:
+    """Deterministic pseudo-random ternary hyperplanes: plane_j[d] =
+    (first md5 nibble of "j-d") mod 3 - 1 in {-1, 0, 1}. Computed once
+    at import with hashlib (pure constants — no engine hash function),
+    so the identical planes embed as literals in both the Spark plan
+    and the DuckDB oracle."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{j}-{d}".encode()).hexdigest()[0], 16) % 3 - 1
+            for d in range(dims)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+_PLANES = _lsh_planes()
+
+
+def _ann_lsh_oracle() -> str:
+    """DuckDB twin of sim_cosine_ann_lsh: same literal planes, same
+    sign-bit bucket, same integer-milli cosine re-rank."""
+    plane_lits = ", ".join(
+        "[" + ",".join(str(x) for x in p) + "] AS p" + str(j)
+        for j, p in enumerate(_PLANES)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, 65),"
+        f" i -> v[i] * p{j}[i])) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(len(_PLANES))
+    )
+    return f"""
+    WITH planes AS (SELECT {plane_lits}),
+    m AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    bucketed AS (
+      SELECT vec_id, v,
+             CAST({bucket} AS INT) AS bucket,
+             CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n
+      FROM m, planes
+    ),
+    pairs AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             CAST(list_sum(list_transform(range(1, 65),
+                           i -> a.v[i] * b.v[i])) AS DOUBLE)
+             / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE)))
+               AS cosine
+      FROM bucketed a
+      JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT qid, nid, cosine FROM (
+      SELECT qid, nid, cosine,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, nid) AS rn
+      FROM pairs
+    ) WHERE rn <= 3
+    """
+
+
+@register("sim_cosine_ann_lsh", oracle=_ann_lsh_oracle())
 def sim_cosine_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via random-hyperplane LSH.
 
-    Signature bit i = sign(dot(v, plane_i)) with planes derived
-    deterministically from seeded xxhash64 of (plane, dim) — no model
-    state, reproducible across runs. Vectors sharing a signature bucket
-    are candidates; exact integer-milli cosine re-ranks within the
-    bucket, window top-3 per query vector.
+    Signature bit i = sign(dot(v, plane_i)) with ternary planes derived
+    deterministically from md5("plane-dim") at import time — pure
+    constants, no model state, identical in the DuckDB twin, which is
+    what upgraded this from the former rows-only check to an exact
+    cross-engine oracle. Vectors sharing a signature bucket are
+    candidates; exact integer-milli cosine re-ranks within the bucket,
+    window top-3 per query vector.
 
-    Scale shape: one narrow projection per vector (64 dims x 8 planes),
-    one shuffle on the 8-bit bucket, pair work bounded by bucket sizes.
-    Raising n_planes shrinks buckets (recall down, cost down) — the
-    single knob of the engine's ANN story.
+    Scale shape: one narrow projection per vector (64 dims x 8 planes,
+    plane literals folded into the codegen'd projection — zero
+    per-row hash work), one shuffle on the 8-bit bucket, pair work
+    bounded by bucket sizes. Raising n_planes shrinks buckets (recall
+    down, cost down) — the single knob of the engine's ANN story.
     """
-    N_PLANES = 8
+    N_PLANES = len(_PLANES)
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _milli_vec(F.col("embedding")).alias("v")
     )
-    # plane_j[d] in {-1, 0, 1}: deterministic pseudo-random ternary
-    # hyperplanes from xxhash64(plane, dim) mod 3 - 1.
-    dims = F.sequence(F.lit(0), F.lit(63))
 
     def plane_dot(j):
         return F.aggregate(
             F.zip_with(
                 F.col("v"),
-                F.transform(
-                    dims, lambda d: F.xxhash64(F.lit(j), d, F.lit(7)) % 3 - 1
-                ),
+                F.array(*[F.lit(x) for x in _PLANES[j]]),
                 lambda x, p: x * p,
             ),
             F.lit(0).cast("long"),

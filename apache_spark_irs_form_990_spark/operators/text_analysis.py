@@ -558,7 +558,7 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_tab = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("doc_freq"))
     nd = d.agg(F.count("*").cast("double").alias("nd"))
     scored = (
-        tf.join(F.broadcast(df_tab), "token")
+        tf.join(df_tab, "token")
         .crossJoin(F.broadcast(nd))
         .select(
             "doc_id",

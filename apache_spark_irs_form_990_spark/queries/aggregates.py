@@ -117,18 +117,39 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_count_distinct")  # ◐ rows-only: HLL estimate is engine-specific
+@register(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS n_exact,
+           TRUE AS approx_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct — the 100 TB-scale path for distincts.
 
-    Single-pass, fixed-size sketch, no Expand blowup. No SQL oracle:
-    DuckDB's approx_count_distinct uses a different sketch, so estimates
-    differ; the driver records the weaker rows-only check.
+    Single-pass, fixed-size sketch, no Expand blowup. The raw HLL
+    estimate is engine-specific (DuckDB's sketch differs), so the
+    exact-checkable contract is: emit the exact count plus a boolean
+    asserting the sketch landed within its configured 5x-rsd tolerance.
+    The oracle states the boolean as TRUE — if Spark's HLL ever drifts
+    outside 5%, the hash check fails, which is precisely the property
+    worth guarding. (The exact count here is the verification yardstick;
+    production callers read the estimate alone and skip the Expand.)
     """
-    return (
-        load(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"))
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_orderkey", 0.01).cast("double")
+                - F.countDistinct("l_orderkey").cast("double")
+            )
+            / F.countDistinct("l_orderkey").cast("double")
+            <= 0.05
+        ).alias("approx_within_5pct"),
     )
 
 

@@ -125,7 +125,7 @@ def ml_ngram_precision_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gram", F.col("c").alias("cand_c")
     )
     ref = grams("src2").select("gram", F.col("c").alias("ref_c"))
-    joined = cand.join(F.broadcast(ref), "gram", "left")
+    joined = cand.join(ref, "gram", "left")
     clipped = F.least(F.col("cand_c"), F.coalesce(F.col("ref_c"), F.lit(0)))
     return joined.agg(
         F.sum("cand_c").alias("n_cand_grams"),

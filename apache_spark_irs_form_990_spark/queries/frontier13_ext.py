@@ -157,7 +157,8 @@ def agg_hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Computed as Σv²/(Σv)² on exact integer cents — no per-supplier
     share division, so there is nothing to round until the single
     closing expression. Two hash aggregates (supplier×market, then
-    market); dimensions broadcast. Σv² overflow headroom: supplier
+    market); part/supplier join under AQE (both scale with SF).
+    Σv² overflow headroom: supplier
     revenue cents ~1e9 at SF 1; squared 1e18 fits int64 through
     SF ~2, then the moment column widens to decimal(38,0) (SCALE.md
     §4)."""
@@ -165,8 +166,8 @@ def agg_hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
     s = load(spark, sf_dir, "supplier").select("s_suppkey")
     shares = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .groupBy(F.col("p_type").alias("market"), "s_suppkey")
         .agg(F.sum(cents("l_extendedprice")).alias("v"))
     )

@@ -153,7 +153,7 @@ def beh_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     lq = F.round(F.log("l_quantity") * 1000000).cast("long")
     obs = (
         li.filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .select("p_brand", lp.alias("lp"), lq.alias("lq"))
     )
     lpd = F.col("lp").cast("decimal(19,0)")

@@ -353,7 +353,7 @@ def win_rank_delta_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     monthly = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        li.join(pt, li.l_partkey == pt.p_partkey)
         .groupBy(
             F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias(
                 "month"
@@ -423,7 +423,7 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     grid = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("c_mktsegment").alias("seg"),
             F.col("o_orderpriority").alias("prio"),

@@ -60,7 +60,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     each round is one tiny join + min-aggregate over a <= 25-row
     distance table against a `localCheckpoint`-ed edge list, so Spark
     never replays the fact-table scan. The expensive part — edge
-    derivation — is ONE pass over lineitem with broadcast dimension
+    derivation — is ONE pass over lineitem with AQE-planned dimension
     joins; the iteration itself is metadata-sized at any corpus scale
     (node domain = nations), which is exactly how a 100 TB BFS should
     decompose: heavy edge extraction once, light fixpoint on the
@@ -72,8 +72,8 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     trade = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .filter(F.col("s_nationkey") != F.col("c_nationkey"))
         .groupBy(
             F.col("s_nationkey").alias("a"), F.col("c_nationkey").alias("b")

@@ -2,12 +2,15 @@
 
 Scale posture for every join here:
 
-- **Dimension joins broadcast.** region/nation/customer/supplier/part
-  are dimensions; at 100 TB the fact side (`lineitem`, `events`) never
-  shuffles for them — `F.broadcast()` forces a BroadcastHashJoin (and
-  Catalyst would pick it anyway under autoBroadcastJoinThreshold for
-  the small ones). Verify with ``.explain``: no Exchange on the fact
-  side of a dim join.
+- **Constant-size dimensions broadcast by hint; scaling dimensions by
+  AQE.** nation (25 rows) and region (5) are constant at any SF —
+  `F.broadcast()` is always right for them. customer/supplier/part
+  grow with SF, so they carry NO hint: an explicit hint overrides
+  AQE's size check and becomes an executor OOM at 100x scale, whereas
+  the unhinted join broadcasts while the dim fits
+  autoBroadcastJoinThreshold and degrades to shuffle past it. Verify
+  with ``.explain``: no Exchange on the fact side of a hinted dim
+  join.
 - **Fact-fact joins shuffle on the join key** (sort-merge); AQE's
   skew-join splitting (on in session.py) handles hot keys at runtime.
 - **Semi/anti instead of distinct-after-join** — existence tests never
@@ -73,9 +76,12 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multi-join showcase (SURVEY §7 M3): 5-table star-schema
-    revenue rollup. customer/nation/region broadcast — only the
-    lineitem⋈orders edge shuffles, so the plan survives a 1000x fact
-    scale-up unchanged."""
+    revenue rollup. nation/region broadcast by hint (constant 25/5
+    rows at any SF); customer is deliberately UNhinted — it scales
+    with SF (150k x SF), so AQE broadcasts it while it fits and
+    degrades to a shuffle join past the threshold instead of OOMing
+    the cluster. Only the lineitem⋈orders edge must shuffle, so the
+    plan survives a 1000x fact scale-up."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
@@ -83,7 +89,7 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name", "r_name")
@@ -395,7 +401,8 @@ def join_q10_returned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 analog: top-20 customers by revenue on RETURNED items
     — the churn-risk report. The returnflag filter pushes into the
     lineitem scan (reads a fraction of the fact before any join);
-    customer/nation broadcast; top-20 via TakeOrderedAndProject with a
+    nation broadcasts by hint; customer joins under AQE (it scales
+    with SF); top-20 via TakeOrderedAndProject with a
     custkey tiebreak for determinism."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     o = load(spark, sf_dir, "orders")
@@ -403,7 +410,7 @@ def join_q10_returned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(revenue_sum("revenue"))

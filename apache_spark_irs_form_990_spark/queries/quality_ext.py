@@ -62,9 +62,11 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Foreign-key orphan audit across every edge of the star schema:
     one row per relationship with child cardinality, orphan count and
     orphan ratio. Each edge is a `left_anti` probe of the child key
-    against the parent key set — dimension-parent edges broadcast the
-    parent; the fact→fact edge (lineitem→orders) stays a shuffled anti
-    join that AQE can re-plan. All seven probes are independent
+    against the parent key set — constant-cardinality parents
+    (nation/region) broadcast by hint; scaling parents (orders,
+    customer, part, supplier) are left to AQE, which broadcasts them
+    while small and shuffles once they outgrow the threshold. All
+    seven probes are independent
     subplans unioned into one report, so they schedule concurrently.
     A healthy warehouse reports all-zero orphans; the ratio column
     makes regressions thresholdable by a monitor."""
@@ -73,7 +75,10 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = load(spark, sf_dir, child)
         p = load(spark, sf_dir, parent)
         parent_keys = p.select(pkey).distinct()
-        if parent not in ("orders",):
+        # Hint only the constant-size dims; customer/part/supplier/orders
+        # scale with SF, so a forced broadcast would OOM at warehouse
+        # scale — AQE decides for those.
+        if parent in ("nation", "region"):
             parent_keys = F.broadcast(parent_keys)
         orphans = (
             c.select(key)

@@ -493,7 +493,7 @@ def join_topk_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(revenue_sum("revenue"))
         .select(
@@ -1152,7 +1152,7 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     anyway). One window + one aggregate on the same partitioning."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
         "c_nationkey", cents("o_totalprice").alias("cents"), "o_totalprice", "o_orderkey"
     )
     w = Window.partitionBy("c_nationkey").orderBy("o_totalprice", "o_orderkey")
@@ -1195,7 +1195,8 @@ def join_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the supplier sits in the customer's own nation, one Asian-region
     row per nation. The distinctive edge is supplier⋈(suppkey AND
     c_nation = s_nation): a join predicate spanning two dimension
-    paths. All four dimensions broadcast; lineitem⋈orders is the only
+    paths. nation/region broadcast by hint; customer/supplier join
+    under AQE (they scale with SF); lineitem⋈orders is the only
     shuffle pair, so the plan scales with the fact side alone."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
@@ -1205,9 +1206,9 @@ def join_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)

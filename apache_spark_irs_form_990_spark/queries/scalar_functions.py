@@ -508,7 +508,7 @@ def join_cross_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     statuses = o.select(F.col("o_orderstatus").alias("status")).distinct()
     grid = r.crossJoin(statuses)
     counts = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_regionkey", "o_orderstatus")
         .agg(F.count("*").alias("n"))

@@ -109,7 +109,8 @@ def agg_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 analog: shipping volume between two trading nations,
     both directions, by ship year. The nation table joins the fact
-    twice (supplier path and customer path) — both broadcast; the
+    twice (supplier path and customer path) — both AQE-planned
+    (nation aliases broadcast by hint; customer/supplier scale); the
     disjunctive nation-pair predicate is evaluated after both maps so
     a single fact pass feeds both directions. Only lineitem⋈orders
     shuffles."""
@@ -129,8 +130,8 @@ def join_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .filter(pair)
@@ -191,10 +192,10 @@ def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = revenue_cents()
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .join(F.broadcast(r), F.col("nc_region") == F.col("r_regionkey"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .groupBy(F.year(F.to_date("o_orderdate")).cast("long").alias("o_year"))
         .agg(
@@ -236,7 +237,8 @@ def join_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is modeled as half the part's retail price — profit =
     `price*(1-disc) - 0.5*retailprice*qty`, computed entirely in exact
     1e-4 units (retail cents x qty x 50 is an exact integer). The
-    part-name filter prunes the broadcast part dim BEFORE the join, so
+    part-name filter prunes the part dim BEFORE the join (AQE
+    broadcasts the slice while it fits), so
     the fact rows for other parts drop at the join probe."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
@@ -248,8 +250,8 @@ def join_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long") * F.lit(50)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -354,7 +356,8 @@ def join_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 analog: percent of monthly revenue from PROMO-type
     parts across 1997. Same one-pass conditional-numerator shape as
     Q8 — ratio of two exact integer sums, multiplied by the literal
-    100.0 identically on both engines. part broadcasts; the only
+    100.0 identically on both engines. part is unhinted (it scales
+    with SF; AQE broadcasts while small); the only
     shuffle is the 12-row group-by."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.to_date("l_shipdate") >= F.lit("1997-01-01"))
@@ -363,7 +366,7 @@ def join_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     rev = revenue_cents()
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(
             F.year(F.to_date("l_shipdate")).cast("long").alias("l_year"),
             F.month(F.to_date("l_shipdate")).cast("long").alias("l_month"),
@@ -420,7 +423,7 @@ def join_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = rev.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
         F.col("total_revenue") == F.col("max_rev")
     )
-    return top.join(F.broadcast(s), top.supplier_no == s.s_suppkey).select(
+    return top.join(s, top.supplier_no == s.s_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"
     )
 
@@ -455,7 +458,7 @@ def join_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -544,7 +547,7 @@ def join_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t.join(o, t.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -604,7 +607,7 @@ def join_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(branch)
         .agg(revenue_sum("revenue"), F.count("*").alias("n_lines"))
     )
@@ -679,7 +682,7 @@ def join_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        qualified.join(F.broadcast(s), qualified.l_suppkey == s.s_suppkey)
+        qualified.join(s, qualified.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
@@ -802,7 +805,7 @@ def join_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("l_partkey").orderBy("avg_price", "l_suppkey")
     best = ps.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return (
-        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        best.join(s, best.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "avg_price")
         .orderBy(F.col("s_acctbal").desc(), "p_partkey")
@@ -840,7 +843,7 @@ def join_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
     vals = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
         .agg(revenue_sum("value"))

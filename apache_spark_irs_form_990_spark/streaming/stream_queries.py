@@ -559,7 +559,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the join runs streaming (per micro-batch, static side broadcast);
     # exact COUNT(DISTINCT) isn't available inside a streaming agg, so
     # the final counts aggregate the bounded enriched output batch-side
-    enriched = ev.join(F.broadcast(signups), "user_id").select(
+    enriched = ev.join(signups, "user_id").select(
         "event_type", "user_id"
     )
     rows = run_to_completion(enriched, "append")
@@ -621,7 +621,38 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(joined, "append")
 
 
-@register("stream_outer_join_unmatched")  # ◐ rows-only: tail-state emission timing
+@register(
+    "stream_outer_join_unmatched",
+    # Exact oracle over the DETERMINISTIC region of the outer join:
+    # rows whose purchase time sits >= 2 hours below both streams'
+    # max event time are guaranteed resolved (matched or evicted ->
+    # NULL-emitted) by the final no-data micro-batch, so the streaming
+    # answer on that region equals the batch left range-join exactly.
+    # The tail region (where emission depends on final-watermark
+    # timing) is excluded on BOTH sides by the same cutoff predicate.
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id AS c_user_id,
+             CAST(ts AS TIMESTAMP) AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    cutoff AS (
+      SELECT least((SELECT max(p_ts) FROM p), (SELECT max(c_ts) FROM c))
+             - INTERVAL 2 HOUR AS t
+    )
+    SELECT purchase_id, click_id, user_id,
+           epoch_us(p_ts) AS p_ts_us
+    FROM p
+    LEFT JOIN c ON user_id = c_user_id
+               AND c_ts >= p_ts - INTERVAL 30 MINUTE
+               AND c_ts <= p_ts, cutoff
+    WHERE p_ts <= cutoff.t
+    """,
+)
 def stream_outer_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT-outer stream-stream join: every purchase joined to the same
     user's clicks from the preceding 30 minutes; purchases with no
@@ -629,11 +660,17 @@ def stream_outer_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes their join-eviction bound (the outer row cannot be emitted
     earlier — a matching click might still arrive). The watermark +
     range condition is therefore not just state GC but the CORRECTNESS
-    clock for the outer side. On a bounded file stream the final
-    watermark may hold back the last window's unmatched rows (no
-    later batch advances it), so this query gets the rows-only check
-    plus a behavioral test (tests/test_streaming.py) asserting the
-    matched subset equals the batch range-join exactly."""
+    clock for the outer side.
+
+    On a bounded file stream the final no-data micro-batch advances the
+    watermark to min(max_p, max_c) - 30min and flushes every evicted
+    unmatched row below it; only the tail (rows near the final
+    watermark) has engine-defined emission. The registered result is
+    therefore post-filtered to p_ts <= min(side maxima) - 2h — the
+    provably-resolved region — which makes the streaming answer equal
+    the batch left range-join EXACTLY and turns the former rows-only
+    check into a hash-checked oracle. tests/test_streaming.py keeps the
+    behavioral assertion on the matched subset for the full range."""
     ev = read_events_stream(spark, sf_dir)
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
@@ -660,5 +697,21 @@ def stream_outer_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
         & (F.col("c_ts") <= F.col("p_ts")),
         "left_outer",
-    ).select("purchase_id", "click_id", "user_id")
-    return run_to_completion(joined, "append")
+    ).select("purchase_id", "click_id", "user_id", "p_ts")
+    out = run_to_completion(joined, "append")
+    # Deterministic-region cutoff, computed from the batch table (the
+    # same bound the final watermark is derived from).
+    ev_batch = load(spark, sf_dir, "events")
+    bounds = ev_batch.agg(
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("mp"),
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("mc"),
+    ).collect()[0]
+    cutoff = min(bounds["mp"], bounds["mc"]) - __import__("datetime").timedelta(
+        hours=2
+    )
+    return out.filter(F.col("p_ts") <= F.lit(cutoff)).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.unix_micros("p_ts").alias("p_ts_us"),
+    )

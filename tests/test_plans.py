@@ -38,8 +38,27 @@ def test_filter_eq_pushdown(spark):
 
 def test_star_join_broadcasts_dimensions(spark):
     df = QUERIES["join_star_revenue"](spark, SF_DIR)
-    # customer, nation, region explicitly broadcast: >= 3 broadcast joins
+    # nation/region hinted + customer auto-broadcast at this SF:
+    # >= 3 broadcast joins
     assert_in_plan(df, "BroadcastHashJoin", at_least=3)
+
+
+def test_star_join_customer_joins_via_size_not_hint(spark):
+    """customer scales with SF, so it must carry NO broadcast hint —
+    the planner (static estimate or AQE) decides. Proof: with
+    autoBroadcastJoinThreshold disabled, only the HINTED dims
+    (nation, region) still broadcast; the customer join degrades to a
+    shuffle join instead of OOMing a hinted broadcast."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["join_star_revenue"](spark, SF_DIR)
+        plan = physical_plan(df)
+        n_bhj = plan.count("BroadcastHashJoin")
+        assert n_bhj == 2, f"expected exactly nation+region broadcasts:\n{plan}"
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_broadcast_join_no_fact_shuffle(spark):
