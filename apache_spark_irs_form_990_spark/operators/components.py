@@ -26,6 +26,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from apache_spark_irs_form_990_spark.operators.dedup import _shingles
+from apache_spark_irs_form_990_spark.operators.similarity import (
+    _SQL_COS_AB,
+    _dot,
+    _sq_norm,
+    banded_lsh_pairs,
+    banded_lsh_pairs_sql,
+    emb_milli_corpus,
+    emb_milli_corpus_sql,
+)
 from apache_spark_irs_form_990_spark.registry import register
 from apache_spark_irs_form_990_spark.tables import load
 
@@ -176,23 +185,59 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_semantic_cluster",
-    oracle="""
-    WITH RECURSIVE q AS (
+_SQL_MILLI_EMB = """m0 AS (
       SELECT vec_id,
              list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
       FROM embeddings
+    )"""
+
+
+def _semantic_corpus(spark: SparkSession, sf_dir: str, cap: int | None = None):
+    """Embeddings plus TWO truncation generations of every 5th vector
+    (dims >= 60 zeroed at +1e6; dims >= 56 zeroed at +2e6) — a
+    deterministic chain orig ~0.97~ gen1 ~0.97~ gen2 with orig-gen2
+    usually in [0.9, 0.95), so components have real multi-hop
+    structure (the `_three_gen_corpus` move, for vectors)."""
+    return emb_milli_corpus(spark, sf_dir, keeps=(60, 56), cap=cap)
+
+
+def _semantic_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine >= 0.9 edges among banded-LSH candidates of the injected
+    corpus — the bucketed edge source for the cluster default."""
+    corpus = _semantic_corpus(spark, sf_dir).withColumn("n", _sq_norm(F.col("v")))
+    cand = banded_lsh_pairs(corpus.select("vec_id", "v"))
+    a = corpus.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    cosine = _dot(F.col("va"), F.col("vb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(cosine >= 0.9)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+
+
+def _semantic_cluster_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_SQL_MILLI_EMB},
+    m AS (SELECT * FROM m0),
+    corpus AS (
+      {emb_milli_corpus_sql((60, 56))}
     ),
+    {banded_lsh_pairs_sql("corpus")},
     pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM q a JOIN q b ON a.vec_id < b.vec_id
-      WHERE CAST(list_sum(list_transform(range(1, 65),
-                          i -> a.v[i] * b.v[i])) AS DOUBLE)
-            / (sqrt(CAST(list_sum(list_transform(a.v, x -> x * x)) AS DOUBLE))
-               * sqrt(CAST(list_sum(list_transform(b.v, x -> x * x)) AS DOUBLE)))
-            >= 0.9
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN corpus a ON a.vec_id = c.id_a
+      JOIN corpus b ON b.vec_id = c.id_b
+      WHERE {_SQL_COS_AB} >= 0.9
     ),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
@@ -200,44 +245,75 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT id_b AS src, id_a AS dst FROM pairs
     ),
     reach(id, comp) AS (
-      SELECT vec_id, vec_id FROM q
+      SELECT vec_id, vec_id FROM corpus
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS vec_id, min(comp) AS cluster_id FROM reach GROUP BY id
+    """
+
+
+@register("dedup_semantic_cluster", oracle=_semantic_cluster_oracle())
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering: connected components over the
+    embedding-cosine graph (cosine >= 0.9), with edges generated by
+    the BUCKETED banded-LSH candidate pass (`banded_lsh_pairs`) rather
+    than the all-pairs join round 2 registered — the component step is
+    unchanged, proving `connected_components` composes with any edge
+    source. Dot products run in exact integer milli-units so the edge
+    set — and therefore the clustering — is identical in both engines.
+
+    The corpus injects a two-generation truncation chain per 5th
+    vector (see `_semantic_corpus`), so clusters are genuinely
+    multi-hop: orig-gen2 cosine typically lands in [0.9, 0.95) and is
+    reachable only transitively. `dedup_semantic_cluster_exact` keeps
+    the all-pairs edge source on a bounded slice as ground truth."""
+    corpus = _semantic_corpus(spark, sf_dir)
+    comp = connected_components(
+        corpus.select(F.col("vec_id").alias("id")),
+        _semantic_edges(spark, sf_dir),
+    )
+    return comp.select(
+        F.col("id").alias("vec_id"), F.col("component").alias("cluster_id")
+    )
+
+
+@register(
+    "dedup_semantic_cluster_exact",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_MILLI_EMB},
+    m AS (SELECT * FROM m0 WHERE vec_id < 300),
+    corpus AS (
+      {emb_milli_corpus_sql((60, 56))}
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE {_SQL_COS_AB} >= 0.9
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, comp) AS (
+      SELECT vec_id, vec_id FROM corpus
       UNION
       SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
     )
     SELECT id AS vec_id, min(comp) AS cluster_id FROM reach GROUP BY id
     """,
 )
-def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic clustering: connected components over the
-    embedding-cosine graph (cosine >= 0.9) — the same
-    ``connected_components`` operator as the Jaccard pipeline, proving
-    it composes with ANY pairwise-similarity edge source. Dot products
-    run in exact integer milli-units (dedup.py convention) so the edge
-    set — and therefore the clustering — is identical in both engines.
-
-    Scale path: swap the all-pairs edge generation for the LSH
-    candidates (sim_cosine_ann_lsh) and the component step is
-    unchanged — edges in, clusters out.
-    """
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"), lambda x: F.round(x.cast("double") * 1000).cast("long")
-        ).alias("v"),
+def dedup_semantic_cluster_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth semantic clustering on a BOUNDED slice (base
+    vec_id < 300 plus its injected generations): all-pairs cosine>=0.9
+    edges, same component step. Audits the bucketed default's edge
+    recall — at 100 TB exact truth runs on a sample only."""
+    corpus = _semantic_corpus(spark, sf_dir, cap=300).withColumn(
+        "n", _sq_norm(F.col("v"))
     )
-    norm = F.aggregate(
-        F.transform(F.col("v"), lambda x: x * x),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    emb = emb.withColumn("n", norm)
-    a, b = emb.alias("a"), emb.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    cosine = dot.cast("double") / (
+    a, b = corpus.alias("a"), corpus.alias("b")
+    cosine = _dot(F.col("a.v"), F.col("b.v")).cast("double") / (
         F.sqrt(F.col("a.n").cast("double")) * F.sqrt(F.col("b.n").cast("double"))
     )
     edges = (
@@ -245,7 +321,9 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cosine >= 0.9)
         .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
     )
-    comp = connected_components(emb.select(F.col("vec_id").alias("id")), edges)
+    comp = connected_components(
+        corpus.select(F.col("vec_id").alias("id")), edges
+    )
     return comp.select(
         F.col("id").alias("vec_id"), F.col("component").alias("cluster_id")
     )

@@ -163,6 +163,180 @@ def _lsh_planes(n_planes: int = 8, dims: int = 64) -> list[list[int]]:
 
 _PLANES = _lsh_planes()
 
+# Banded random-hyperplane LSH (the shared candidate generator for
+# every pairwise embedding operator): B independent bands of R planes
+# each. A pair is a candidate iff it matches on ALL R sign bits of at
+# least one band — P(candidate) = 1 - (1 - p^R)^B with p = 1 - theta/pi,
+# the classic OR-of-ANDs amplification. With R=8, B=8 a cosine-0.95
+# pair survives with ~99% probability while a random pair (~cos 0)
+# falls to ~3%, so pair work is Sum(bucket^2) per band, never n^2.
+# At larger corpus scale, grow R with log2(n) to hold bucket sizes flat.
+_N_BANDS, _BAND_PLANES = 8, 8
+
+
+def _banded_planes() -> list[list[list[int]]]:
+    """[band][plane][dim] ternary hyperplanes, md5-derived like
+    `_lsh_planes` but seeded per band so bands are independent."""
+    import hashlib
+
+    return [
+        [
+            [
+                int(hashlib.md5(f"{b}:{j}-{d}".encode()).hexdigest()[0], 16) % 3 - 1
+                for d in range(64)
+            ]
+            for j in range(_BAND_PLANES)
+        ]
+        for b in range(_N_BANDS)
+    ]
+
+
+_BANDED = _banded_planes()
+
+
+def banded_lsh_pairs(emb: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from banded hyperplane
+    LSH over a DataFrame with columns (vec_id, v: array<long>).
+
+    Plan shape: one codegen'd projection computes all B bucket ids
+    (plane literals constant-folded), explode to (vec_id, band, bucket)
+    — B rows per vector, map-side — then ONE shuffle keyed on
+    (band, bucket) for the self-join. Candidate volume is bounded by
+    Sum over buckets of bucket^2; no unbucketed self-join exists in
+    the plan, which tests/test_plans.py asserts."""
+
+    def bucket(b: int):
+        def pdot(j: int):
+            return F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(x) for x in _BANDED[b][j]]),
+                    lambda x, p: x * p,
+                ),
+                F.lit(0).cast("long"),
+                lambda a_, x: a_ + x,
+            )
+
+        return sum(
+            (F.when(pdot(j) > 0, F.lit(1 << j)).otherwise(0))
+            for j in range(_BAND_PLANES)
+        )
+
+    banded = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), bucket(b).cast("int").alias("bucket")
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def banded_lsh_pairs_sql(src: str) -> str:
+    """DuckDB twin of `banded_lsh_pairs`: CTE text defining `planes`,
+    `banded`, `cand` over an existing CTE ``src(vec_id, v)``. The same
+    md5-derived plane literals embed in both engines, so the candidate
+    set — and everything downstream — is bit-identical."""
+    plane_cols = ", ".join(
+        "[" + ",".join(str(x) for x in _BANDED[b][j]) + f"] AS p{b}_{j}"
+        for b in range(_N_BANDS)
+        for j in range(_BAND_PLANES)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, CAST("
+        + " + ".join(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65),"
+            f" i -> v[i] * p{b}_{j}[i])) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(_BAND_PLANES)
+        )
+        + f" AS INT) AS bucket FROM {src}, planes"
+        for b in range(_N_BANDS)
+    )
+    return f"""planes AS (SELECT {plane_cols}),
+    banded AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )"""
+
+
+def emb_milli_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    keeps: tuple[int, ...] = (),
+    cap: int | None = None,
+) -> DataFrame:
+    """embeddings as (vec_id, v: milli-int array), plus one synthesized
+    near-duplicate generation per entry in ``keeps``: generation k
+    re-embeds every 5th vector under vec_id + (k+1)*1e6 with all dims
+    >= keeps[k] zeroed (cosine to the original = sqrt(E_keep/E_total),
+    ~0.97 at keep=60 — the deterministic analogue of dedup.py's
+    truncated-text duplicates, identically mirrored in SQL by
+    `emb_milli_corpus_sql`). ``cap`` bounds the base slice
+    (vec_id < cap, pushed to the scan) for the exact audit twins."""
+    emb = load(spark, sf_dir, "embeddings")
+    if cap is not None:
+        emb = emb.filter(F.col("vec_id") < cap)
+    emb = emb.select("vec_id", _milli_vec(F.col("embedding")).alias("v"))
+    def zero_tail(keep: int):
+        return lambda x, i: F.when(i < keep, x).otherwise(F.lit(0).cast("long"))
+
+    out = emb
+    for k, keep in enumerate(keeps):
+        gen = emb.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + (k + 1) * 1000000).alias("vec_id"),
+            F.transform(F.col("v"), zero_tail(keep)).alias("v"),
+        )
+        out = out.unionByName(gen)
+    return out
+
+
+def emb_milli_corpus_sql(keeps: tuple[int, ...] = ()) -> str:
+    """CTE body text for the DuckDB twin of `emb_milli_corpus`
+    (selects from a CTE `m(vec_id, v)` that callers must define)."""
+    parts = ["SELECT vec_id, v FROM m"]
+    for k, keep in enumerate(keeps):
+        parts.append(
+            f"SELECT vec_id + {(k + 1) * 1000000} AS vec_id,\n"
+            f"             list_transform(range(1, 65),\n"
+            f"               i -> CASE WHEN i <= {keep} THEN v[i]"
+            f" ELSE CAST(0 AS BIGINT) END) AS v\n"
+            f"      FROM m WHERE vec_id % 5 = 0"
+        )
+    return "\n      UNION ALL ".join(parts)
+
+
+_SQL_MILLI = """m AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    )"""
+
+_SQL_COS_AB = """CAST(list_sum(list_transform(range(1, 65),
+                           i -> a.v[i] * b.v[i])) AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(a.v, x -> x * x)) AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(b.v, x -> x * x)) AS DOUBLE)))"""
+
 
 def _ann_lsh_oracle() -> str:
     """DuckDB twin of sim_cosine_ann_lsh: same literal planes, same
@@ -271,8 +445,80 @@ def sim_cosine_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scored_sym_pairs(emb_n: DataFrame, cand: DataFrame) -> DataFrame:
+    """Symmetrize candidate pairs and score each direction with exact
+    integer-milli cosine: (qid, nid, cosine). ``emb_n`` must carry
+    (vec_id, v, n=squared norm). Both joins are equi-joins on vec_id."""
+    sym = cand.select(
+        F.col("id_a").alias("qid"), F.col("id_b").alias("nid")
+    ).unionByName(cand.select(F.col("id_b").alias("qid"), F.col("id_a").alias("nid")))
+    a = emb_n.select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = emb_n.select(
+        F.col("vec_id").alias("nid"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    cosine = _dot(F.col("va"), F.col("vb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return sym.join(a, "qid").join(b, "nid").select(
+        "qid", "nid", cosine.alias("cosine")
+    )
+
+
+def _nn_lsh_oracle() -> str:
+    return f"""
+    WITH {_SQL_MILLI},
+    {banded_lsh_pairs_sql("m")},
+    sym AS (
+      SELECT id_a AS qid, id_b AS nid FROM cand
+      UNION ALL
+      SELECT id_b AS qid, id_a AS nid FROM cand
+    ),
+    scored AS (
+      SELECT s.qid, s.nid, {_SQL_COS_AB} AS cosine
+      FROM sym s JOIN m a ON a.vec_id = s.qid JOIN m b ON b.vec_id = s.nid
+    )
+    SELECT qid AS vec_id, nid AS nn_id, cosine FROM (
+      SELECT qid, nid, cosine,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, nid ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """
+
+
+@register("sim_nearest_neighbor", oracle=_nn_lsh_oracle())
+def sim_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate global 1-NN over the FULL corpus: every vector's
+    most similar neighbor among its banded-LSH candidates (8 bands x
+    8 hyperplanes, `banded_lsh_pairs`) — the dedup/linking primitive
+    'which existing record is this closest to', in its 100 TB form.
+
+    Round 2 registered the exact all-pairs argmax on a capped slice;
+    that form survives as `sim_nearest_neighbor_exact`, and
+    `sim_nn_recall_audit` measures this query's agreement with it.
+    Vectors whose every bucket is a singleton have no candidates and
+    drop out (honest ANN semantics; the oracle mirrors). Plan: bucket
+    self-join keyed on (band, bucket), then two equi-joins on vec_id
+    to score — no unbucketed self-join anywhere."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _milli_vec(F.col("embedding")).alias("v")
+    )
+    emb_n = emb.withColumn("n", _sq_norm(F.col("v")))
+    scored = _scored_sym_pairs(emb_n, banded_lsh_pairs(emb))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("qid").alias("vec_id"), F.col("nid").alias("nn_id"), "cosine"
+        )
+    )
+
+
 @register(
-    "sim_nearest_neighbor",
+    "sim_nearest_neighbor_exact",
     oracle="""
     WITH q AS (
       SELECT vec_id,
@@ -297,13 +543,13 @@ def sim_cosine_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1
     """,
 )
-def sim_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global 1-NN: every vector's single most similar other vector
-    (the all-pairs argmax join) — the dedup/linking primitive 'which
-    existing record is this closest to'. Exact all-pairs at test scale
-    on a capped slice; rank ties break on neighbor id so the argmax is
-    unique. Scale path: LSH-bucket the pairs (sim_cosine_ann_lsh) and
-    keep the same rank-1 tail."""
+def sim_nearest_neighbor_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-NN ground truth on a BOUNDED slice (vec_id < 300, the
+    filter pushed to the scan): the all-pairs argmax the LSH default is
+    audited against (`sim_nn_recall_audit`). The cap is the point — at
+    100 TB you run exact truth on a sample to justify LSH parameters,
+    never on the corpus; the registered default `sim_nearest_neighbor`
+    is the bucketed one."""
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
         "vec_id", _milli_vec(F.col("embedding")).alias("v")
     )
@@ -324,6 +570,99 @@ def sim_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "nn_id", "cosine")
+    )
+
+
+def _nn_recall_oracle() -> str:
+    return f"""
+    WITH m0 AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    m AS (SELECT * FROM m0 WHERE vec_id < 300),
+    {banded_lsh_pairs_sql("m")},
+    sym AS (
+      SELECT id_a AS qid, id_b AS nid FROM cand
+      UNION ALL
+      SELECT id_b AS qid, id_a AS nid FROM cand
+    ),
+    lsh_scored AS (
+      SELECT s.qid, s.nid, {_SQL_COS_AB} AS cosine
+      FROM sym s JOIN m a ON a.vec_id = s.qid JOIN m b ON b.vec_id = s.nid
+    ),
+    lsh_nn AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                         ORDER BY cosine DESC, nid ASC) AS rn
+        FROM lsh_scored
+      ) WHERE rn = 1
+    ),
+    exact_scored AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid, {_SQL_COS_AB} AS cosine
+      FROM m a JOIN m b ON a.vec_id != b.vec_id
+    ),
+    exact_nn AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                         ORDER BY cosine DESC, nid ASC) AS rn
+        FROM exact_scored
+      ) WHERE rn = 1
+    )
+    SELECT count(*) AS n_vecs,
+           count(l.nid) AS n_with_candidates,
+           CAST(sum(CASE WHEN l.nid = e.nid THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nn_match,
+           CAST(sum(CASE WHEN l.nid = e.nid THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS match_rate
+    FROM exact_nn e LEFT JOIN lsh_nn l ON e.qid = l.qid
+    """
+
+
+@register("sim_nn_recall_audit", oracle=_nn_recall_oracle())
+def sim_nn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of the LSH 1-NN default against exact ground truth on the
+    bounded vec_id < 300 slice: for what fraction of vectors does the
+    banded-LSH argmax agree with the true argmax? Single-row output
+    (n_vecs, n_with_candidates, n_nn_match, match_rate). This is the
+    `dedup_lsh_recall_audit` pattern applied to the embedding family —
+    at 100 TB it runs on a hash-sampled slice to tune (bands, planes)
+    before trusting the bucketed pass on the corpus."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
+        "vec_id", _milli_vec(F.col("embedding")).alias("v")
+    )
+    emb_n = emb.withColumn("n", _sq_norm(F.col("v")))
+
+    def rank1(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cosine").desc(), F.col("nid").asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("qid", "nid")
+        )
+
+    lsh_nn = rank1(_scored_sym_pairs(emb_n, banded_lsh_pairs(emb)))
+    a, b = emb_n.alias("a"), emb_n.alias("b")
+    cosine = _dot(F.col("a.v"), F.col("b.v")).cast("double") / (
+        F.sqrt(F.col("a.n").cast("double")) * F.sqrt(F.col("b.n").cast("double"))
+    )
+    exact_scored = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("qid"),
+        F.col("b.vec_id").alias("nid"),
+        cosine.alias("cosine"),
+    )
+    exact_nn = rank1(exact_scored)
+    e = exact_nn.select(F.col("qid"), F.col("nid").alias("nid_exact"))
+    l = lsh_nn.select(F.col("qid"), F.col("nid").alias("nid_lsh"))
+    match = F.when(F.col("nid_lsh") == F.col("nid_exact"), 1).otherwise(0)
+    return e.join(l, "qid", "left").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.count("nid_lsh").alias("n_with_candidates"),
+        F.sum(match).alias("n_nn_match"),
+        (F.sum(match).cast("double") / F.count(F.lit(1))).alias("match_rate"),
     )
 
 
@@ -476,11 +815,15 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_label_contrast",
     oracle="""
-    WITH m AS (
+    WITH m0 AS (
       SELECT vec_id, label,
              list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
       FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, label, v FROM m0
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1024
     ),
     pairs AS (
       SELECT a.label = b.label AS same_label,
@@ -505,12 +848,18 @@ def sim_label_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine snaps to integer MICRO-COSINE before summing so the two
     group averages are exact under any aggregation order — the same
     integerize-before-sum rule as revenue cents, applied to a derived
-    double. All-pairs is O(n²) by design at test scale; the 100 TB
-    variant samples pairs per label (hash-bucket sampling) or reuses
-    the LSH/IVF cell structure to bound candidates."""
-    emb = load(spark, sf_dir, "embeddings").select(
+    double.
+
+    Pair cost is BOUNDED by a deterministic fixed-size sample: the
+    1024 vectors lowest in md5(vec_id) order (a uniform, engine-
+    portable draw; TakeOrderedAndProject — no global sort). All-pairs
+    on the sample is a constant <=0.5M cosines regardless of corpus
+    size, which is how a statistic like this is estimated at 100 TB —
+    round 2 registered the unbounded all-pairs form instead."""
+    emb0 = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _milli_vec(F.col("embedding")).alias("v")
     )
+    emb = emb0.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id").limit(1024)
     a = emb.select(
         F.col("vec_id").alias("ida"), F.col("label").alias("la"), F.col("v").alias("va")
     )

@@ -278,3 +278,84 @@ def test_parameterized_filter_pushes_down(spark):
     filter exactly like a hand-written literal."""
     df = QUERIES["sql_parameterized_args"](spark, SF_DIR)
     assert_pushed_filter(df, "GreaterThan(c_acctbal,1000.0)")
+
+
+def _join_lines(plan: str) -> list[str]:
+    return [
+        ln
+        for ln in plan.splitlines()
+        if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln
+    ]
+
+
+def _assert_bucketed_pair_join(spark, df):
+    """The pair-generating self-join must be keyed on (band, bucket) —
+    never an unbucketed cartesian/nested-loop over the corpus."""
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    bucketed = [
+        ln for ln in _join_lines(plan) if "band" in ln and "bucket" in ln
+    ]
+    assert bucketed, f"no join keyed on (band, bucket):\n{plan}"
+
+
+def test_near_embedding_pair_join_bucketed(spark):
+    """Round-3 rewire: dedup_near_embedding generates candidates via
+    banded LSH; with auto-broadcast off the pair join must be a
+    shuffle join keyed on the bucket columns."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        _assert_bucketed_pair_join(spark, QUERIES["dedup_near_embedding"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_nearest_neighbor_pair_join_bucketed(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        _assert_bucketed_pair_join(spark, QUERIES["sim_nearest_neighbor"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_semantic_cluster_edges_bucketed(spark):
+    """The cluster default's edge source (not the post-checkpoint
+    component loop, whose lineage is truncated) must be LSH-bucketed."""
+    from apache_spark_irs_form_990_spark.operators.components import _semantic_edges
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        _assert_bucketed_pair_join(spark, _semantic_edges(spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_jaccard_df_cap_semi_join(spark):
+    """dedup_near_jaccard must prune hot shingles (document-frequency
+    cap) via a semi join BEFORE the inverted-index self-join."""
+    df = QUERIES["dedup_near_jaccard"](spark, SF_DIR)
+    assert "LeftSemi" in physical_plan(df)
+
+
+def test_label_contrast_bounded_sample(spark):
+    """sim_label_contrast pairs only a fixed-size deterministic sample:
+    the md5-ordered LIMIT must plan as TakeOrderedAndProject (no
+    global sort, no unbounded all-pairs input)."""
+    df = QUERIES["sim_label_contrast"](spark, SF_DIR)
+    assert_in_plan(df, "TakeOrderedAndProject")
+
+
+def test_exact_audit_twins_are_bounded(spark):
+    """The exact all-pairs ground-truth twins exist only on capped
+    slices: the vec_id < 300 bound must reach the parquet scan."""
+    for name in (
+        "sim_nearest_neighbor_exact",
+        "dedup_near_embedding_exact",
+        "dedup_embedding_recall_audit",
+    ):
+        df = QUERIES[name](spark, SF_DIR)
+        assert_pushed_filter(df, "LessThan(vec_id,300)")
