@@ -148,21 +148,25 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_frame_sample",
     # The frame sampler is a stub, but a DETERMINISTIC one: video
-    # payloads are the utf-8 document text, each frame is a 16-byte
-    # slice, and the emitted columns are the frame's md5 fingerprint +
-    # length — all re-derivable in SQL, so the mapInPandas UDTF shape
-    # (one row in, k frame rows out) is hash-checked end-to-end.
+    # payloads are the utf-8 document text, each frame is a 16-CHARACTER
+    # slice fingerprinted over its utf-8 bytes, and the emitted columns
+    # are the frame's md5 fingerprint + byte length — all re-derivable
+    # in SQL (both engines char-slice, then hash/measure the encoded
+    # bytes), so the mapInPandas UDTF shape (one row in, k frame rows
+    # out) is hash-checked end-to-end and stays byte-exact even for
+    # multi-byte text (this DuckDB build has no BLOB substr, so a pure
+    # byte slice cannot be mirrored; the char-slice contract can).
     # Videos are doc_id % 3 == 2 (media_table's kind assignment).
     oracle="""
     WITH vids AS (
-      SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n_bytes
+      SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
       FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
     )
     SELECT doc_id,
            CAST(i AS INT) AS frame_idx,
            md5(substr(text, CAST(i * 16 + 1 AS INT), 16)) AS frame_fp,
-           CAST(octet_length(CAST(substr(text, CAST(i * 16 + 1 AS INT), 16)
-                AS BLOB)) AS INT) AS frame_len
+           CAST(octet_length(encode(substr(text, CAST(i * 16 + 1 AS INT), 16)))
+                AS INT) AS frame_len
     FROM vids, LATERAL (SELECT unnest(generate_series(0, n_bytes % 4)) AS i)
     """,
 )
@@ -183,9 +187,10 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 n_frames = 1 + len(payload) % 4
+                chars = bytes(payload).decode("utf-8")
                 for i in range(n_frames):
-                    # STUB: frame payload = slice of source bytes
-                    frame = bytes(payload[i * 16 : i * 16 + 16])
+                    # STUB: frame = utf-8 bytes of a 16-char slice
+                    frame = chars[i * 16 : i * 16 + 16].encode("utf-8")
                     rows.append(
                         (doc_id, i, hashlib.md5(frame).hexdigest(), len(frame))
                     )

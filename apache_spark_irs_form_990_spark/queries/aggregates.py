@@ -153,6 +153,21 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_approx_count_distinct_raw")
+def agg_approx_count_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL-only sketch path (rows-only check): no exact-count
+    yardstick, so the plan is a single partial+final hash aggregate
+    with NO Expand — the shape production runs at 100 TB and the one
+    worth timing. `agg_approx_count_distinct` keeps the exact count +
+    within-tolerance boolean as the oracled contract; its registered
+    plan therefore carries the exact-distinct Expand on purpose, and
+    benchmarks should time THIS variant for the sketch path."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("n_approx")
+    )
+
+
 @register(
     "agg_rollup",
     oracle=f"""

@@ -547,8 +547,10 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a STATIC dimension (users who ever signed up) — the
     standard enrichment shape (stream ⋈ user table, stream ⋈ feature
     store snapshot). The static side is planned per micro-batch like
-    any batch DataFrame (broadcast here), needs no watermark and holds
-    no state; only the streaming aggregate keeps state."""
+    any batch DataFrame (unhinted — the planner broadcasts it when its
+    size estimate warrants, same policy as the scaling dims in
+    queries/joins.py), needs no watermark and holds no state; only the
+    streaming aggregate keeps state."""
     signups = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_type") == "signup")
@@ -556,9 +558,9 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     ev = read_events_stream(spark, sf_dir)
-    # the join runs streaming (per micro-batch, static side broadcast);
-    # exact COUNT(DISTINCT) isn't available inside a streaming agg, so
-    # the final counts aggregate the bounded enriched output batch-side
+    # the join runs streaming (per micro-batch, static side planner-
+    # sized); exact COUNT(DISTINCT) isn't available inside a streaming
+    # agg, so the final counts aggregate the bounded output batch-side
     enriched = ev.join(signups, "user_id").select(
         "event_type", "user_id"
     )
@@ -706,6 +708,15 @@ def stream_outer_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("mp"),
         F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("mc"),
     ).collect()[0]
+    if bounds["mp"] is None or bounds["mc"] is None:
+        # a fixture with no purchases or no clicks has no deterministic
+        # region at all — emit the empty frame instead of raising
+        return out.filter(F.lit(False)).select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            F.unix_micros("p_ts").alias("p_ts_us"),
+        )
     cutoff = min(bounds["mp"], bounds["mc"]) - __import__("datetime").timedelta(
         hours=2
     )
