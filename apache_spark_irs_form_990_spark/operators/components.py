@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from apache_spark_irs_form_990_spark.operators.dedup import _shingles
 from apache_spark_irs_form_990_spark.operators.similarity import (
+    _pair_dot_udf,
     _SQL_COS_AB,
     _dot,
     _sq_norm,
@@ -213,7 +214,7 @@ def _semantic_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = corpus.select(
         F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
     )
-    cosine = _dot(F.col("va"), F.col("vb")).cast("double") / (
+    cosine = _pair_dot_udf()(F.col("va"), F.col("vb")).cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
     return (

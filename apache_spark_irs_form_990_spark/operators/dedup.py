@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from apache_spark_irs_form_990_spark.operators.similarity import (
+    _pair_dot_udf,
     _SQL_COS_AB,
     _dot,
     _sq_norm,
@@ -502,7 +503,7 @@ def _scored_cand(corpus: DataFrame) -> DataFrame:
     b = corpus_n.select(
         F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
     )
-    cosine = _dot(F.col("va"), F.col("vb")).cast("double") / (
+    cosine = _pair_dot_udf()(F.col("va"), F.col("vb")).cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
     return cand.join(a, "id_a").join(b, "id_b").select(

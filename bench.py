@@ -23,8 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from apache_spark_irs_form_990_spark import registry
 from apache_spark_irs_form_990_spark.session import get_session
 
-# Headline set: one representative per operator family; kept stable
-# across rounds so BENCH_r{N}.json is comparable.
+# Stable headline set: one representative per operator family; kept
+# byte-identical across rounds so the `value` field of BENCH_r{N}.json
+# is directly comparable to every earlier round (and to BASELINE).
 HEADLINE = [
     "agg_count_by_key",
     "agg_sum_min_max_avg",
@@ -44,6 +45,23 @@ HEADLINE = [
     "pipeline_corpus_prep",
 ]
 
+# Extended set (round 3+): the heavy families added since round 1 —
+# multi-join TPC-H, LSH banding, IVF ANN, the fused pretraining mix,
+# the sketch-only distinct, and the bucketed embedding dedup. Timed
+# and reported alongside, summed separately (`extended_total`) so the
+# stable total stays round-comparable while regressions here are no
+# longer invisible to BENCH_r{N}.
+EXTENDED = [
+    "join_q9_product_profit",
+    "join_q18_large_orders",
+    "join_q21_waiting_supplier",
+    "dedup_minhash_banding_md5",
+    "sim_cosine_ann_ivf",
+    "pipeline_pretrain_mix",
+    "agg_approx_count_distinct_raw",
+    "dedup_near_embedding",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -51,7 +69,7 @@ def main() -> None:
     spark = get_session(app_name="bench")
 
     qs = registry.queries()
-    names = [n for n in HEADLINE if n in qs]
+    names = [n for n in HEADLINE + EXTENDED if n in qs]
 
     # Warm-up: run every headline query once at the TARGET sf so JVM
     # class-loading, whole-stage codegen compilation, and file
@@ -75,7 +93,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
+    extended_total = round(sum(timings[n] for n in EXTENDED if n in timings), 3)
     print(
         json.dumps(
             {
@@ -84,6 +103,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "extended_total": extended_total,
+                "all_total": round(total + extended_total, 3),
             }
         )
     )
