@@ -21,9 +21,13 @@ reference's internal representation (dynamic per-year XML schema,
 
 Scale posture: the manifest is the unit of parallelism (as in the
 reference, 400 default input partitions); each task streams its files,
-so nothing is ever centrally downloaded. S3 URIs should come through
-the s3a Hadoop connector in production (``SURVEY §1.4``); the local
-fetch path here mirrors the reference's ``file:``/relative handling.
+so nothing is ever centrally downloaded. Fetch is scheme-dispatched
+per URI (``read_uri_bytes``): local ``file:``/relative, ``http(s)://``
+via stdlib, ``s3://``/``s3a://`` via pyarrow's Arrow-native S3 client,
+``hdfs://`` via pyarrow+libhdfs — mirroring the reference's boto3/
+pydoop/urllib branches (``IRSSpark.py:193-244``) with public, baked-in
+clients. An unreachable URI of ANY scheme becomes a counted failure
+row, never a job abort.
 Python parse cost is Arrow-batched (mapInPandas), and the flatten
 output is immediately columnar — filters on `tag` push into any
 downstream parquet materialization.
@@ -50,9 +54,7 @@ FLATTEN_SCHEMA = "doc_uri string, tag string, text string, ok boolean"
 
 def _resolve(uri: str, base_dir: str | None) -> str:
     """Local-path resolution mirroring the reference's `file:`/relative
-    branch (/root/reference/IRSSpark.py:233-238). s3:// and hdfs:/ URIs
-    are handled by Hadoop connectors upstream in production; here they
-    fall through to a failure row rather than a hand-rolled client."""
+    branch (/root/reference/IRSSpark.py:233-238)."""
     if uri.startswith("file:"):
         uri = uri[len("file:"):]
     if not os.path.isabs(uri) and base_dir:
@@ -60,21 +62,74 @@ def _resolve(uri: str, base_dir: str | None) -> str:
     return uri
 
 
-def flatten_xml_file(path: str) -> list[tuple[str, str]]:
-    """Parse one XML file into [(tag, text)] with A′1+A′2 fixes.
+_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://")
+
+
+def read_uri_bytes(uri: str, base_dir: str | None = None) -> bytes:
+    """Scheme-dispatched fetch of one manifest URI, the per-task
+    analogue of the reference's download branches
+    (/root/reference/IRSSpark.py:193-244: boto3 for s3://, pydoop for
+    hdfs://, urllib for http(s)://, open() for file:/relative):
+
+    - ``file:`` / scheme-less relative -> local filesystem read;
+    - ``http(s)://`` -> stdlib urllib (the reference's A4 branch);
+    - ``s3://`` / ``s3a://`` -> pyarrow.fs.S3FileSystem (the public
+      Arrow-native S3 client; credentials/region from the standard AWS
+      env — the production path on a real cluster);
+    - ``hdfs://`` -> pyarrow.fs via libhdfs (requires a Hadoop-native
+      install on the worker, standard on any YARN/HDFS cluster).
+
+    Any unreachable/unsupported URI raises; `_parse_partition` converts
+    that into a counted failure row — the same skip-and-account
+    contract as a malformed XML file, asserted by
+    tests/test_xml_ingest.py for all scheme branches.
+    """
+    m = _SCHEME_RE.match(uri)
+    if uri.startswith("file:") or not m:
+        with open(_resolve(uri, base_dir), "rb") as f:
+            return f.read()
+    scheme = m.group(1).lower()
+    if scheme in ("http", "https"):
+        from urllib.request import urlopen
+
+        with urlopen(uri, timeout=30) as r:  # noqa: S310 (manifest-provided)
+            return r.read()
+    if scheme in ("s3", "s3a"):
+        from pyarrow import fs as pafs
+
+        s3 = pafs.S3FileSystem(connect_timeout=5, request_timeout=10)
+        with s3.open_input_stream(uri.split("://", 1)[1]) as f:
+            return f.read()
+    if scheme == "hdfs":
+        from pyarrow import fs as pafs
+
+        hdfs_fs, path = pafs.FileSystem.from_uri(uri)
+        with hdfs_fs.open_input_stream(path) as f:
+            return f.read()
+    raise ValueError(f"unsupported URI scheme: {scheme!r} in {uri!r}")
+
+
+def flatten_xml_bytes(data: bytes) -> list[tuple[str, str]]:
+    """Parse one XML document into [(tag, text)] with A′1+A′2 fixes.
 
     Raises on malformed XML — the caller converts that into a
     skip-with-metric, same contract as the reference's bare except
     (/root/reference/IRSSpark.py:253-258) but per-file, not per-crash.
     """
-    tree = ET.parse(path)
+    root = ET.fromstring(data)
     out = []
-    for elem in tree.iter():
+    for elem in root.iter():
         text = elem.text.strip() if elem.text else ""
         if not text:
             continue  # container/whitespace-only element (A'2 fix)
         out.append((_NS_RE.sub("", elem.tag), text))
     return out
+
+
+def flatten_xml_file(path: str) -> list[tuple[str, str]]:
+    """Local-file convenience wrapper over `flatten_xml_bytes`."""
+    with open(path, "rb") as f:
+        return flatten_xml_bytes(f.read())
 
 
 def _parse_partition(base_dir: str | None):
@@ -85,13 +140,15 @@ def _parse_partition(base_dir: str | None):
                 uri = uri.strip()
                 if not uri:
                     continue
-                path = _resolve(uri, base_dir)
                 try:
-                    for tag, text in flatten_xml_file(path):
+                    for tag, text in flatten_xml_bytes(
+                        read_uri_bytes(uri, base_dir)
+                    ):
                         rows.append((uri, tag, text, True))
                 except Exception:
                     # skip-bad-record semantics (reference A15): the file
-                    # drops, the job continues, the failure is countable.
+                    # (malformed OR unreachable — any scheme) drops, the
+                    # job continues, the failure is countable.
                     rows.append((uri, None, None, False))
             yield pd.DataFrame(
                 rows, columns=["doc_uri", "tag", "text", "ok"]
