@@ -78,27 +78,51 @@ def mm_column_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _decode_stub(payload: bytes) -> tuple[int, int, int]:
     """STUB image decode — deterministic fake (width, height, channels)
-    derived from the payload, NOT a real decoder.
-
-    Swap body for e.g. ``PIL.Image.open(io.BytesIO(payload)).size``
-    when an imaging library is available; the Spark-side contract
-    (bytes in, small typed tuple out) is exactly what a real kernel
-    needs.
-    """
+    derived from the payload, NOT a real decoder. This is the ORACLE
+    kernel: its SQL twin re-derives the byte-fold exactly, which is
+    what keeps `mm_decode_features` hash-checked end-to-end."""
     h = 0
     for b in payload[:64]:
         h = (h * 131 + b) % 1_000_003
     return (64 + h % 1024, 64 + (h // 1024) % 1024, 3)
 
 
-def decode_features(media: DataFrame) -> DataFrame:
+def _decode_pil(payload: bytes) -> tuple[int, int, int]:
+    """Real image decode via Pillow (only reachable when PIL imports —
+    see `_pick_decoder`). Same contract as the stub: bytes in, small
+    typed tuple out; everything Spark-side is unchanged."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as img:
+        return (img.width, img.height, len(img.getbands()))
+
+
+def _pick_decoder(kernel: str = "stub"):
+    """Kernel selection: 'stub' (default; the deterministic oracle
+    path), or 'pil' for the Pillow-backed real decoder — selected only
+    when the library is importable, so the engine degrades to the stub
+    on imageless workers instead of failing the job."""
+    if kernel == "pil":
+        try:
+            import PIL  # noqa: F401
+
+            return _decode_pil
+        except ImportError:
+            return _decode_stub
+    return _decode_stub
+
+
+def decode_features(media: DataFrame, kernel: str = "stub") -> DataFrame:
     """mapInPandas decode: payload batches in, per-item feature rows
     out. Arrow moves the binary column zero-copy into pandas; the
     decode runs inside the scan task (no payload shuffle)."""
+    decode = _pick_decoder(kernel)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = pdf["payload"].map(_decode_stub)
+            dims = pdf["payload"].map(decode)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
