@@ -197,12 +197,15 @@ _MINHASH_K, _MINHASH_R = 12, 3  # B = K // R = 4 bands
 
 
 def _minhash_oracle() -> str:
-    """Generate the DuckDB twin of dedup_near_minhash: the K=12 md5
-    minhashes, 4-band bucket join, and agreement-fraction re-rank, all
-    in portable SQL (md5 is bit-identical across engines)."""
+    """Generate the DuckDB twin of dedup_near_minhash: the K=12
+    minhashes (four 8-hex chunks of each of THREE seeded md5s — one
+    hash evaluation yields four independent 32-bit hash functions),
+    4-band bucket join, and agreement-fraction re-rank, all in
+    portable SQL (md5 is bit-identical across engines)."""
     K, R = _MINHASH_K, _MINHASH_R
     mins = ",\n             ".join(
-        f"min(md5('{s}|' || shingle)) AS h{s}" for s in range(K)
+        f"min(substr(md5('{s // 4}|' || shingle), {1 + 8 * (s % 4)}, 8)) AS h{s}"
+        for s in range(K)
     )
     bands = "\n      UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5(h{i0} || h{i1} || h{i2}) AS bucket"
@@ -256,16 +259,18 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path (shingle -> K minhashes -> B bands -> bucket join).
 
     Built from deterministic primitives with no MLlib model state: the
-    K=12 "permutations" are min(md5(seed || shingle)) — md5 is defined
-    identically in every engine, which is what upgrades this from the
-    former rows-only check to an exact cross-engine oracle (the same
-    technique as dedup_minhash_banding_md5). Signatures band into B=4
-    bands of R=3; docs sharing any band bucket become candidates, then
-    exact signature agreement estimates Jaccard. Every step is a
-    DataFrame op, so the whole pipeline shuffles only (band, bucket)
-    keys — never document pairs — until the final candidate join.
-    (In a single-engine production deployment, swap md5 for xxhash64
-    — same plan shape, ~5x cheaper hash.)
+    K=12 "permutations" are the four 8-hex chunks of each of THREE
+    seeded md5s (one md5 evaluation = four independent 32-bit hash
+    functions — r3 cut the per-shingle hash work 4x this way) — md5 is
+    defined identically in every engine, which is what gives this an
+    exact cross-engine oracle (same technique as
+    dedup_minhash_banding_md5). Signatures band into B=4 bands of R=3;
+    docs sharing any band bucket become candidates, then exact
+    signature agreement estimates Jaccard. Every step is a DataFrame
+    op, so the whole pipeline shuffles only (band, bucket) keys —
+    never document pairs — until the final candidate join. (In a
+    single-engine production deployment, swap md5 for xxhash64 — same
+    plan shape, ~5x cheaper hash.)
     """
     K, R = _MINHASH_K, _MINHASH_R
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -281,13 +286,18 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(_shingles(F.col("text")))).alias("shingle"),
     )
-    # K permutations approximated by seeded md5; min per doc & seed.
+    # K permutations = 8-hex chunks of ceil(K/4) seeded md5s; min per
+    # doc and chunk (one md5 evaluation -> four 32-bit hash functions).
     sig = shingled.groupBy("doc_id").agg(
         *[
             F.min(
-                F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle")))
-            ).alias(f"h{seed}")
-            for seed in range(K)
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{s // 4}|"), F.col("shingle"))),
+                    1 + 8 * (s % 4),
+                    8,
+                )
+            ).alias(f"h{s}")
+            for s in range(K)
         ]
     )
     # band signature = hash of R consecutive minhashes
@@ -799,11 +809,19 @@ def dedup_paragraph_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
              ])) AS shingle
       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
     ),
+    sigw AS (
+      SELECT doc_id,
+             min(substr(md5(shingle),  1, 8)) AS m0,
+             min(substr(md5(shingle),  9, 8)) AS m1,
+             min(substr(md5(shingle), 17, 8)) AS m2,
+             min(substr(md5(shingle), 25, 8)) AS m3
+      FROM shingled GROUP BY doc_id
+    ),
     sig AS (
-      SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || shingle))
-                 AS band_min
-      FROM shingled, (SELECT unnest(generate_series(0, 3)) AS band)
-      GROUP BY doc_id, band
+      SELECT doc_id, 0 AS band, m0 AS band_min FROM sigw
+      UNION ALL SELECT doc_id, 1, m1 FROM sigw
+      UNION ALL SELECT doc_id, 2, m2 FROM sigw
+      UNION ALL SELECT doc_id, 3, m3 FROM sigw
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            count(*) AS n_shared_bands
@@ -815,18 +833,19 @@ def dedup_paragraph_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_banding_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding with a cross-engine-exact signature — the
-    deterministic twin of `dedup_near_minhash` (which uses xxhash64
-    seeds Spark-side and so only gets the rows-only check). Here each
-    band's minhash is min(md5(band || shingle)): md5 is defined
-    identically in both engines, so the full LSH pipeline — shingle →
-    per-band signature → bucket join → candidate pairs — hash-matches
-    the DuckDB oracle exactly.
+    deterministic twin of `dedup_near_minhash`. The 4 band hashes are
+    the four 32-bit (8-hex) chunks of ONE md5 per shingle — the
+    standard split-one-wide-hash trick — so each shingle is hashed
+    once (round 2 hashed it four times behind a 4x row explode), and
+    the signature groupBy shuffles doc-count rows, not doc-count x
+    bands. md5 is defined identically in both engines, so the full
+    LSH pipeline — shingle → chunk minima → per-band bucket join →
+    candidate pairs — hash-matches the DuckDB oracle exactly.
 
     Scale shape: the banded self-join is keyed on (band, band_min) —
     only same-bucket docs ever meet, so cost is Σ bucket², not n².
     Identical-text clusters make one bucket per band (bounded by
-    cluster size, the thing you WANT to find); the md5-of-shingle
-    explode is 4x the shingle count, map-side only. Same near-dupe
+    cluster size, the thing you WANT to find). Same near-dupe
     injection as the Jaccard exact baseline (doc_id%5 with last two
     words dropped) so candidate quality is comparable across the
     three near-dup operators."""
@@ -843,15 +862,18 @@ def dedup_minhash_banding_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(_shingles(F.col("text")))).alias("shingle"),
     )
-    banded = shingled.select(
-        "doc_id",
-        F.explode(F.array([F.lit(i) for i in range(4)])).alias("band"),
-        "shingle",
+    md5h = F.md5(F.col("shingle"))
+    sigw = shingled.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(md5h, 1 + 8 * b, 8)).alias(f"m{b}")
+            for b in range(4)
+        ]
     )
-    sig = banded.groupBy("doc_id", "band").agg(
-        F.min(
-            F.md5(F.concat_ws("|", F.col("band").cast("string"), F.col("shingle")))
-        ).alias("band_min")
+    sig = sigw.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"m{b}") for b in range(4)])).alias(
+            "band", "band_min"
+        ),
     )
     a, b = sig.alias("a"), sig.alias("b")
     return (

@@ -2,12 +2,11 @@
 LSH for cosine similarity, and a candidate-period periodogram
 (SURVEY.md §2 B10/B11 continuation).
 
-`sim_cosine_rp_lsh_md5` is to [[dedup_simhash]]/[[sim_cosine_ann_lsh]]
-what [[dedup_minhash_banding_md5]] is to [[dedup_near_minhash]]: the
-same algorithm with every random choice replaced by an md5-derived
+`sim_cosine_rp_lsh_md5` follows the house determinism move of
+[[dedup_minhash_banding_md5]] / [[dedup_near_minhash]]: the classic
+algorithm with every random choice replaced by an md5-derived
 deterministic one, so the full pipeline — projection, signature,
-bucket join, exact re-rank — carries an exact DuckDB oracle instead of
-the rows-only check.
+bucket join, exact re-rank — carries an exact DuckDB oracle.
 """
 
 from __future__ import annotations

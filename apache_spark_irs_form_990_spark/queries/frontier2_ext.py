@@ -54,11 +54,19 @@ from apache_spark_irs_form_990_spark.tables import load, register_views
       JOIN sizes sb ON sb.doc_id = inter.id_b
       WHERE 3 * n_inter >= sa.n_sh + sb.n_sh
     ),
+    sigw AS (
+      SELECT doc_id,
+             min(substr(md5(shingle),  1, 8)) AS m0,
+             min(substr(md5(shingle),  9, 8)) AS m1,
+             min(substr(md5(shingle), 17, 8)) AS m2,
+             min(substr(md5(shingle), 25, 8)) AS m3
+      FROM shingled GROUP BY doc_id
+    ),
     sig AS (
-      SELECT doc_id, band,
-             min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS band_min
-      FROM shingled, (SELECT unnest(generate_series(0, 3)) AS band)
-      GROUP BY doc_id, band
+      SELECT doc_id, 0 AS band, m0 AS band_min FROM sigw
+      UNION ALL SELECT doc_id, 1, m1 FROM sigw
+      UNION ALL SELECT doc_id, 2, m2 FROM sigw
+      UNION ALL SELECT doc_id, 3, m3 FROM sigw
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -122,17 +130,18 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(3 * F.col("n_inter") >= F.col("sa") + F.col("sb"))
         .select("id_a", "id_b")
     )
-    banded = shingled.select(
-        "doc_id",
-        F.explode(F.array([F.lit(i) for i in range(4)])).alias("band"),
-        "shingle",
+    md5h = F.md5(F.col("shingle"))
+    sigw = shingled.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(md5h, 1 + 8 * b, 8)).alias(f"m{b}")
+            for b in range(4)
+        ]
     )
-    sig = banded.groupBy("doc_id", "band").agg(
-        F.min(
-            F.md5(
-                F.concat_ws("|", F.col("band").cast("string"), F.col("shingle"))
-            )
-        ).alias("band_min")
+    sig = sigw.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"m{b}") for b in range(4)])).alias(
+            "band", "band_min"
+        ),
     )
     sga, sgb = sig.alias("sa"), sig.alias("sb")
     cand = (
