@@ -891,6 +891,123 @@ def dedup_minhash_banding_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_minhash",
+    oracle="""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    batch AS (
+      SELECT doc_id + 5000000 AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1,
+                             len(string_split(text, ' ')) - 2), ' ') AS text
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    cs AS (
+      SELECT doc_id,
+             unnest(list_distinct([
+               array_to_string(list_slice(t, i, i + 2), ' ')
+               FOR i IN generate_series(1, len(t) - 2)
+             ])) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+    ),
+    bs AS (
+      SELECT doc_id,
+             unnest(list_distinct([
+               array_to_string(list_slice(t, i, i + 2), ' ')
+               FOR i IN generate_series(1, len(t) - 2)
+             ])) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM batch)
+    ),
+    csw AS (
+      SELECT doc_id,
+             min(substr(md5(shingle),  1, 8)) AS m0,
+             min(substr(md5(shingle),  9, 8)) AS m1,
+             min(substr(md5(shingle), 17, 8)) AS m2,
+             min(substr(md5(shingle), 25, 8)) AS m3
+      FROM cs GROUP BY doc_id
+    ),
+    bsw AS (
+      SELECT doc_id,
+             min(substr(md5(shingle),  1, 8)) AS m0,
+             min(substr(md5(shingle),  9, 8)) AS m1,
+             min(substr(md5(shingle), 17, 8)) AS m2,
+             min(substr(md5(shingle), 25, 8)) AS m3
+      FROM bs GROUP BY doc_id
+    ),
+    csig AS (
+      SELECT doc_id, 0 AS band, m0 AS band_min FROM csw
+      UNION ALL SELECT doc_id, 1, m1 FROM csw
+      UNION ALL SELECT doc_id, 2, m2 FROM csw
+      UNION ALL SELECT doc_id, 3, m3 FROM csw
+    ),
+    bsig AS (
+      SELECT doc_id, 0 AS band, m0 AS band_min FROM bsw
+      UNION ALL SELECT doc_id, 1, m1 FROM bsw
+      UNION ALL SELECT doc_id, 2, m2 FROM bsw
+      UNION ALL SELECT doc_id, 3, m3 FROM bsw
+    )
+    SELECT b.doc_id AS new_id, c.doc_id AS corpus_id,
+           count(*) AS n_shared_bands
+    FROM bsig b JOIN csig c
+      ON b.band = c.band AND b.band_min = c.band_min
+    GROUP BY new_id, corpus_id
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup incremental ingest — the nightly-crawl shape for
+    non-exact duplicates: today's batch (every 10th doc, truncated by
+    two words, re-id'd at +5e6 — a near-dup of its original) is banded
+    with the same chunked-md5 MinHash signature as the corpus, and
+    candidates come from an ASYMMETRIC batch⋈corpus signature join —
+    the corpus never self-joins, so a day's ingest costs
+    |batch_sigs| ⋈ |corpus_sigs| on (band, band_min), not corpus².
+    At 100 TB the corpus side is a persisted signature index (4 rows x
+    ~16 bytes per doc) that each nightly batch probes; this query is
+    the probe. Complements `pipeline_incremental_dedup` (exact
+    fingerprints) one level up the dedup ladder."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0)))
+        ).alias("text"),
+    )
+
+    def sig_of(df: DataFrame) -> DataFrame:
+        shingled = df.select(
+            "doc_id",
+            F.explode(F.array_distinct(_shingles(F.col("text")))).alias("shingle"),
+        )
+        md5h = F.md5(F.col("shingle"))
+        sigw = shingled.groupBy("doc_id").agg(
+            *[
+                F.min(F.substring(md5h, 1 + 8 * b, 8)).alias(f"m{b}")
+                for b in range(4)
+            ]
+        )
+        return sigw.select(
+            "doc_id",
+            F.posexplode(F.array(*[F.col(f"m{b}") for b in range(4)])).alias(
+                "band", "band_min"
+            ),
+        )
+
+    bsig = sig_of(batch).alias("b")
+    csig = sig_of(docs).alias("c")
+    return (
+        bsig.join(
+            csig,
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.band_min") == F.col("c.band_min")),
+        )
+        .groupBy(
+            F.col("b.doc_id").alias("new_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+@register(
     "dedup_exact_normalized",
     oracle="""
     WITH corpus AS (

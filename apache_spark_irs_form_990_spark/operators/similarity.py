@@ -799,6 +799,106 @@ def sim_cosine_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivf_recall_audit",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM m WHERE vec_id < 8),
+    q AS (SELECT v AS qv FROM m WHERE vec_id = 0),
+    assign_pairs AS (
+      SELECT m.vec_id, c.cid,
+             CAST(list_sum(list_transform(range(1, 65), i -> v[i] * cv[i]))
+                  AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE)))
+               AS cos_c
+      FROM m, cents c
+    ),
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_c DESC, cid) AS rn
+        FROM assign_pairs
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT cid AS cell FROM (
+        SELECT c.cid,
+               row_number() OVER (ORDER BY
+                 CAST(list_sum(list_transform(range(1, 65), i -> cv[i] * qv[i]))
+                      AS DOUBLE)
+                 / (sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE))
+                    * sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)))
+                 DESC, c.cid) AS rn
+        FROM cents c, q
+      ) WHERE rn <= 2
+    ),
+    ivf10 AS (
+      SELECT m.vec_id FROM m
+      JOIN cells ON m.vec_id = cells.vec_id
+      JOIN probe ON cells.cell = probe.cell, q
+      WHERE m.vec_id <> 0
+      ORDER BY CAST(list_sum(list_transform(range(1, 65), i -> v[i] * qv[i]))
+                    AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)))
+               DESC, m.vec_id
+      LIMIT 10
+    ),
+    exact10 AS (
+      SELECT vec_id FROM m, q
+      WHERE vec_id <> 0
+      ORDER BY CAST(list_sum(list_transform(range(1, 65), i -> v[i] * qv[i]))
+                    AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)))
+               DESC, vec_id
+      LIMIT 10
+    )
+    SELECT (SELECT count(*) FROM exact10) AS n_exact,
+           (SELECT count(*) FROM ivf10) AS n_ivf,
+           (SELECT count(*) FROM (SELECT * FROM ivf10
+                                  INTERSECT SELECT * FROM exact10)) AS n_overlap,
+           CAST((SELECT count(*) FROM (SELECT * FROM ivf10
+                                       INTERSECT SELECT * FROM exact10)) AS DOUBLE)
+             / (SELECT count(*) FROM exact10) AS recall_at_10
+    """,
+)
+def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF ANN path against the exact brute-force
+    top-10 for the fixed query vector — the audit that justifies the
+    (k, nprobe) parameters, completing the audit family
+    (`sim_nn_recall_audit` for hyperplane LSH,
+    `dedup_lsh_recall_audit` for MinHash banding,
+    `dedup_embedding_recall_audit` for embedding LSH). Recall lost
+    here means the true neighbor lives in an unprobed cell; raise
+    nprobe or k. Single-row output, one IEEE division."""
+    ivf = sim_cosine_ann_ivf(spark, sf_dir).select("vec_id")
+    exact = sim_cosine_topk(spark, sf_dir).select("vec_id")
+    overlap = exact.intersect(ivf)
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_ivf = ivf.agg(F.count(F.lit(1)).alias("n_ivf"))
+    n_overlap = overlap.agg(F.count(F.lit(1)).alias("n_overlap"))
+    return (
+        n_exact.crossJoin(n_ivf)
+        .crossJoin(n_overlap)
+        .select(
+            "n_exact",
+            "n_ivf",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.col("n_exact")).alias(
+                "recall_at_10"
+            ),
+        )
+    )
+
+
+@register(
     "sim_label_centroids",
     oracle="""
     SELECT label, CAST(i AS BIGINT) AS pos,
