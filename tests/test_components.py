@@ -32,3 +32,51 @@ def test_two_components_and_singleton(spark):
 def test_no_edges_all_singletons(spark):
     got = _cc(spark, [7, 8, 9], [])
     assert got == {7: 7, 8: 8, 9: 9}
+
+
+def test_banded_lsh_pairs_partition_invariant(spark):
+    """The candidate set is a pure function of the vectors — it must
+    not change under repartitioning (the property that makes results
+    reproducible across cluster sizes)."""
+    from apache_spark_irs_form_990_spark.operators.similarity import (
+        banded_lsh_pairs,
+        emb_milli_corpus,
+    )
+    from tests.conftest import SF_DIR
+
+    corpus = emb_milli_corpus(spark, SF_DIR, keeps=(60,), cap=200)
+    base = {(r.id_a, r.id_b) for r in banded_lsh_pairs(corpus).collect()}
+    for n in (1, 7):
+        got = {
+            (r.id_a, r.id_b)
+            for r in banded_lsh_pairs(corpus.repartition(n)).collect()
+        }
+        assert got == base, f"candidates changed under repartition({n})"
+    # structural properties: ordered pairs, no self-pairs
+    assert all(a < b for a, b in base)
+    assert base, "expected nonempty candidates (injected near-dups)"
+
+
+def test_emb_milli_corpus_injection_shape(spark):
+    """Generation k re-ids every 5th vector at +(k+1)e6 with the dim
+    tail zeroed; base rows are untouched."""
+    from pyspark.sql import functions as F
+
+    from apache_spark_irs_form_990_spark.operators.similarity import (
+        emb_milli_corpus,
+    )
+    from tests.conftest import SF_DIR
+
+    corpus = emb_milli_corpus(spark, SF_DIR, keeps=(60, 56), cap=100)
+    counts = dict(
+        corpus.groupBy((F.col("vec_id") / 1000000).cast("int").alias("g"))
+        .count()
+        .collect()
+    )
+    assert counts[1] == counts[2] == 20  # every 5th of 100
+    assert counts[0] == 100
+    tail = corpus.filter(F.col("vec_id") >= 2000000).select(
+        F.max(F.aggregate(F.slice("v", 57, 8), F.lit(0).cast("long"),
+                          lambda a, x: a + F.abs(x))).alias("tail_sum")
+    ).collect()[0]["tail_sum"]
+    assert tail == 0, "gen2 must zero dims >= 56"
