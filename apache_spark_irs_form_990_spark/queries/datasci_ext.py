@@ -1173,46 +1173,39 @@ def text_stopword_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ml_embedding_quantize_int8",
     oracle="""
     WITH m AS (
-      SELECT label,
+      SELECT vec_id, label,
              list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
       FROM embeddings
     ),
     d AS (
-      SELECT label, v,
+      SELECT vec_id, label, v,
              list_max(list_transform(v, x -> abs(x))) AS maxabs
       FROM m
-    ),
-    e AS (
-      SELECT label,
-             list_transform(v,
-               x -> abs(x * 127
-                        - CAST(round(CAST(x AS DOUBLE) * 127.0 / maxabs)
-                               AS BIGINT) * maxabs)) AS devs
-      FROM d WHERE maxabs > 0
     )
-    SELECT label,
-           CAST(count(*) AS BIGINT) AS n_vecs,
-           CAST(sum(CAST(list_sum(devs) AS BIGINT)) AS BIGINT) AS total_absdev,
-           CAST(max(list_max(devs)) AS BIGINT) AS max_absdev
-    FROM e GROUP BY label
+    SELECT vec_id, label,
+           CAST(maxabs AS BIGINT) AS scale_milli,
+           list_transform(v,
+             x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / maxabs)
+                       AS BIGINT)) AS q
+    FROM d WHERE maxabs > 0
     """,
 )
 def ml_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric int8 vector quantization audit — the vector-store
-    compression step (fp32 -> int8 = 4x less storage and memory
-    bandwidth for ANN serving): per vector, scale = max|v_i|/127,
-    q_i = round(v_i/scale), and the reconstruction deviation is
-    measured ALL-INTEGER as |127*v_i - q_i*maxabs| (milli x 127
-    units) — cross-multiplied so no engine ever compares
-    reconstructed doubles; sums/maxima of exact BIGINTs are
-    order-independent under any partitioning. Per label: vector
-    count, total and worst-case absolute deviation. The whole
-    computation folds inside the array columns (higher-order
-    transform/aggregate) — elements never explode, only
-    (label, sumdev, maxdev) rows reach the shuffle. Zero vectors
-    (maxabs=0, unquantizable) are excluded on both engines."""
+    """Symmetric int8 vector quantization — the TRANSFORM that builds
+    a compressed vector store (fp32 -> int8 = 4x less storage and
+    memory bandwidth for ANN serving): per vector, scale =
+    max|v_i|/127 and q_i = round(127 * v_i / maxabs) ∈ [-127, 127],
+    emitted alongside the per-vector scale needed to dequantize.
+    Complements `ml_embedding_quantize_audit` (frontier4_ext), which
+    reports the reconstruction ERROR of this exact scheme — that query
+    is the go/no-go check, this one materializes the index. Entirely
+    in-array (higher-order transform at the scan, no explode, no
+    Python); identical double rounding on both engines makes the
+    quantized arrays hash-exact. Zero vectors (maxabs=0,
+    unquantizable) are excluded on both engines."""
     emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
         "label",
         F.transform(
             "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
@@ -1220,17 +1213,14 @@ def ml_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     maxabs = F.array_max(F.transform("v", lambda x: F.abs(x)))
     d = emb.withColumn("maxabs", maxabs).filter(F.col("maxabs") > 0)
-    q = lambda x: F.round(  # noqa: E731
-        x.cast("double") * 127.0 / F.col("maxabs")
-    ).cast("long")
-    devs = F.transform(
-        F.col("v"), lambda x: F.abs(x * 127 - q(x) * F.col("maxabs"))
-    )
-    e = d.select("label", devs.alias("devs"))
-    return e.groupBy("label").agg(
-        F.count("*").cast("long").alias("n_vecs"),
-        F.sum(
-            F.aggregate("devs", F.lit(0).cast("long"), lambda a, x: a + x)
-        ).cast("long").alias("total_absdev"),
-        F.max(F.array_max("devs")).cast("long").alias("max_absdev"),
+    return d.select(
+        "vec_id",
+        "label",
+        F.col("maxabs").cast("long").alias("scale_milli"),
+        F.transform(
+            "v",
+            lambda x: F.round(
+                x.cast("double") * 127.0 / F.col("maxabs")
+            ).cast("long"),
+        ).alias("q"),
     )

@@ -359,3 +359,25 @@ def test_exact_audit_twins_are_bounded(spark):
     ):
         df = QUERIES[name](spark, SF_DIR)
         assert_pushed_filter(df, "LessThan(vec_id,300)")
+
+
+def test_incremental_minhash_asymmetric_probe(spark):
+    """The incremental near-dup probe joins batch signatures against
+    corpus signatures on (band, band_min) — keyed, never a corpus
+    self-pairing, and exactly two parquet scans (batch + corpus)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["dedup_incremental_minhash"](spark, SF_DIR)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        keyed = [
+            ln for ln in plan.splitlines()
+            if ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln)
+            and "band" in ln and "band_min" in ln
+        ]
+        assert keyed, f"probe join not keyed on (band, band_min):\n{plan}"
+        assert plan.count("FileScan") == 2, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
