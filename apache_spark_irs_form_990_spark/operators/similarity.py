@@ -463,24 +463,40 @@ def sim_cosine_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scored_sym_pairs(emb_n: DataFrame, cand: DataFrame) -> DataFrame:
-    """Symmetrize candidate pairs and score each direction with exact
-    integer-milli cosine: (qid, nid, cosine). ``emb_n`` must carry
-    (vec_id, v, n=squared norm). Both joins are equi-joins on vec_id."""
-    sym = cand.select(
-        F.col("id_a").alias("qid"), F.col("id_b").alias("nid")
-    ).unionByName(cand.select(F.col("id_b").alias("qid"), F.col("id_a").alias("nid")))
+    """Score each UNORDERED candidate pair once (cosine is symmetric),
+    then explode both directions map-side: (qid, nid, cosine).
+    ``emb_n`` must carry (vec_id, v, n=squared norm); both joins are
+    equi-joins on vec_id. Symmetrizing by union-of-two-selects would
+    reference — and re-execute — the whole candidate subtree twice;
+    the explode costs one row duplication after the expensive work."""
     a = emb_n.select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("va"), F.col("n").alias("na")
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
     )
     b = emb_n.select(
-        F.col("vec_id").alias("nid"), F.col("v").alias("vb"), F.col("n").alias("nb")
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
     )
     cosine = _pair_dot_udf()(F.col("va"), F.col("vb")).cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
-    return sym.join(a, "qid").join(b, "nid").select(
-        "qid", "nid", cosine.alias("cosine")
+    scored = cand.join(a, "id_a").join(b, "id_b").select(
+        "id_a", "id_b", cosine.alias("cosine")
     )
+    return scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("qid"),
+                    F.col("id_b").alias("nid"),
+                    F.col("cosine"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("qid"),
+                    F.col("id_a").alias("nid"),
+                    F.col("cosine"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.qid", "p.nid", "p.cosine")
 
 
 def _nn_lsh_oracle() -> str:
