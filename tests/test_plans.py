@@ -334,11 +334,15 @@ def test_semantic_cluster_edges_bucketed(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
-def test_jaccard_df_cap_semi_join(spark):
+def test_jaccard_df_cap_window(spark):
     """dedup_near_jaccard must prune hot shingles (document-frequency
-    cap) via a semi join BEFORE the inverted-index self-join."""
-    df = QUERIES["dedup_near_jaccard"](spark, SF_DIR)
-    assert "LeftSemi" in physical_plan(df)
+    cap) via a count-over-window on the shingle partition BEFORE the
+    inverted-index self-join — one posting-list pass, partitioned on
+    the join key."""
+    plan = physical_plan(QUERIES["dedup_near_jaccard"](spark, SF_DIR))
+    assert "Window" in plan, plan
+    window_part = plan.split("Window", 1)[1]
+    assert "shingle" in window_part.split("\n")[0], plan
 
 
 def test_label_contrast_bounded_sample(spark):
