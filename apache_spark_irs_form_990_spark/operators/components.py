@@ -22,7 +22,7 @@ just rows-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from apache_spark_irs_form_990_spark.operators.dedup import _shingles
@@ -111,13 +111,20 @@ _SQL_CORPUS = """
     "dedup_cluster_components",
     oracle=f"""
     WITH RECURSIVE corpus AS ({_SQL_CORPUS}),
-    shingled AS (
+    shingled0 AS (
       SELECT doc_id,
              unnest(list_distinct([
                array_to_string(list_slice(t, i, i + 2), ' ')
                FOR i IN generate_series(1, len(t) - 2)
              ])) AS shingle
       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+    ),
+    shingled AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               count(*) OVER (PARTITION BY shingle) AS df
+        FROM shingled0
+      ) WHERE df <= 100
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id),
     pairs AS (
@@ -147,15 +154,23 @@ _SQL_CORPUS = """
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: Jaccard>=0.6 pairs (same logic
-    as dedup_near_jaccard) become an edge list; connected components
-    assign every doc its cluster's min doc_id as canonical. The
-    downstream dedup action is then `keep rows where doc_id =
+    as dedup_near_jaccard, including its count-over-window
+    document-frequency cap — a corpus-common shingle must not blow up
+    the edge join here either) become an edge list; connected
+    components assign every doc its cluster's min doc_id as canonical.
+    The downstream dedup action is then `keep rows where doc_id =
     component_id` — one filter, no further joins.
     """
     corpus = _three_gen_corpus(spark, sf_dir)
-    shingled = corpus.select(
+    shingled0 = corpus.select(
         "doc_id",
         F.explode(F.array_distinct(_shingles(F.col("text")))).alias("shingle"),
+    )
+    w_df = Window.partitionBy("shingle")
+    shingled = (
+        shingled0.withColumn("df", F.count("*").over(w_df))
+        .filter(F.col("df") <= 100)
+        .drop("df")
     )
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = shingled.alias("a"), shingled.alias("b")
