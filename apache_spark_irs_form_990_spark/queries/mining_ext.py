@@ -362,13 +362,20 @@ def beh_lifecycle_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
                              len(string_split(text, ' ')) // 2), ' ') AS text
       FROM documents WHERE doc_id % 7 = 0
     ),
-    shingled AS (
+    shingled0 AS (
       SELECT doc_id,
              unnest(list_distinct([
                array_to_string(list_slice(t, i, i + 2), ' ')
                FOR i IN generate_series(1, len(t) - 2)
              ])) AS shingle
       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+    ),
+    shingled AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               count(*) OVER (PARTITION BY shingle) AS df
+        FROM shingled0
+      ) WHERE df <= 100
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id),
     pair_overlap AS (
@@ -395,9 +402,11 @@ def text_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     query finds pairs [[dedup_near_jaccard]] provably cannot.
 
     Same inverted-index candidate generation (pairs meet only on a
-    shared shingle; at 100 TB, cap shingle document-frequency before
-    the self-join), exact integer overlap counts, one final division
-    against the smaller set size."""
+    shared shingle), with the count-over-window document-frequency
+    cap (df <= 100) bounding hot posting lists before the self-join —
+    the r3 treatment applied across the whole shingle-join family.
+    Exact integer overlap counts, one final division against the
+    smaller set size — both computed over the capped universe."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
     prefix = docs.filter(F.col("doc_id") % 7 == 0).select(
@@ -408,7 +417,7 @@ def text_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionByName(prefix)
     t = F.split(F.col("text"), " ")
-    shingled = corpus.select(
+    shingled0 = corpus.select(
         "doc_id",
         F.explode(
             F.array_distinct(
@@ -423,6 +432,12 @@ def text_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("shingle"),
+    )
+    w_df = Window.partitionBy("shingle")
+    shingled = (
+        shingled0.withColumn("df", F.count(F.lit(1)).over(w_df))
+        .filter(F.col("df") <= 100)
+        .drop("df")
     )
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingled.alias("a")
