@@ -60,6 +60,7 @@ EXTENDED = [
     "pipeline_pretrain_mix",
     "agg_approx_count_distinct_raw",
     "dedup_near_embedding",
+    "dedup_incremental_minhash",
 ]
 
 
