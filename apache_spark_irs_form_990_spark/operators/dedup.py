@@ -872,12 +872,16 @@ def dedup_minhash_banding_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(4)
         ]
     )
+    # heavy-once: materialize the tiny signature table (4 rows x ~16
+    # bytes per doc) so the self-join's two sides don't each re-run
+    # the shingle explode + hash — the in-query analogue of the
+    # persisted signature index `dedup_incremental_minhash` probes.
     sig = sigw.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"m{b}") for b in range(4)])).alias(
             "band", "band_min"
         ),
-    )
+    ).localCheckpoint()
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(

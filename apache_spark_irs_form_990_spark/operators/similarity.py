@@ -247,10 +247,18 @@ def banded_lsh_pairs(emb: DataFrame) -> DataFrame:
     (vec_id, band, bucket) — B rows per vector, map-side — then ONE
     shuffle keyed on (band, bucket) for the self-join. Candidate
     volume is bounded by Sum over buckets of bucket^2; no unbucketed
-    self-join exists in the plan, which tests/test_plans.py asserts."""
+    self-join exists in the plan, which tests/test_plans.py asserts.
+
+    The signature table is `localCheckpoint`ed before the self-join
+    (the heavy-once pattern, SCALE.md §8): both join sides and every
+    downstream consumer read the materialized (vec_id, band, bucket)
+    rows — 3 small ints per row — instead of re-running the scan +
+    matmul per reference. This is the in-query analogue of the
+    persisted signature index a production corpus keeps."""
     banded = (
         emb.select("vec_id", _bucket_udf()(F.col("v")).alias("bks"))
         .select("vec_id", F.posexplode("bks").alias("band", "bucket"))
+        .localCheckpoint()
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
