@@ -186,3 +186,88 @@ def scan_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+def _z_interleave_sql() -> str:
+    """DuckDB 16-bit Morton code over the min/max-normalized 8-bit
+    (customer, day) coordinates cx/cy."""
+    terms = []
+    for i in range(8):
+        terms.append(f"(((cx >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((cy >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "layout_zorder_stats",
+    oracle=f"""
+    WITH b AS (
+      SELECT min(o_custkey) AS mn_c, max(o_custkey) AS mx_c,
+             min(o_orderdate) AS mn_d, max(o_orderdate) AS mx_d
+      FROM orders
+    ),
+    norm AS (
+      SELECT ((o_custkey - mn_c) * 255) // (mx_c - mn_c) AS cx,
+             (date_diff('day', mn_d, o_orderdate) * 255)
+               // date_diff('day', mn_d, mx_d) AS cy
+      FROM orders, b
+    ),
+    z AS (
+      SELECT cx, cy, CAST({{Z}} AS BIGINT) AS zval FROM norm
+    )
+    SELECT CAST(zval >> 10 AS BIGINT) AS cell,
+           count(*) AS n_rows,
+           CAST(min(cx) AS BIGINT) AS min_cx, CAST(max(cx) AS BIGINT) AS max_cx,
+           CAST(min(cy) AS BIGINT) AS min_cy, CAST(max(cy) AS BIGINT) AS max_cy
+    FROM z GROUP BY cell
+    """.replace("{Z}", _z_interleave_sql()),
+)
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit — the 2-D data-skipping layout
+    OSS Spark lacks as a built-in (Delta/Iceberg expose it as OPTIMIZE
+    ZORDER): normalize two filter dimensions (customer, order-day) to
+    8-bit coordinates with a broadcast min/max scalar (ONE 1-row
+    aggregate — the same bounds a `repartitionByRange` write would
+    sample), interleave their bits into a 16-bit z value, and report
+    per-z-cell (top-6-bit) row counts + per-dimension min/max. Each
+    cell is a small RECTANGLE in (customer x day) space, so parquet
+    min/max stats skip files for predicates on EITHER dimension —
+    single-key sorting helps only its own key. The production write
+    this audit justifies is `df.repartitionByRange(64, "zval")
+    .sortWithinPartitions("zval").write.parquet(...)`.
+
+    All-integer arithmetic: floor division of non-negative ints
+    matches between engines; the bit interleave is 32 codegen'd
+    shift/mask terms, no UDF, one aggregate pass."""
+    o = load(spark, sf_dir, "orders")
+    bounds = F.broadcast(
+        o.agg(
+            F.min("o_custkey").alias("mn_c"),
+            F.max("o_custkey").alias("mx_c"),
+            F.min("o_orderdate").alias("mn_d"),
+            F.max("o_orderdate").alias("mx_d"),
+        )
+    )
+    norm = o.crossJoin(bounds).select(
+        F.expr("((o_custkey - mn_c) * 255) div (mx_c - mn_c)").alias("cx"),
+        F.expr(
+            "(datediff(o_orderdate, mn_d) * 255) div datediff(mx_d, mn_d)"
+        ).alias("cy"),
+    )
+    z = None
+    for i in range(8):
+        tx = F.shiftleft(F.shiftright(F.col("cx"), i).bitwiseAND(F.lit(1)), 2 * i)
+        ty = F.shiftleft(
+            F.shiftright(F.col("cy"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        z = tx + ty if z is None else z + tx + ty
+    d = norm.select("cx", "cy", z.cast("long").alias("zval"))
+    return d.groupBy(
+        F.shiftright(F.col("zval"), 10).cast("long").alias("cell")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("cx").cast("long").alias("min_cx"),
+        F.max("cx").cast("long").alias("max_cx"),
+        F.min("cy").cast("long").alias("min_cy"),
+        F.max("cy").cast("long").alias("max_cy"),
+    )
