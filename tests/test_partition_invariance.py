@@ -1,0 +1,50 @@
+"""Partitioning-invariance sweep (SCALE.md §4).
+
+The engine's determinism claim is stronger than "matches DuckDB once":
+results must be BIT-IDENTICAL under any partitioning, or they are not
+reproducible across cluster sizes. This sweep re-runs a sample of the
+numerically-sensitive queries (derived-double aggregations, windowed
+statistics, LSH candidate generation, iterative clustering) with
+different `spark.sql.shuffle.partitions` settings and asserts exact
+row-set equality — the failure mode it guards (naive double summation
+whose value depends on merge order) is invisible to a single-run
+oracle comparison that happens to use one partitioning.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from apache_spark_irs_form_990_spark import registry
+from tests.conftest import SF_DIR
+
+# Queries whose math would drift under reordering if any accumulation
+# were a raw double sum; one representative per risk family.
+SWEEP = [
+    "agg_corr_covar",          # exact int64 moments -> closed form
+    "agg_gini_concentration",  # rank window + integer moments
+    "sim_label_contrast",      # micro-cosine integerized pair sums
+    "ml_embedding_norm_audit", # per-row integerized norms, group mean
+    "stats_welch_t_test",      # per-group exact moments
+    "ts_acf_multi_lag",        # lagged products over a calendar sort
+    "dedup_near_embedding",    # LSH candidates + cosine threshold
+    "dedup_cluster_components",  # iterative min-label propagation
+]
+
+
+def _rows(spark, name: str) -> list[tuple]:
+    df = registry.queries()[name](spark, SF_DIR)
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", SWEEP)
+def test_result_invariant_under_shuffle_partitioning(spark, name):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = _rows(spark, name)
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = _rows(spark, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b, f"{name}: result depends on shuffle partitioning"
