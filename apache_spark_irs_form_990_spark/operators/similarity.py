@@ -196,9 +196,12 @@ def _banded_planes() -> list[list[list[int]]]:
 _BANDED = _banded_planes()
 
 
-def _bucket_udf():
-    """Arrow-batched signature kernel: all B*R plane dots as ONE int64
-    matmul per batch (numpy), returning the B bucket ids per vector.
+def _bucket_udf(planes: list | None = None):
+    """Arrow-batched signature kernel: all plane dots as ONE int64
+    matmul per batch (numpy), returning per-vector bucket ids —
+    an array of per-band buckets for the banded planes (default), or
+    a single-element array for a flat plane list (``planes`` given as
+    [plane][dim], treated as one band).
 
     Why a pandas UDF and not Catalyst expressions: 64 higher-order
     `aggregate(zip_with(...))` dots per row run interpreted (~7 s at
@@ -207,8 +210,12 @@ def _bucket_udf():
     A batched integer matmul is the textbook vectorized-UDF case —
     exact int64 arithmetic, so the md5-derived plane semantics (and
     the DuckDB twin) are unchanged; only the evaluation strategy is."""
-    B, R = _N_BANDS, _BAND_PLANES
-    P = np.asarray(_BANDED, dtype=np.int64).reshape(B * R, -1)  # (B*R, D)
+    if planes is None:
+        B, R = _N_BANDS, _BAND_PLANES
+        P = np.asarray(_BANDED, dtype=np.int64).reshape(B * R, -1)
+    else:
+        B, R = 1, len(planes)
+        P = np.asarray(planes, dtype=np.int64)  # (R, D)
     W = 1 << np.arange(R, dtype=np.int64)
 
     @F.pandas_udf("array<int>")
@@ -425,28 +432,14 @@ def sim_cosine_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by bucket sizes. Raising n_planes shrinks buckets (recall
     down, cost down) — the single knob of the engine's ANN story.
     """
-    N_PLANES = len(_PLANES)
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _milli_vec(F.col("embedding")).alias("v")
     )
-
-    def plane_dot(j):
-        return F.aggregate(
-            F.zip_with(
-                F.col("v"),
-                F.array(*[F.lit(x) for x in _PLANES[j]]),
-                lambda x, p: x * p,
-            ),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        )
-
-    bucket = sum(
-        (F.when(plane_dot(j) > 0, F.lit(1 << j)).otherwise(0)) for j in range(N_PLANES)
-    )
-    bucketed = emb.withColumn("bucket", bucket.cast("int")).withColumn(
-        "n", _sq_norm(F.col("v"))
-    )
+    # one Arrow int64 matmul per batch computes all 8 sign bits
+    # (same kernel as banded_lsh_pairs, single-band plane set)
+    bucketed = emb.withColumn(
+        "bucket", _bucket_udf(_PLANES)(F.col("v")).getItem(0)
+    ).withColumn("n", _sq_norm(F.col("v")))
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     cosine = _dot(F.col("a.v"), F.col("b.v")).cast("double") / (
