@@ -1185,9 +1185,9 @@ def text_stopword_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id, label,
            CAST(maxabs AS BIGINT) AS scale_milli,
-           list_transform(v,
+           array_to_string(list_transform(v,
              x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / maxabs)
-                       AS BIGINT)) AS q
+                       AS BIGINT)), ',') AS q
     FROM d WHERE maxabs > 0
     """,
 )
@@ -1202,8 +1202,11 @@ def ml_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the go/no-go check, this one materializes the index. Entirely
     in-array (higher-order transform at the scan, no explode, no
     Python); identical double rounding on both engines makes the
-    quantized arrays hash-exact. Zero vectors (maxabs=0,
-    unquantizable) are excluded on both engines."""
+    quantized vectors hash-exact. The q vector serializes to a
+    positional comma-joined string (the registry's canonical form for
+    array outputs — harness hashers cannot sort array cells); a
+    production writer would keep it `array<tinyint>`. Zero vectors
+    (maxabs=0, unquantizable) are excluded on both engines."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
@@ -1217,10 +1220,13 @@ def ml_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.col("maxabs").cast("long").alias("scale_milli"),
-        F.transform(
-            "v",
-            lambda x: F.round(
-                x.cast("double") * 127.0 / F.col("maxabs")
-            ).cast("long"),
+        F.array_join(
+            F.transform(
+                "v",
+                lambda x: F.round(
+                    x.cast("double") * 127.0 / F.col("maxabs")
+                ).cast("long"),
+            ),
+            ",",
         ).alias("q"),
     )
