@@ -103,3 +103,79 @@ def test_stream_outer_join_matched_subset_exact(spark):
     assert matched == batch
     # no duplicate emission of any purchase row (matched or outer)
     assert out.count() == out.distinct().count()
+
+
+def _staged_chunks(spark, tmp_path, n=4):
+    """Stage the smoke events as n chronological single-file chunks
+    (written in time order, so the file stream's modification-time
+    ordering replays them as n microbatches)."""
+    import time
+
+    from pyspark.sql import Window
+
+    ev = load(spark, SMOKE_SF_DIR, "events")
+    w = Window.orderBy("ts")
+    chunked = ev.withColumn("chunk", F.ntile(4).over(w))
+    root = str(tmp_path / "stream_chunks")
+    for i in range(1, n + 1):
+        (
+            chunked.filter(F.col("chunk") == i)
+            .drop("chunk")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(root)
+        )
+        time.sleep(1.1)  # distinct mtimes -> deterministic replay order
+    return root
+
+
+def _tumbling_append(stream_df):
+    return (
+        stream_df.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.unix_micros("window.start").alias("ws_us"), "event_type", "cnt"
+        )
+    )
+
+
+def test_multibatch_replay_matches_single_batch(spark, tmp_path):
+    """Replay invariance: the same append-mode tumbling aggregate over
+    4 chronological microbatches (maxFilesPerTrigger=1, watermark
+    advancing and evicting state between triggers) emits exactly what
+    the single-batch run emits — the property that lets a streaming
+    pipeline be backfilled or re-sharded without changing answers."""
+    from apache_spark_irs_form_990_spark.streaming.stream_queries import (
+        run_to_completion,
+    )
+
+    root = _staged_chunks(spark, tmp_path)
+    ev = load(spark, SMOKE_SF_DIR, "events")
+
+    multi = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(root)
+    single = spark.readStream.schema(ev.schema).parquet(root)
+
+    got_multi = {
+        (r.ws_us, r.event_type, r.cnt)
+        for r in run_to_completion(_tumbling_append(multi), "append").collect()
+    }
+    got_single = {
+        (r.ws_us, r.event_type, r.cnt)
+        for r in run_to_completion(_tumbling_append(single), "append").collect()
+    }
+    assert got_multi == got_single
+    # and every emitted window matches the batch ground truth
+    batch = {
+        (r.ws_us, r.event_type, r.cnt)
+        for r in ev.groupBy(
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("ws_us"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got_multi <= batch
+    assert got_multi, "append mode should have emitted closed windows"
