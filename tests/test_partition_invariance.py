@@ -29,6 +29,8 @@ SWEEP = [
     "ts_acf_multi_lag",        # lagged products over a calendar sort
     "dedup_near_embedding",    # LSH candidates + cosine threshold
     "dedup_cluster_components",  # iterative min-label propagation
+    "dedup_incremental_minhash",  # asymmetric signature probe
+    "layout_zorder_stats",     # broadcast bounds + bit interleave
 ]
 
 
