@@ -223,27 +223,33 @@ _BOLL_SQL_SD = (
 
 @register(
     "win_bollinger_bands",
+    # NB: the window sums are pinned back to BIGINT before any DOUBLE
+    # cast — DuckDB's sum() widens to HUGEINT, and its int128->double
+    # conversion is NOT correctly rounded (off by 1 ulp vs Spark's
+    # BigDecimal path), which the variance cancellation then amplifies
+    # into visible band differences. BIGINT->double is a correctly
+    # rounded CPU instruction on both engines.
     oracle=f"""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS day,
-             sum({sql_cents('o_totalprice')}) AS day_c
+             CAST(sum({sql_cents('o_totalprice')}) // 100 AS BIGINT) AS day_r
       FROM orders GROUP BY CAST(o_orderdate AS DATE)
     ),
     framed AS (
-      SELECT day, day_c,
-             sum(day_c)  OVER w AS sc,
-             sum(day_c * day_c) OVER w AS sc2,
+      SELECT day, day_r,
+             CAST(sum(day_r)  OVER w AS BIGINT) AS sc,
+             CAST(sum(day_r * day_r) OVER w AS BIGINT) AS sc2,
              row_number() OVER (ORDER BY day) AS rn
       FROM daily
       WINDOW w AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     )
     SELECT strftime(day, '%Y-%m-%d') AS day,
-           CAST(day_c AS DOUBLE) / 100.0 AS revenue,
-           round(({_BOLL_SQL_MEAN}) / 100.0, 4) AS sma20,
-           round(({_BOLL_SQL_MEAN} + 2.0 * {_BOLL_SQL_SD}) / 100.0, 4) AS upper_band,
-           round(({_BOLL_SQL_MEAN} - 2.0 * {_BOLL_SQL_SD}) / 100.0, 4) AS lower_band,
-           CAST(day_c AS DOUBLE) > {_BOLL_SQL_MEAN} + 2.0 * {_BOLL_SQL_SD}
-             OR CAST(day_c AS DOUBLE) < {_BOLL_SQL_MEAN} - 2.0 * {_BOLL_SQL_SD}
+           CAST(day_r AS DOUBLE) AS revenue,
+           round(({_BOLL_SQL_MEAN}), 4) AS sma20,
+           round(({_BOLL_SQL_MEAN} + 2.0 * {_BOLL_SQL_SD}), 4) AS upper_band,
+           round(({_BOLL_SQL_MEAN} - 2.0 * {_BOLL_SQL_SD}), 4) AS lower_band,
+           CAST(day_r AS DOUBLE) > {_BOLL_SQL_MEAN} + 2.0 * {_BOLL_SQL_SD}
+             OR CAST(day_r AS DOUBLE) < {_BOLL_SQL_MEAN} - 2.0 * {_BOLL_SQL_SD}
              AS breakout
     FROM framed WHERE rn >= 20
     """,
@@ -255,40 +261,50 @@ def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of integer cents); the window then runs over the DAY
     domain — bounded by the calendar, not the corpus, so the single
     unpartitioned sort is a few thousand rows at any SF. Both frame
-    moments (Σc, Σc²) come from ONE window spec; mean/σ/bands are a
+    moments (Σr, Σr²) come from ONE window spec; mean/σ/bands are a
     closed-form double expression with identical association order on
     both engines (sqrt is correctly rounded), and the breakout
-    predicate compares in the exact cents domain. Overflow: Σc² of
-    daily cents stays under 2^63 through SF ~100; beyond that the
-    moment columns widen to decimal(38,0)."""
+    predicate compares in the exact integer domain.
+
+    Numeric domain (r3 fix): daily revenue is floored to WHOLE DOLLARS
+    before the moments — at cents granularity Σ(day²) crosses 2^63 at
+    sf0.1 (long overflow under ANSI), and parking it in int128/decimal
+    trips DuckDB's incorrectly-rounded int128->double conversion (1
+    ulp, amplified by the variance cancellation into band mismatches).
+    Dollar-integer moments stay well inside int64 — and inside the
+    correctly-rounded conversion domain — through SF ~30; beyond that,
+    widen to decimal and re-derive the band doubles from split hi/lo
+    int63 parts."""
     o = load(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.to_date("o_orderdate").alias("day")
-    ).agg(F.sum(cents("o_totalprice")).alias("day_c"))
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(cents("o_totalprice")).alias("day_c"))
+        .select("day", F.expr("day_c div 100").alias("day_r"))
+    )
     w = Window.orderBy("day").rowsBetween(-19, 0)
     framed = daily.select(
         "day",
-        "day_c",
-        F.sum("day_c").over(w).alias("sc"),
-        F.sum(F.col("day_c") * F.col("day_c")).over(w).alias("sc2"),
+        "day_r",
+        F.sum("day_r").over(w).alias("sc"),
+        F.sum(F.col("day_r") * F.col("day_r")).over(w).alias("sc2"),
         F.row_number().over(Window.orderBy("day")).alias("rn"),
     ).filter(F.col("rn") >= 20)
-    mean_c = F.col("sc").cast("double") / 20.0
-    sd_c = F.sqrt(
+    mean_r = F.col("sc").cast("double") / 20.0
+    sd_r = F.sqrt(
         (
             F.col("sc2").cast("double")
             - F.col("sc").cast("double") * F.col("sc").cast("double") / 20.0
         )
         / 20.0
     )
-    day_d = F.col("day_c").cast("double")
+    day_d = F.col("day_r").cast("double")
     return framed.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
-        (day_d / 100.0).alias("revenue"),
-        F.round(mean_c / 100.0, 4).alias("sma20"),
-        F.round((mean_c + 2.0 * sd_c) / 100.0, 4).alias("upper_band"),
-        F.round((mean_c - 2.0 * sd_c) / 100.0, 4).alias("lower_band"),
-        ((day_d > mean_c + 2.0 * sd_c) | (day_d < mean_c - 2.0 * sd_c)).alias(
+        day_d.alias("revenue"),
+        F.round(mean_r, 4).alias("sma20"),
+        F.round(mean_r + 2.0 * sd_r, 4).alias("upper_band"),
+        F.round(mean_r - 2.0 * sd_r, 4).alias("lower_band"),
+        ((day_d > mean_r + 2.0 * sd_r) | (day_d < mean_r - 2.0 * sd_r)).alias(
             "breakout"
         ),
     )
