@@ -270,3 +270,356 @@ def mm_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+_RESIZE_BLOCKS = 8
+
+
+def _resize_oracle() -> str:
+    """DuckDB twin of the block-pool kernel: byte values re-derived as
+    ord() over the ASCII payload chars (the same byte==char contract
+    `mm_decode_features` documents), block boundaries by the identical
+    integer division."""
+    return f"""
+    WITH imgs AS (
+      SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
+      FROM documents WHERE CAST(doc_id % 3 AS INT) = 0
+    ),
+    codes AS (
+      SELECT doc_id, n,
+             [CAST(ord(substr(text, i, 1)) AS BIGINT)
+              FOR i IN generate_series(1, n)] AS c
+      FROM imgs
+    )
+    SELECT doc_id, CAST(b AS INT) AS block_idx,
+           CAST(((b + 1) * n) // {_RESIZE_BLOCKS}
+                - (b * n) // {_RESIZE_BLOCKS} AS INT) AS block_len,
+           CAST((list_sum(list_slice(c, (b * n) // {_RESIZE_BLOCKS} + 1,
+                                     ((b + 1) * n) // {_RESIZE_BLOCKS})) * 1000)
+                // (((b + 1) * n) // {_RESIZE_BLOCKS}
+                    - (b * n) // {_RESIZE_BLOCKS}) AS BIGINT) AS mean_milli
+    FROM codes, LATERAL (SELECT unnest(generate_series(0, {_RESIZE_BLOCKS - 1})) AS b)
+    """
+
+
+@register("mm_resize_block_stats", oracle=_resize_oracle())
+def mm_resize_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/thumbnail analogue for image payloads: pool the payload
+    bytes into a fixed grid of {B} blocks and emit each block's exact
+    integer mean intensity (milli-units, floor division — no floats).
+    A real image resize is exactly this shape — decode, block-average,
+    emit a small fixed-size representation — with a 2-D kernel instead
+    of this 1-D STUB over raw bytes.
+
+    Plan shape: the kernel runs inside the scan task via Arrow-batched
+    mapInPandas (one numpy reduceat per batch — no per-byte Python);
+    only {B} small ints per item ever leave the scan, the payload
+    never shuffles. The fixed output size is the point at 100 TB:
+    downstream stages cost O(items), not O(bytes)."""
+    import numpy as np
+
+    m = media_table(spark, sf_dir).filter(F.col("meta.kind") == "image")
+    B = _RESIZE_BLOCKS
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                n = len(arr)
+                idx = (np.arange(B, dtype=np.int64) * n) // B
+                sums = np.add.reduceat(arr, idx)
+                lens = np.diff(np.append(idx, n))
+                for b in range(B):
+                    rows.append(
+                        (doc_id, b, int(lens[b]), int(sums[b] * 1000 // lens[b]))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "block_idx", "block_len", "mean_milli"]
+            )
+
+    return m.select("doc_id", "payload").mapInPandas(
+        run, schema="doc_id long, block_idx int, block_len int, mean_milli long"
+    )
+
+
+mm_resize_block_stats.__doc__ = mm_resize_block_stats.__doc__.format(B=_RESIZE_BLOCKS)
+
+_PHASH_BITS = 64
+_PHASH_QUARTERS = 4
+_PHASH_MAX_HAMMING = 6
+
+
+def _phash_oracle() -> str:
+    """DuckDB twin of the perceptual-hash kernel: per-block bits from
+    the same integer cross-multiplication (block_sum * n > total *
+    block_len — no division, exact in both engines), quarters packed
+    with the same shifts, candidates from the same quarter-banding."""
+    K, Q = _PHASH_BITS, _PHASH_QUARTERS
+    per = K // Q
+    quarter_exprs = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN bs[{q * per + j + 1}] * n > total * bl[{q * per + j + 1}]"
+            f" THEN {1 << j} ELSE 0 END)"
+            for j in range(per)
+        )
+        + f" AS BIGINT) AS q{q}"
+        for q in range(Q)
+    )
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, q0, q1, q2, q3, {q} AS band, q{q} AS key FROM fp"
+        for q in range(Q)
+    )
+    ham = " + ".join(f"bit_count(xor(a.q{q}, b.q{q}))" for q in range(Q))
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE len(text) >= {K}
+      UNION ALL
+      SELECT doc_id + 4000000,
+             substr(text, 1, 10) || 'X' || substr(text, 12)
+      FROM documents WHERE doc_id % 6 = 0 AND len(text) >= {K}
+    ),
+    codes AS (
+      SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n,
+             [CAST(ord(substr(text, i, 1)) AS BIGINT)
+              FOR i IN generate_series(1, len(text))] AS c
+      FROM corpus
+    ),
+    blocks AS (
+      SELECT doc_id, n, list_sum(c) AS total,
+             [list_sum(list_slice(c, (b * n) // {K} + 1, ((b + 1) * n) // {K}))
+              FOR b IN generate_series(0, {K - 1})] AS bs,
+             [((b + 1) * n) // {K} - (b * n) // {K}
+              FOR b IN generate_series(0, {K - 1})] AS bl
+      FROM codes
+    ),
+    fp AS (SELECT doc_id, {quarter_exprs} FROM blocks),
+    banded AS (
+      {bands}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST({ham} AS INT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE {ham} <= {_PHASH_MAX_HAMMING}
+    """
+
+
+@register("mm_phash_hamming_dedup", oracle=_phash_oracle())
+def mm_phash_hamming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over BINARY payloads — the multimodal
+    analogue of `dedup_simhash`: a {K}-bit fingerprint per payload
+    (bit b = does block b's mean intensity exceed the payload mean,
+    computed as an exact integer cross-multiplication), packed into
+    {Q} 16-bit quarters; candidate pairs share at least one exact
+    quarter (pigeonhole banding — hamming <= {Q_minus_1} is caught
+    with certainty, the configured gate is <= {H}); exact popcount of
+    the quarter XORs confirms. A real pHash swaps the 1-D block-mean
+    STUB for a DCT over decoded pixels; the fingerprint width, the
+    banding, and every plan shape downstream are unchanged.
+
+    Near-dups are injected deterministically (every 6th payload
+    re-appears under doc_id+4e6 with byte 11 overwritten) — a 1-byte
+    corruption, the re-encoded-thumbnail case exact `mm_binary_dedup`
+    can never catch.
+
+    Scale shape: the kernel is one numpy reduceat + matmul-free pack
+    per Arrow batch inside the scan task; only {Q} small ints per item
+    shuffle (keyed on (band, quarter) — Σ bucket² pair work, no
+    unbucketed self-join); payload bytes never leave the scan."""
+    import numpy as np
+
+    K, Q = _PHASH_BITS, _PHASH_QUARTERS
+    per = K // Q
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.length("text") >= K
+    )
+    near = docs.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 10), F.lit("X"), F.expr("substring(text, 12)")
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(near).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                n = len(arr)
+                idx = (np.arange(K, dtype=np.int64) * n) // K
+                sums = np.add.reduceat(arr, idx)
+                lens = np.diff(np.append(idx, n))
+                bits = sums * n > arr.sum() * lens
+                qs = [
+                    int((bits[q * per : (q + 1) * per] << np.arange(per)).sum())
+                    for q in range(Q)
+                ]
+                rows.append((doc_id, *qs))
+            yield pd.DataFrame(rows, columns=["doc_id", "q0", "q1", "q2", "q3"])
+
+    fp = corpus.mapInPandas(
+        run, schema="doc_id long, q0 long, q1 long, q2 long, q3 long"
+    ).localCheckpoint()
+    banded = fp.select(
+        "doc_id", "q0", "q1", "q2", "q3",
+        F.posexplode(F.array("q0", "q1", "q2", "q3")).alias("band", "key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = sum(
+        F.bit_count(F.col(f"a.q{q}").bitwiseXOR(F.col(f"b.q{q}"))) for q in range(Q)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
+    )
+
+
+mm_phash_hamming_dedup.__doc__ = mm_phash_hamming_dedup.__doc__.format(
+    K=_PHASH_BITS, Q=_PHASH_QUARTERS, Q_minus_1=_PHASH_QUARTERS - 1,
+    H=_PHASH_MAX_HAMMING,
+)
+
+_AUDIO_WIN = 64
+
+
+def _audio_oracle() -> str:
+    W = _AUDIO_WIN
+    return f"""
+    WITH auds AS (
+      SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
+      FROM documents WHERE CAST(doc_id % 3 AS INT) = 1
+    ),
+    codes AS (
+      SELECT doc_id, n,
+             [CAST(ord(substr(text, i, 1)) AS BIGINT)
+              FOR i IN generate_series(1, n)] AS c
+      FROM auds
+    ),
+    wins AS (
+      SELECT doc_id, CAST(w AS INT) AS win_idx,
+             CAST(least((w + 1) * {W}, n) - w * {W} AS INT) AS win_len,
+             CAST(list_sum(list_transform(
+               list_slice(c, w * {W} + 1, least((w + 1) * {W}, n)),
+               x -> (x - 128) * (x - 128))) AS BIGINT) AS energy
+      FROM codes, LATERAL (SELECT unnest(generate_series(0, (n - 1) // {W})) AS w)
+    )
+    SELECT doc_id, win_idx, win_len, energy FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY energy DESC, win_idx) AS rn
+      FROM wins
+    ) WHERE rn = 1
+    """
+
+
+@register("mm_audio_energy_windows", oracle=_audio_oracle())
+def mm_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudest-frame selection for audio payloads: the payload is cut
+    into fixed {W}-byte windows (last one partial), each window scored
+    by exact integer energy (sum of squared 128-centered byte values —
+    the RMS numerator, no floats), and the top-energy window per item
+    is emitted. This is the audio twin of video keyframe extraction:
+    a real kernel swaps the byte STUB for PCM samples and the energy
+    for a spectral score; the frame/score/top-1 plumbing is identical.
+
+    Plan shape: the kernel emits one small row per window from inside
+    the scan task (Arrow-batched, one numpy pass per batch); the top-1
+    is a WindowGroupLimit over (doc_id) — rank filter pushed map-side
+    before the exchange — so what shuffles is O(windows) tiny rows,
+    and the payload never does."""
+    import numpy as np
+
+    m = media_table(spark, sf_dir).filter(F.col("meta.kind") == "audio")
+    W = _AUDIO_WIN
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                sq = (arr - 128) ** 2
+                for w in range(0, (len(arr) - 1) // W + 1):
+                    seg = sq[w * W : (w + 1) * W]
+                    rows.append((doc_id, w, len(seg), int(seg.sum())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "win_idx", "win_len", "energy"]
+            )
+
+    wins = m.select("doc_id", "payload").mapInPandas(
+        run, schema="doc_id long, win_idx int, win_len int, energy long"
+    )
+    from pyspark.sql import Window
+
+    top = Window.partitionBy("doc_id").orderBy(F.col("energy").desc(), "win_idx")
+    return (
+        wins.withColumn("rn", F.row_number().over(top))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+mm_audio_energy_windows.__doc__ = mm_audio_energy_windows.__doc__.format(W=_AUDIO_WIN)
+
+
+@register(
+    "mm_modality_storage_report",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             sha256(text) AS fp
+      FROM documents
+    )
+    SELECT kind,
+           count(*) AS n_items,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           max(n_bytes) AS max_bytes,
+           CAST((sum(n_bytes) * 1000) // count(*) AS BIGINT) AS avg_bytes_milli,
+           count(DISTINCT fp) AS n_distinct_payloads
+    FROM m
+    GROUP BY kind
+    """,
+)
+def mm_modality_storage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality storage rollup — the capacity-planning query every
+    media corpus runs nightly: item counts, byte totals/max, exact
+    integer mean (milli-bytes, floor division), and distinct-payload
+    count via map-side sha-256 (32-byte digests shuffle, payloads
+    don't). One partial+final hash aggregate on the 3-value kind key;
+    the distinct rides the same exchange as an Expand, which is
+    acceptable because the group count is constant — at larger
+    cardinality the HLL sketch (`agg_approx_count_distinct_raw`
+    pattern) replaces it."""
+    m = media_table(spark, sf_dir)
+    return (
+        m.select(
+            F.col("meta.kind").alias("kind"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.sha2(F.col("payload"), 256).alias("fp"),
+        )
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+            F.expr("sum(n_bytes) * 1000 div count(*)").alias("avg_bytes_milli"),
+            F.countDistinct("fp").alias("n_distinct_payloads"),
+        )
+    )

@@ -56,3 +56,111 @@ def test_pil_kernel_falls_back_when_library_absent():
 @pytest.mark.skipif(not _pil_available(), reason="Pillow not installed")
 def test_pil_kernel_decodes_synthetic_png():
     assert _decode_pil(_PNG_1x1) == (1, 1, 3)
+
+
+class TestRound3Kernels:
+    """Behavioral properties of the round-3 media kernels that the
+    oracle differential can't express: injection recall for the
+    perceptual hash, batch-shape independence for the block pooler."""
+
+    def test_phash_finds_injected_near_dups(self, spark):
+        from apache_spark_irs_form_990_spark.operators.multimodal import (
+            mm_phash_hamming_dedup,
+        )
+        from tests.conftest import SF_DIR
+
+        pairs = mm_phash_hamming_dedup(spark, SF_DIR)
+        injected = pairs.filter(
+            (pairs.id_b == pairs.id_a + 4000000)
+        )
+        rows = injected.collect()
+        # 1-byte corruption → tiny hamming; banding must recover most
+        # injected originals (LSH recall < 1 is honest, 0 is a bug).
+        assert len(rows) >= 50
+        assert all(r.hamming <= 6 for r in rows)
+
+    def test_phash_pairs_are_ordered_and_deduped(self, spark):
+        from apache_spark_irs_form_990_spark.operators.multimodal import (
+            mm_phash_hamming_dedup,
+        )
+        from tests.conftest import SF_DIR
+
+        pdf = mm_phash_hamming_dedup(spark, SF_DIR).toPandas()
+        assert (pdf.id_a < pdf.id_b).all()
+        assert not pdf.duplicated(["id_a", "id_b"]).any()
+
+    def test_resize_blocks_partition_invariant(self, spark):
+        """The Arrow kernel is per-row: repartitioning (different batch
+        boundaries) must not change a single output value."""
+        from apache_spark_irs_form_990_spark.operators.multimodal import (
+            media_table, _RESIZE_BLOCKS,
+        )
+        import apache_spark_irs_form_990_spark.operators.multimodal as mm
+        from tests.conftest import SF_DIR
+
+        base = mm.mm_resize_block_stats(spark, SF_DIR).toPandas()
+        m = media_table(spark, SF_DIR).filter("meta.kind = 'image'")
+        # same kernel over a 1-partition copy (different Arrow batches)
+        import pandas as pd
+
+        alt = (
+            m.repartition(1)
+            .select("doc_id", "payload")
+            .mapInPandas(
+                # reuse the registered query's kernel by re-deriving from the module
+                # (block pooling is deterministic per row)
+                _resize_kernel(),
+                schema="doc_id long, block_idx int, block_len int, mean_milli long",
+            )
+            .toPandas()
+        )
+        key = ["doc_id", "block_idx"]
+        b = base.sort_values(key, ignore_index=True)
+        a = alt.sort_values(key, ignore_index=True)
+        pd.testing.assert_frame_equal(a, b)
+        assert (b.groupby("doc_id").size() == _RESIZE_BLOCKS).all()
+
+    def test_audio_windows_cover_payload(self, spark, duck):
+        """Top window length never exceeds the window size and the
+        winning index is within the payload's window range."""
+        from apache_spark_irs_form_990_spark.operators.multimodal import (
+            mm_audio_energy_windows, _AUDIO_WIN,
+        )
+        from tests.conftest import SF_DIR
+
+        pdf = mm_audio_energy_windows(spark, SF_DIR).toPandas()
+        assert (pdf.win_len > 0).all() and (pdf.win_len <= _AUDIO_WIN).all()
+        assert (pdf.energy >= 0).all()
+        n_audio = duck.execute(
+            "SELECT count(*) FROM documents WHERE CAST(doc_id % 3 AS INT) = 1"
+        ).fetchone()[0]
+        assert len(pdf) == n_audio  # exactly one winner per audio item
+
+
+def _resize_kernel():
+    """The block-pool kernel, standalone, for the invariance test."""
+    import numpy as np
+    import pandas as pd
+
+    from apache_spark_irs_form_990_spark.operators.multimodal import _RESIZE_BLOCKS
+
+    B = _RESIZE_BLOCKS
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                n = len(arr)
+                idx = (np.arange(B, dtype=np.int64) * n) // B
+                sums = np.add.reduceat(arr, idx)
+                lens = np.diff(np.append(idx, n))
+                for b in range(B):
+                    rows.append(
+                        (doc_id, b, int(lens[b]), int(sums[b] * 1000 // lens[b]))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "block_idx", "block_len", "mean_milli"]
+            )
+
+    return run
