@@ -92,6 +92,61 @@ def _shingles(col, n: int = 3):
     )
 
 
+def band_signatures(df: DataFrame) -> DataFrame:
+    """Chunked-md5 MinHash band signatures of a (doc_id, text) frame:
+    (doc_id, band, band_min) with 4 bands, each band's hash one 32-bit
+    (8-hex) chunk of a single md5 per distinct 3-shingle — the shared
+    signature kernel of `dedup_minhash_banding_md5`,
+    `dedup_incremental_minhash`, and `pipeline_dedup_cascade`.
+    Map-side explode + one groupBy(doc_id) shuffle; 4 small rows per
+    doc out."""
+    shingled = df.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingles(F.col("text")))).alias("shingle"),
+    )
+    md5h = F.md5(F.col("shingle"))
+    sigw = shingled.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(md5h, 1 + 8 * b, 8)).alias(f"m{b}")
+            for b in range(4)
+        ]
+    )
+    return sigw.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"m{b}") for b in range(4)])).alias(
+            "band", "band_min"
+        ),
+    )
+
+
+def band_signatures_sql(src: str, pfx: str) -> str:
+    """DuckDB twin of `band_signatures` as CTE text: defines
+    ``{pfx}sh``, ``{pfx}w``, ``{pfx}sig`` over an existing CTE
+    ``src(doc_id, text)``; the signature table is ``{pfx}sig``."""
+    return f"""{pfx}sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([
+               array_to_string(list_slice(t, i, i + 2), ' ')
+               FOR i IN generate_series(1, len(t) - 2)
+             ])) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {src})
+    ),
+    {pfx}w AS (
+      SELECT doc_id,
+             min(substr(md5(shingle),  1, 8)) AS m0,
+             min(substr(md5(shingle),  9, 8)) AS m1,
+             min(substr(md5(shingle), 17, 8)) AS m2,
+             min(substr(md5(shingle), 25, 8)) AS m3
+      FROM {pfx}sh GROUP BY doc_id
+    ),
+    {pfx}sig AS (
+      SELECT doc_id, 0 AS band, m0 AS band_min FROM {pfx}w
+      UNION ALL SELECT doc_id, 1, m1 FROM {pfx}w
+      UNION ALL SELECT doc_id, 2, m2 FROM {pfx}w
+      UNION ALL SELECT doc_id, 3, m3 FROM {pfx}w
+    )"""
+
+
 @register(
     "dedup_near_jaccard",
     oracle="""
@@ -861,27 +916,11 @@ def dedup_minhash_banding_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     corpus = docs.unionByName(near)
-    shingled = corpus.select(
-        "doc_id",
-        F.explode(F.array_distinct(_shingles(F.col("text")))).alias("shingle"),
-    )
-    md5h = F.md5(F.col("shingle"))
-    sigw = shingled.groupBy("doc_id").agg(
-        *[
-            F.min(F.substring(md5h, 1 + 8 * b, 8)).alias(f"m{b}")
-            for b in range(4)
-        ]
-    )
     # heavy-once: materialize the tiny signature table (4 rows x ~16
     # bytes per doc) so the self-join's two sides don't each re-run
     # the shingle explode + hash — the in-query analogue of the
     # persisted signature index `dedup_incremental_minhash` probes.
-    sig = sigw.select(
-        "doc_id",
-        F.posexplode(F.array(*[F.col(f"m{b}") for b in range(4)])).alias(
-            "band", "band_min"
-        ),
-    ).localCheckpoint()
+    sig = band_signatures(corpus).localCheckpoint()
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
@@ -979,27 +1018,8 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
 
-    def sig_of(df: DataFrame) -> DataFrame:
-        shingled = df.select(
-            "doc_id",
-            F.explode(F.array_distinct(_shingles(F.col("text")))).alias("shingle"),
-        )
-        md5h = F.md5(F.col("shingle"))
-        sigw = shingled.groupBy("doc_id").agg(
-            *[
-                F.min(F.substring(md5h, 1 + 8 * b, 8)).alias(f"m{b}")
-                for b in range(4)
-            ]
-        )
-        return sigw.select(
-            "doc_id",
-            F.posexplode(F.array(*[F.col(f"m{b}") for b in range(4)])).alias(
-                "band", "band_min"
-            ),
-        )
-
-    bsig = sig_of(batch).alias("b")
-    csig = sig_of(docs).alias("c")
+    bsig = band_signatures(batch).alias("b")
+    csig = band_signatures(docs).alias("c")
     return (
         bsig.join(
             csig,

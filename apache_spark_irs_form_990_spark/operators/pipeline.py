@@ -175,3 +175,131 @@ def pipeline_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             total_kept / (n_sources * F.col("n_kept").cast("double")), 6
         ).alias("uniform_mix_weight"),
     )
+
+
+def _cascade_oracle() -> str:
+    from apache_spark_irs_form_990_spark.operators.dedup import band_signatures_sql
+
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id + 1000000,
+             array_to_string(list_slice(string_split(text, ' '), 1,
+                             len(string_split(text, ' ')) - 2), ' ')
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    fps AS (
+      SELECT doc_id, text,
+             min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+      FROM corpus
+    ),
+    survivors AS (SELECT doc_id, text FROM fps WHERE doc_id = keeper),
+    {band_signatures_sql("survivors", "s")},
+    near_removed AS (
+      SELECT DISTINCT b.doc_id
+      FROM ssig a JOIN ssig b
+        ON a.band = b.band AND a.band_min = b.band_min AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) >= 2
+    ),
+    c AS (
+      SELECT (SELECT count(*) FROM corpus) AS n_raw,
+             (SELECT count(*) FROM survivors) AS n_exact,
+             (SELECT count(*) FROM near_removed) AS n_near_rm
+    )
+    SELECT 'raw' AS stage, n_raw AS n_docs, CAST(0 AS BIGINT) AS n_removed FROM c
+    UNION ALL
+    SELECT 'exact_hash', n_exact, n_raw - n_exact FROM c
+    UNION ALL
+    SELECT 'near_minhash', n_exact - n_near_rm, n_near_rm FROM c
+    """
+
+
+@register("pipeline_dedup_cascade", oracle=_cascade_oracle())
+def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup CASCADE a production corpus actually runs, as one
+    declarative plan with a funnel report: exact sha-256 dedup first
+    (cheap, catches byte-identical re-uploads), MinHash band dedup
+    second on the exact survivors only (catches near-dups; >= 2 of 4
+    shared chunked-md5 bands = duplicate, lower doc_id survives).
+    Output is the three-stage funnel (stage, n_docs, n_removed) — the
+    shrinkage report every dedup run ships with.
+
+    Ordering is the scale argument: the exact stage costs one
+    32-byte-key shuffle and removes the easy mass BEFORE the
+    shingle/signature work runs, so the expensive near-dup stage sees
+    only survivors. Both injected dup classes are deterministic
+    (byte-identical copies at doc_id%4 -> +3e6; two-word truncations
+    at doc_id%5 -> +1e6). Counts ride the frames as 1-row aggregates
+    (no corpus re-scan per stage: survivors feed both the count and
+    the signature stage); the three report rows assemble from one
+    broadcast-joined scalar row."""
+    from apache_spark_irs_form_990_spark.operators.dedup import band_signatures
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    exact_dupes = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+    )
+    near_dupes = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0)))
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(exact_dupes).unionByName(near_dupes)
+
+    keeper = Window.partitionBy(F.sha2(F.encode("text", "utf-8"), 256))
+    survivors = (
+        corpus.withColumn("keeper", F.min("doc_id").over(keeper))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "text")
+        # heavy-once: the signature stage and the survivor count both
+        # read this frame; materialize it instead of re-running the
+        # exact-dedup window twice.
+        .localCheckpoint()
+    )
+    sig = band_signatures(survivors)
+    a, b = sig.alias("a"), sig.alias("b")
+    near_removed = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_min") == F.col("b.band_min"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .select("id_b")
+        .distinct()
+    )
+    counts = (
+        corpus.agg(F.count("*").alias("n_raw"))
+        .crossJoin(survivors.agg(F.count("*").alias("n_exact")))
+        .crossJoin(near_removed.agg(F.count("*").alias("n_near_rm")))
+    )
+    return counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("raw").alias("stage"),
+                    F.col("n_raw").alias("n_docs"),
+                    F.lit(0).cast("long").alias("n_removed"),
+                ),
+                F.struct(
+                    F.lit("exact_hash").alias("stage"),
+                    F.col("n_exact").alias("n_docs"),
+                    (F.col("n_raw") - F.col("n_exact")).alias("n_removed"),
+                ),
+                F.struct(
+                    F.lit("near_minhash").alias("stage"),
+                    (F.col("n_exact") - F.col("n_near_rm")).alias("n_docs"),
+                    F.col("n_near_rm").alias("n_removed"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.n_docs", "s.n_removed")

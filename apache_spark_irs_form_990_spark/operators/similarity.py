@@ -1014,3 +1014,130 @@ def sim_label_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_cosine"
         ),
     )
+
+
+def _multiprobe_oracle() -> str:
+    """DuckDB twin of `sim_ann_lsh_multiprobe`: identical plane
+    literals, identical sign-bit bucket, probes = exact bucket plus
+    each 1-bit flip, exact milli-cosine re-rank."""
+    plane_lits = ", ".join(
+        "[" + ",".join(str(x) for x in p) + "] AS p" + str(j)
+        for j, p in enumerate(_PLANES)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, 65),"
+        f" i -> v[i] * p{j}[i])) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(len(_PLANES))
+    )
+    return f"""
+    WITH planes AS (SELECT {plane_lits}),
+    m AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    bucketed AS (
+      SELECT vec_id, v,
+             CAST({bucket} AS INT) AS bucket,
+             CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n
+      FROM m, planes
+    ),
+    probes AS (
+      SELECT vec_id,
+             CASE WHEN j = 0 THEN bucket
+                  ELSE xor(bucket, CAST(1 << (j - 1) AS INT)) END AS probe
+      FROM bucketed,
+           LATERAL (SELECT unnest(generate_series(0, {len(_PLANES)})) AS j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+      FROM probes a JOIN bucketed b
+        ON a.probe = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    scored AS (
+      SELECT c.qid, c.nid,
+             CAST(list_sum(list_transform(range(1, 65),
+                           i -> a.v[i] * b.v[i])) AS DOUBLE)
+             / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE)))
+               AS cosine
+      FROM cand c
+      JOIN bucketed a ON a.vec_id = c.qid
+      JOIN bucketed b ON b.vec_id = c.nid
+    )
+    SELECT qid, nid, cosine FROM (
+      SELECT qid, nid, cosine,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, nid) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """
+
+
+@register("sim_ann_lsh_multiprobe", oracle=_multiprobe_oracle())
+def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe hyperplane LSH: each vector probes its own sign-bit
+    bucket PLUS the 8 buckets one bit-flip away — the standard recall
+    lever that trades probe fan-out (9x on the query side only) for
+    hash-table count, instead of doubling planes/tables and doubling
+    the stored index. A vector pair whose true cosine puts them one
+    marginal hyperplane apart lands in adjacent buckets; single-probe
+    LSH misses it, multiprobe recovers it.
+
+    Plan shape: the stored side stays ONE signature table (built by
+    the same Arrow matmul kernel as `sim_cosine_ann_lsh` and
+    checkpointed once); only the probe side explodes 9 rows per
+    vector, map-side, before the one shuffle keyed on the bucket.
+    Candidates dedupe on (qid, nid) before the exact milli-cosine
+    re-rank, window top-3 per query. At 100 TB the stored table is the
+    persisted ANN index; probe fan-out multiplies only the (tiny)
+    query batch — which is why multiprobe is the production default
+    (FALCONN/faiss-style) when index memory, not query CPU, binds."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _milli_vec(F.col("embedding")).alias("v")
+    )
+    bucketed = (
+        emb.withColumn("bucket", _bucket_udf(_PLANES)(F.col("v")).getItem(0))
+        .withColumn("n", _sq_norm(F.col("v")))
+        .localCheckpoint()
+    )
+    probes = bucketed.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                    for j in range(len(_PLANES))
+                ],
+            )
+        ).alias("probe"),
+    )
+    cand = (
+        probes.alias("a")
+        .join(
+            bucketed.alias("b"),
+            (F.col("a.probe") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("qid"), F.col("b.vec_id").alias("nid"))
+        .distinct()
+    )
+    qa = bucketed.select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    qb = bucketed.select(
+        F.col("vec_id").alias("nid"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    cosine = _pair_dot_udf()(F.col("va"), F.col("vb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    scored = cand.join(qa, "qid").join(qb, "nid").select(
+        "qid", "nid", cosine.alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

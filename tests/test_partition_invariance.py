@@ -31,6 +31,9 @@ SWEEP = [
     "dedup_cluster_components",  # iterative min-label propagation
     "dedup_incremental_minhash",  # asymmetric signature probe
     "layout_zorder_stats",     # broadcast bounds + bit interleave
+    "mm_phash_hamming_dedup",  # Arrow block-mean kernel + quarter banding
+    "sim_ann_lsh_multiprobe",  # probe explode + bucket join + re-rank
+    "pipeline_dedup_cascade",  # window keeper + band signatures + scalars
 ]
 
 

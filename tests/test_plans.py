@@ -385,3 +385,37 @@ def test_incremental_minhash_asymmetric_probe(spark):
         assert plan.count("FileScan") == 2, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_multiprobe_pair_join_bucket_keyed(spark):
+    """sim_ann_lsh_multiprobe's candidate join must be keyed on the
+    probe/bucket equality (9x fan-out rides the equi-join), never a
+    nested-loop over the corpus."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = physical_plan(QUERIES["sim_ann_lsh_multiprobe"](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        keyed = [
+            ln for ln in _join_lines(plan) if "probe" in ln and "bucket" in ln
+        ]
+        assert keyed, f"no join keyed on probe = bucket:\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_phash_pair_join_band_keyed(spark):
+    """mm_phash_hamming_dedup's pair join must be keyed on the
+    (band, quarter-key) columns — Σ bucket² pair work, no unbucketed
+    self-join over the media corpus."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = physical_plan(QUERIES["mm_phash_hamming_dedup"](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        keyed = [ln for ln in _join_lines(plan) if "band" in ln and "key" in ln]
+        assert keyed, f"no join keyed on (band, key):\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
