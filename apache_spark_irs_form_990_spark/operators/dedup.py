@@ -95,21 +95,32 @@ def _shingles(col, n: int = 3):
 def band_signatures(df: DataFrame) -> DataFrame:
     """Chunked-md5 MinHash band signatures of a (doc_id, text) frame:
     (doc_id, band, band_min) with 4 bands, each band's hash one 32-bit
-    (8-hex) chunk of a single md5 per distinct 3-shingle — the shared
-    signature kernel of `dedup_minhash_banding_md5`,
-    `dedup_incremental_minhash`, and `pipeline_dedup_cascade`.
-    Map-side explode + one groupBy(doc_id) shuffle; 4 small rows per
-    doc out."""
-    shingled = df.select(
+    (8-hex) chunk of a single md5 per 3-shingle — the shared signature
+    kernel of `dedup_minhash_banding_md5`, `dedup_incremental_minhash`,
+    `pipeline_dedup_cascade`, and the streaming probe.
+
+    Computed ENTIRELY map-side: the per-band minimum is an `array_min`
+    over the in-row shingle-hash array (min over the multiset equals
+    min over its distinct support, so no array_distinct and no
+    explode + groupBy(doc_id) shuffle — the r3 form of this kernel
+    shuffled one row per doc; this one shuffles nothing). The two-step
+    projection hashes each shingle ONCE and shares the hash array
+    across the four band substrings. Statelessness is also what lets
+    `stream_dedup_near_static_index` run the same kernel on an
+    unbounded stream. Docs with < 3 tokens have no shingles and drop,
+    exactly as the exploded form dropped them."""
+    hashed = df.select(
         "doc_id",
-        F.explode(F.array_distinct(_shingles(F.col("text")))).alias("shingle"),
-    )
-    md5h = F.md5(F.col("shingle"))
-    sigw = shingled.groupBy("doc_id").agg(
+        F.transform(_shingles(F.col("text")), lambda s: F.md5(s)).alias("hs"),
+    ).filter(F.size("hs") > 0)
+    sigw = hashed.select(
+        "doc_id",
         *[
-            F.min(F.substring(md5h, 1 + 8 * b, 8)).alias(f"m{b}")
+            F.array_min(
+                F.transform(F.col("hs"), lambda x: F.substring(x, 1 + 8 * b, 8))
+            ).alias(f"m{b}")
             for b in range(4)
-        ]
+        ],
     )
     return sigw.select(
         "doc_id",

@@ -726,3 +726,127 @@ def stream_outer_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_micros("p_ts").alias("p_ts_us"),
     )
+
+
+@register(
+    "stream_dedup_near_static_index",
+    # Batch twin: identical to dedup_incremental_minhash's contract —
+    # the streamed probe must converge to exactly the batch join's
+    # result (SCALE.md §6 backfill equivalence).
+    oracle="""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    batch AS (
+      SELECT doc_id + 5000000 AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1,
+                             len(string_split(text, ' ')) - 2), ' ') AS text
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    cs AS (
+      SELECT doc_id,
+             unnest(list_distinct([
+               array_to_string(list_slice(t, i, i + 2), ' ')
+               FOR i IN generate_series(1, len(t) - 2)
+             ])) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+    ),
+    bs AS (
+      SELECT doc_id,
+             unnest(list_distinct([
+               array_to_string(list_slice(t, i, i + 2), ' ')
+               FOR i IN generate_series(1, len(t) - 2)
+             ])) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM batch)
+    ),
+    csw AS (
+      SELECT doc_id,
+             min(substr(md5(shingle),  1, 8)) AS m0,
+             min(substr(md5(shingle),  9, 8)) AS m1,
+             min(substr(md5(shingle), 17, 8)) AS m2,
+             min(substr(md5(shingle), 25, 8)) AS m3
+      FROM cs GROUP BY doc_id
+    ),
+    bsw AS (
+      SELECT doc_id,
+             min(substr(md5(shingle),  1, 8)) AS m0,
+             min(substr(md5(shingle),  9, 8)) AS m1,
+             min(substr(md5(shingle), 17, 8)) AS m2,
+             min(substr(md5(shingle), 25, 8)) AS m3
+      FROM bs GROUP BY doc_id
+    ),
+    csig AS (
+      SELECT doc_id, 0 AS band, m0 AS band_min FROM csw
+      UNION ALL SELECT doc_id, 1, m1 FROM csw
+      UNION ALL SELECT doc_id, 2, m2 FROM csw
+      UNION ALL SELECT doc_id, 3, m3 FROM csw
+    ),
+    bsig AS (
+      SELECT doc_id, 0 AS band, m0 AS band_min FROM bsw
+      UNION ALL SELECT doc_id, 1, m1 FROM bsw
+      UNION ALL SELECT doc_id, 2, m2 FROM bsw
+      UNION ALL SELECT doc_id, 3, m3 FROM bsw
+    )
+    SELECT b.doc_id AS new_id, c.doc_id AS corpus_id,
+           count(*) AS n_shared_bands
+    FROM bsig b JOIN csig c
+      ON b.band = c.band AND b.band_min = c.band_min
+    GROUP BY new_id, corpus_id
+    """,
+)
+def stream_dedup_near_static_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup ingest — `dedup_incremental_minhash` run as a
+    live stream instead of a nightly batch: new documents arrive as
+    micro-batches, each is banded MAP-SIDE by the stateless
+    `band_signatures` kernel (no aggregation, so it runs unmodified on
+    an unbounded stream), and probed against the STATIC corpus
+    signature index via a stream-static join — Spark re-plans the
+    static side per micro-batch, the streaming side never waits.
+
+    The only stateful operator is the final (new_id, corpus_id) count
+    (complete mode); its result after the last micro-batch equals the
+    batch twin's output exactly — the backfill-equivalence property
+    (SCALE.md §6) that lets one codebase serve both the live dedup
+    gate and the historical rebuild. Replayed here as 2 micro-batches
+    (maxFilesPerTrigger=1); at 100 TB the static index is the
+    persisted signature table and the state store holds only
+    candidate pairs, never documents."""
+    from apache_spark_irs_form_990_spark.operators.dedup import band_signatures
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0)))
+        ).alias("text"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark990_neardup_{next(_COUNTER)}"
+    )
+    in_dir = _write_batches(
+        spark,
+        root,
+        [
+            batch.filter(F.col("doc_id") % 20 == 10),
+            batch.filter(F.col("doc_id") % 20 == 0),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    csig = band_signatures(docs).localCheckpoint().alias("c")
+    bsig = band_signatures(stream).alias("b")
+    agg = (
+        bsig.join(
+            csig,
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.band_min") == F.col("c.band_min")),
+        )
+        .groupBy(
+            F.col("b.doc_id").alias("new_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+    return run_to_completion(agg, "complete")

@@ -179,3 +179,24 @@ def test_multibatch_replay_matches_single_batch(spark, tmp_path):
     }
     assert got_multi <= batch
     assert got_multi, "append mode should have emitted closed windows"
+
+
+def test_stream_near_dup_probe_matches_batch_probe(spark):
+    """Backfill equivalence for the streaming near-dup gate: the
+    2-micro-batch streamed probe must produce exactly the rows the
+    batch `dedup_incremental_minhash` probe produces."""
+    from apache_spark_irs_form_990_spark.operators.dedup import (
+        dedup_incremental_minhash,
+    )
+    from apache_spark_irs_form_990_spark.streaming.stream_queries import (
+        stream_dedup_near_static_index,
+    )
+    from tests.conftest import SF_DIR
+
+    streamed = sorted(
+        tuple(r) for r in stream_dedup_near_static_index(spark, SF_DIR).collect()
+    )
+    batch = sorted(
+        tuple(r) for r in dedup_incremental_minhash(spark, SF_DIR).collect()
+    )
+    assert streamed == batch and len(streamed) > 0
