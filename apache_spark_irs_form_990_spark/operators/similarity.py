@@ -1141,3 +1141,70 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@register(
+    "sim_topk_label_diversified",
+    oracle=f"""
+    WITH m AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM m WHERE vec_id = {_QUERY_VEC_ID}),
+    scored AS (
+      SELECT vec_id, label,
+             CAST(list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)))
+               AS cosine
+      FROM m, q
+      WHERE vec_id <> {_QUERY_VEC_ID}
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT vec_id, label, cosine,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY cosine DESC, vec_id) AS label_rank
+        FROM scored
+      ) WHERE label_rank <= 2
+    )
+    SELECT vec_id, label, cosine, CAST(label_rank AS INT) AS label_rank
+    FROM capped
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_topk_label_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k: global cosine top-10 for the fixed query
+    under a PER-LABEL CAP of 2 — the standard result-diversification
+    contract (search, retrieval-augmented sampling, dedup-aware
+    curation) that plain top-k violates when one cluster dominates.
+    The cap is a rank window, so unlike greedy MMR this diversifier is
+    one-pass, deterministic, and order-independent.
+
+    Plan shape: broadcast 1-row query, embarrassingly-parallel scoring
+    scan, WindowGroupLimit keeps 2 rows per label BEFORE the exchange,
+    and the global top-10 is TakeOrderedAndProject over the capped
+    (tiny) survivor set — no global sort of the corpus anywhere."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _milli_vec(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    cosine = _dot(F.col("v"), F.col("qv")).cast("double") / (
+        F.sqrt(_sq_norm(F.col("v")).cast("double"))
+        * F.sqrt(_sq_norm(F.col("qv")).cast("double"))
+    )
+    w = Window.partitionBy("label").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .select("vec_id", "label", cosine.alias("cosine"))
+        .withColumn("label_rank", F.row_number().over(w))
+        .filter(F.col("label_rank") <= 2)
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )

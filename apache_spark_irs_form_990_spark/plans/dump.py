@@ -99,6 +99,31 @@ SHOWCASE = {
         "ONE scan via a single multi-distinct aggregate (Expand), unpivoted "
         "to long form by stack()."
     ),
+    "dedup_minhash_banding_md5": (
+        "MinHash banding with the shuffle-free signature build (r3.1): the "
+        "per-band minima are array_min over an in-row md5 transform — a pure "
+        "projection, no explode/groupBy exchange — so the only shuffles are "
+        "the checkpointed signature self-join's (band, band_min) exchange "
+        "and the pair count."
+    ),
+    "sim_ann_lsh_multiprobe": (
+        "Multiprobe LSH: ONE stored signature table (checkpointed), probe "
+        "side explodes 9 buckets per query map-side, candidate join keyed "
+        "on probe=bucket, exact milli-cosine re-rank on candidates only — "
+        "recall grows without touching index size."
+    ),
+    "mm_phash_hamming_dedup": (
+        "Perceptual-hash media dedup: Arrow kernel fingerprints payload "
+        "bytes inside the scan task, 4 quarter-ints per item shuffle on "
+        "(band, key), popcount confirm on candidates — payload bytes never "
+        "leave the scan."
+    ),
+    "pipeline_dedup_cascade": (
+        "Staged dedup funnel: exact sha-256 window keeper first (one "
+        "32-byte-key exchange), map-side band signatures on the "
+        "checkpointed survivors only, counts assembled from 1-row "
+        "aggregates — no corpus re-scan per stage."
+    ),
 }
 
 
