@@ -95,20 +95,51 @@ def _shingles(col, n: int = 3):
 def band_signatures(df: DataFrame) -> DataFrame:
     """Chunked-md5 MinHash band signatures of a (doc_id, text) frame:
     (doc_id, band, band_min) with 4 bands, each band's hash one 32-bit
-    (8-hex) chunk of a single md5 per 3-shingle — the shared signature
-    kernel of `dedup_minhash_banding_md5`, `dedup_incremental_minhash`,
-    `pipeline_dedup_cascade`, and the streaming probe.
+    (8-hex) chunk of a single md5 per distinct 3-shingle — the shared
+    signature kernel of `dedup_minhash_banding_md5`,
+    `dedup_incremental_minhash`, and `pipeline_dedup_cascade`.
 
-    Computed ENTIRELY map-side: the per-band minimum is an `array_min`
-    over the in-row shingle-hash array (min over the multiset equals
-    min over its distinct support, so no array_distinct and no
-    explode + groupBy(doc_id) shuffle — the r3 form of this kernel
-    shuffled one row per doc; this one shuffles nothing). The two-step
-    projection hashes each shingle ONCE and shares the hash array
-    across the four band substrings. Statelessness is also what lets
-    `stream_dedup_near_static_index` run the same kernel on an
-    unbounded stream. Docs with < 3 tokens have no shingles and drop,
-    exactly as the exploded form dropped them."""
+    Shape: map-side explode + one groupBy(doc_id) min-aggregate. The
+    explode/md5/substring/min path is whole-stage-codegen'd end to
+    end, which benches ~2.5x faster than the "shuffle-free" in-row
+    higher-order forms (array_min over a transform, or a 4-least
+    fold): HOF lambdas evaluate interpreted with per-element array
+    allocation, and Catalyst's projection collapse re-inlines the
+    md5 transform once per band. The partial min aggregate combines
+    map-side, so the exchange carries ~one row per doc anyway — the
+    codegen win beats the shuffle saving at every scale tested.
+    `band_signatures_stateless` is the semantically-identical in-row
+    form for unbounded streams, where a pre-join aggregate is not an
+    option at any price."""
+    shingled = df.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingles(F.col("text")))).alias("shingle"),
+    )
+    md5h = F.md5(F.col("shingle"))
+    sigw = shingled.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(md5h, 1 + 8 * b, 8)).alias(f"m{b}")
+            for b in range(4)
+        ]
+    )
+    return sigw.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"m{b}") for b in range(4)])).alias(
+            "band", "band_min"
+        ),
+    )
+
+
+def band_signatures_stateless(df: DataFrame) -> DataFrame:
+    """`band_signatures` as a PURE PROJECTION — no aggregation, so it
+    runs unmodified on an unbounded stream (`stream_dedup_near_static_
+    index` banding its micro-batches before the stream-static join).
+    The per-band minimum is an array_min over the in-row shingle-hash
+    array: min over the multiset equals min over its distinct support,
+    so the result is row-for-row identical to the batch kernel
+    (asserted by tests). Batch ops prefer `band_signatures` — the
+    codegen'd explode/groupBy form benches materially faster than
+    this interpreted higher-order form."""
     hashed = df.select(
         "doc_id",
         F.transform(_shingles(F.col("text")), lambda s: F.md5(s)).alias("hs"),

@@ -795,9 +795,9 @@ def stream_outer_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_dedup_near_static_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING near-dup ingest — `dedup_incremental_minhash` run as a
     live stream instead of a nightly batch: new documents arrive as
-    micro-batches, each is banded MAP-SIDE by the stateless
-    `band_signatures` kernel (no aggregation, so it runs unmodified on
-    an unbounded stream), and probed against the STATIC corpus
+    micro-batches, each is banded MAP-SIDE by
+    `band_signatures_stateless` (a pure projection — no aggregation —
+    so it runs unmodified on an unbounded stream), and probed against the STATIC corpus
     signature index via a stream-static join — Spark re-plans the
     static side per micro-batch, the streaming side never waits.
 
@@ -809,7 +809,10 @@ def stream_dedup_near_static_index(spark: SparkSession, sf_dir: str) -> DataFram
     (maxFilesPerTrigger=1); at 100 TB the static index is the
     persisted signature table and the state store holds only
     candidate pairs, never documents."""
-    from apache_spark_irs_form_990_spark.operators.dedup import band_signatures
+    from apache_spark_irs_form_990_spark.operators.dedup import (
+        band_signatures,
+        band_signatures_stateless,
+    )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
@@ -836,7 +839,7 @@ def stream_dedup_near_static_index(spark: SparkSession, sf_dir: str) -> DataFram
         .parquet(in_dir)
     )
     csig = band_signatures(docs).localCheckpoint().alias("c")
-    bsig = band_signatures(stream).alias("b")
+    bsig = band_signatures_stateless(stream).alias("b")
     agg = (
         bsig.join(
             csig,

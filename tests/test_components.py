@@ -80,3 +80,19 @@ def test_emb_milli_corpus_injection_shape(spark):
                           lambda a, x: a + F.abs(x))).alias("tail_sum")
     ).collect()[0]["tail_sum"]
     assert tail == 0, "gen2 must zero dims >= 56"
+
+
+def test_band_signature_kernels_identical(spark):
+    """The stateless (streaming) signature kernel must be row-for-row
+    identical to the batch explode/groupBy kernel."""
+    from apache_spark_irs_form_990_spark.operators.dedup import (
+        band_signatures,
+        band_signatures_stateless,
+    )
+    from apache_spark_irs_form_990_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    a = sorted(tuple(r) for r in band_signatures(docs).collect())
+    b = sorted(tuple(r) for r in band_signatures_stateless(docs).collect())
+    assert a == b and len(a) > 0
