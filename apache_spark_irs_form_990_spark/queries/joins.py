@@ -505,3 +505,40 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         us.alias("purchase_us"),
         nearest.alias("nearest_click_us"),
     )
+
+
+@register(
+    "join_bloom_runtime_filter",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           {sql_revenue_sum('revenue')}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-dimension fact join written to exploit Spark's RUNTIME
+    BLOOM FILTER join pruning (on by default since 3.4): the optimizer
+    builds a bloom filter over the filtered orders side's join keys and
+    injects `might_contain(xxhash64(l_orderkey))` into the lineitem
+    scan filter, so ~80% of fact rows drop BEFORE the shuffle — the
+    runtime analogue of static predicate pushdown, for predicates that
+    only exist after another table is filtered.
+
+    At test SF the 10 GB `applicationSideScanSizeThreshold` exempts the
+    tiny fact scan, so the query plans as a plain filtered join (same
+    result either way — the bloom is semantically transparent);
+    tests/test_plans.py lowers the threshold to the at-scale condition
+    and asserts the might_contain filter lands in the fact scan. At
+    100 TB the thresholds trigger untouched."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_lines"), revenue_sum("revenue"))
+    )

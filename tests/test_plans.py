@@ -419,3 +419,23 @@ def test_phash_pair_join_band_keyed(spark):
         assert keyed, f"no join keyed on (band, key):\n{plan}"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bloom_runtime_filter_reaches_fact_scan(spark):
+    """With the application-side size threshold lowered to the
+    at-scale condition (a fact scan past 10 GB triggers it untouched),
+    the optimizer must inject a bloom-filter might_contain probe over
+    the filtered orders keys into the lineitem side."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        plan = physical_plan(QUERIES["join_bloom_runtime_filter"](spark, SF_DIR))
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
