@@ -61,6 +61,13 @@ EXTENDED = [
     "agg_approx_count_distinct_raw",
     "dedup_near_embedding",
     "dedup_incremental_minhash",
+    # r3.1 additions — extended_total is therefore only comparable
+    # per-query across rounds, not as a total; the stable-16 headline
+    # total remains the round-over-round number.
+    "mm_phash_hamming_dedup",
+    "sim_ann_lsh_multiprobe",
+    "pipeline_dedup_cascade",
+    "text_rolling_winnow_fingerprints",
 ]
 
 
