@@ -104,3 +104,101 @@ def ml_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("overlap_at_depth").cast("long").alias("overlap_at_depth"),
         rbo.alias("rbo_p05"),
     )
+
+
+@register(
+    "join_lateral_topn_per_key",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.tp
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS tp
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY tp DESC, o_orderkey
+      LIMIT 3
+    ) t
+    """,
+)
+def join_lateral_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL table subquery with per-row ORDER BY/LIMIT —
+    the SQL-standard way to ask "each customer's top-3 orders", which
+    many engines execute as a nested loop re-running the subquery per
+    outer row. Catalyst DECORRELATES it: the physical plan is a
+    WindowGroupLimit over orders (rank filter pushed map-side before
+    the exchange) joined once to customer — identical shape to the
+    hand-written window form (`win_rank_topn_per_group`), so the
+    ergonomic SQL costs nothing at 100 TB. Registered through
+    `spark.sql` because LATERAL has no DataFrame-API equivalent;
+    DuckDB runs the same text, exact-cents tp keeps the hash stable.
+    Customers with no orders drop (inner lateral semantics, both
+    engines)."""
+    for t in ("customer", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.tp
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS tp
+          FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY tp DESC, o_orderkey
+          LIMIT 3
+        ) t
+        """
+    )
+
+
+@register(
+    "sql_scripting_procedure",
+    oracle="""
+    WITH thr AS (
+      SELECT min(tp) AS cut FROM (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS tp
+        FROM orders ORDER BY tp DESC LIMIT 100
+      )
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_price
+    FROM orders, thr
+    WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= thr.cut
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_scripting_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4.0 BEGIN/END blocks): a T-SQL-style
+    procedure that binds a scalar into a session variable — the
+    top-100-orders price cutoff, exact integer cents — then reports
+    the over-threshold orders by priority. The block's final SELECT is
+    the result set, exactly like a stored procedure's. DECLARE /
+    SET / control flow (IF, WHILE, FOR) run on the driver as plan
+    orchestration; every statement inside is still a full Catalyst
+    query, so scripting adds sequencing, not a new (slower) execution
+    engine — the reason to prefer it over driver-side Python glue is
+    that the whole procedure ships as one artifact any SQL client can
+    run. The oracle is the equivalent single query (CTE in place of
+    the variable), proving the script's observable result is plain
+    relational algebra."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE cut BIGINT DEFAULT 0;
+          SET cut = (
+            SELECT min(tp) FROM (
+              SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS tp
+              FROM orders ORDER BY tp DESC LIMIT 100
+            )
+          );
+          SELECT o_orderpriority,
+                 count(*) AS n_orders,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS total_price
+          FROM orders
+          WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= cut
+          GROUP BY o_orderpriority;
+        END
+        """
+    )
