@@ -107,48 +107,6 @@ def ml_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_lateral_topn_per_key",
-    oracle="""
-    SELECT c.c_custkey, t.o_orderkey, t.tp
-    FROM customer c, LATERAL (
-      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS tp
-      FROM orders o
-      WHERE o.o_custkey = c.c_custkey
-      ORDER BY tp DESC, o_orderkey
-      LIMIT 3
-    ) t
-    """,
-)
-def join_lateral_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated LATERAL table subquery with per-row ORDER BY/LIMIT —
-    the SQL-standard way to ask "each customer's top-3 orders", which
-    many engines execute as a nested loop re-running the subquery per
-    outer row. Catalyst DECORRELATES it: the physical plan is a
-    WindowGroupLimit over orders (rank filter pushed map-side before
-    the exchange) joined once to customer — identical shape to the
-    hand-written window form (`win_rank_topn_per_group`), so the
-    ergonomic SQL costs nothing at 100 TB. Registered through
-    `spark.sql` because LATERAL has no DataFrame-API equivalent;
-    DuckDB runs the same text, exact-cents tp keeps the hash stable.
-    Customers with no orders drop (inner lateral semantics, both
-    engines)."""
-    for t in ("customer", "orders"):
-        load(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(
-        """
-        SELECT c.c_custkey, t.o_orderkey, t.tp
-        FROM customer c, LATERAL (
-          SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS tp
-          FROM orders o
-          WHERE o.o_custkey = c.c_custkey
-          ORDER BY tp DESC, o_orderkey
-          LIMIT 3
-        ) t
-        """
-    )
-
-
-@register(
     "sql_scripting_procedure",
     oracle="""
     WITH thr AS (
