@@ -18,6 +18,7 @@ from apache_spark_irs_form_990_spark.sources.python_datasource import (
 )
 from apache_spark_irs_form_990_spark.streaming.stream_queries import (
     read_events_stream,
+    run_to_completion,
 )
 from apache_spark_irs_form_990_spark.tables import load
 
@@ -141,3 +142,45 @@ def stream_available_now_incremental(
     return spark.createDataFrame(
         spark.table(name).collect(), schema=spark.table(name).schema
     )
+
+
+@register(
+    "source_python_stream_reader",
+    oracle="""
+    WITH gen AS (
+      SELECT i AS ein,
+             ['berkeley', 'madison', 'austin', 'chicago', 'boston']
+               [CAST(i % 5 AS INT) + 1] AS city,
+             (i * 7919) % 10000000 AS revenue_cents
+      FROM range(0, 2000) AS t(i)
+    )
+    SELECT city,
+           count(*) AS n_filings,
+           CAST(sum(revenue_cents) AS DOUBLE) / 100.0 AS total_revenue
+    FROM gen
+    GROUP BY city
+    """,
+)
+def source_python_stream_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same custom connector as a STREAMING source (Spark 4 Python
+    DataSource streaming API): `readStream.format("filing990")` drives
+    `Filing990StreamReader`, whose dict offsets cursor through EIN
+    ranges micro-batch by micro-batch (5 batches of 400 here) and
+    whose `readBetweenOffsets` replays any committed range
+    byte-identically — the exactly-once recovery contract. The count
+    aggregate's final state equals the batch connector's answer over
+    the same range (oracle regenerates it in SQL), proving
+    stream-vs-batch parity for the connector path itself, not just
+    for file sources."""
+    register_filing990(spark)
+    stream = (
+        spark.readStream.format("filing990")
+        .option("rows", 2000)
+        .option("batchrows", 400)
+        .load()
+    )
+    agg = stream.groupBy("city").agg(
+        F.count(F.lit(1)).alias("n_filings"),
+        (F.sum("revenue_cents").cast("double") / 100.0).alias("total_revenue"),
+    )
+    return run_to_completion(agg, "complete")

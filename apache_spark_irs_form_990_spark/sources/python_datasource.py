@@ -19,7 +19,12 @@ driver.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _CITIES = ("berkeley", "madison", "austin", "chicago", "boston")
 
@@ -37,6 +42,9 @@ class Filing990Source(DataSource):
     def reader(self, schema) -> "Filing990Reader":
         return Filing990Reader(self.options)
 
+    def simpleStreamReader(self, schema) -> "Filing990StreamReader":
+        return Filing990StreamReader(self.options)
+
 
 class Filing990Reader(DataSourceReader):
     def __init__(self, options) -> None:
@@ -53,6 +61,40 @@ class Filing990Reader(DataSourceReader):
         end = min(start + per, self.rows)
         for i in range(start, end):
             yield (i, _CITIES[i % 5], (i * 7919) % 10000000)
+
+
+class Filing990StreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the connector (Spark 4 Python DataSource
+    streaming API): offsets are plain dicts ({"i": next_ein}), each
+    trigger reads the next EIN range, and `readBetweenOffsets` makes
+    replay DETERMINISTIC — a failed/restarted micro-batch re-reads
+    exactly its [start, end) slice, which is the exactly-once
+    contract a real connector implements against an upstream cursor
+    (change stream, queue offset, ledger sequence). The generated
+    rows are byte-identical to the batch reader's, so a streaming
+    ingest and a batch backfill of the same range agree hash-for-hash
+    (the engine-wide backfill-equivalence property, SCALE.md §6)."""
+
+    def __init__(self, options) -> None:
+        self.rows = int(options.get("rows", 1000))
+        self.batch = int(options.get("batchrows", 400))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def _gen(self, start: int, end: int):
+        for j in range(start, end):
+            yield (j, _CITIES[j % 5], (j * 7919) % 10000000)
+
+    def read(self, start: dict):
+        # a list_iterator, not a generator: the prefetch cache needs a
+        # next()-able that copy.copy() can duplicate for replay
+        i = start["i"]
+        end = min(i + self.batch, self.rows)
+        return (iter(list(self._gen(i, end))), {"i": end})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._gen(start["i"], end["i"])
 
 
 def register_filing990(spark) -> None:
