@@ -184,3 +184,51 @@ def source_python_stream_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("revenue_cents").cast("double") / 100.0).alias("total_revenue"),
     )
     return run_to_completion(agg, "complete")
+
+
+@register(
+    "sink_python_datasource_writer",
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sink_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUNDTRIP through the custom Python SINK (`CityReportSink`):
+    the events aggregate writes via the connector's two-phase commit —
+    per-task staged jsonl parts, driver-side commit renaming them into
+    place behind a `_SUCCESS` manifest, abort leaving the destination
+    clean — then the committed files are read back and returned. The
+    oracle recomputes the aggregate directly, so the whole write
+    protocol (task write → commit message → driver commit) is
+    hash-checked, not just exercised. This completes connector parity:
+    `source_python_datasource` (batch in), `source_python_stream_reader`
+    (stream in), and this (batch out) are the three faces a real
+    Python-reachable system integration needs."""
+    import os
+    import tempfile
+
+    from apache_spark_irs_form_990_spark.sources.python_datasource import (
+        register_cityreport,
+    )
+
+    register_cityreport(spark)
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / 100.0
+        ).alias("sum_value"),
+    )
+    out = tempfile.mkdtemp(prefix="spark990_cityreport_")
+    agg.write.format("cityreport").option("path", out).mode("append").save()
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    return (
+        spark.read.schema("event_type string, cnt long, sum_value double")
+        .json(os.path.join(out, "part-*.jsonl"))
+    )

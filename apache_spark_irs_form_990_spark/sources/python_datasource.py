@@ -22,8 +22,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 _CITIES = ("berkeley", "madison", "austin", "chicago", "boston")
@@ -101,5 +103,71 @@ def register_filing990(spark) -> None:
     """Idempotent registration of the connector short name."""
     try:
         spark.dataSource.register(Filing990Source)
+    except Exception:
+        pass  # already registered in this session
+
+
+class _PartFile(WriterCommitMessage):
+    """Commit message: the staged part-file a task wrote."""
+
+    def __init__(self, staged: str) -> None:
+        self.staged = staged
+
+
+class CityReportSink(DataSource):
+    """Custom Python SINK with a real two-phase commit: tasks stage
+    part files under a hidden `_staging/` dir and report them via
+    commit messages; only the DRIVER's `commit()` renames staged files
+    into place and drops a `_SUCCESS` manifest — so readers never see
+    a torn write, and `abort()` leaves the destination untouched. This
+    is the connector-sink mirror of `Filing990Source`: the reference
+    hand-rolled its sink through saveAsTable (`IRSSpark.py:183-188`);
+    here the commit protocol itself is the declared, testable surface."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cityreport"
+
+    def writer(self, schema, overwrite: bool) -> "CityReportWriter":
+        return CityReportWriter(self.options)
+
+
+class CityReportWriter(DataSourceWriter):
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+
+    def write(self, iterator) -> _PartFile:
+        import json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"part-{uuid.uuid4().hex}.jsonl")
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+        return _PartFile(staged)
+
+    def commit(self, messages) -> None:
+        import os
+
+        for i, m in enumerate(messages):
+            os.replace(m.staged, os.path.join(self.path, f"part-{i:05d}.jsonl"))
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write("")
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
+def register_cityreport(spark) -> None:
+    """Idempotent registration of the sink short name."""
+    try:
+        spark.dataSource.register(CityReportSink)
     except Exception:
         pass  # already registered in this session

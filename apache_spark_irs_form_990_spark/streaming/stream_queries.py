@@ -853,3 +853,68 @@ def stream_dedup_near_static_index(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count("*").alias("n_shared_bands"))
     )
     return run_to_completion(agg, "complete")
+
+
+@register(
+    "stream_statestore_introspect",
+    # Deterministic contract: after processAllAvailable drains the
+    # bounded stream (and its trailing no-data batches), state holds
+    # exactly the groups whose window END is above the final watermark
+    # max(ts) - 10min — emitted-and-evicted windows are gone, pending
+    # ones remain with their running counts.
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev)
+    SELECT event_type,
+           epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           count(*) AS pending_cnt
+    FROM ev, wm
+    GROUP BY event_type, date_trunc('hour', ts), wm.w
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR > wm.w
+    """,
+)
+def stream_statestore_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE STORE INTROSPECTION (`spark.read.format("statestore")`,
+    Spark 4): run the watermarked tumbling-window count to completion
+    against a checkpoint, then read the checkpoint's state store back
+    as a DataFrame — the operational X-ray every production streaming
+    job eventually needs ("what is my state holding, and why is it
+    10x bigger than yesterday?"). The returned rows are the PENDING
+    windows: groups whose window hasn't crossed the watermark yet,
+    with their running counts — re-derivable exactly from the input
+    (the oracle does), which is itself the proof that watermark
+    eviction ran: emitted windows are absent from state.
+
+    At 100 TB-of-state scale this reader is how state bloat is
+    debugged and how stuck keys are found without instrumenting the
+    job itself; it reads checkpoint files directly, no running query
+    required."""
+    import uuid
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+    )
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"spark990_ssread_{uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    st = spark.read.format("statestore").load(ckpt)
+    return st.select(
+        F.col("key.event_type").alias("event_type"),
+        F.unix_micros(F.col("key.window.start")).alias("window_start_us"),
+        F.col("value.count").cast("long").alias("pending_cnt"),
+    )
