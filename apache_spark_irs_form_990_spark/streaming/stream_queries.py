@@ -398,6 +398,12 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy — an EXACT oracle over a custom stateful streaming
     operator, proving state persistence rather than assuming it.
 
+    (Spark 4's successor API, `transformWithStateInPandas`, declares
+    the same logic as a StatefulProcessor with typed ValueState; its
+    Python side requires google.protobuf, absent from this sandbox,
+    so this engine standardizes on applyInPandasWithState — the
+    migration is mechanical when the dependency is available.)
+
     Scale posture: state lives in the executor state store partitioned
     by user_id (one shuffle), values are two longs per user — bounded,
     watermark-free state is fine here because the key domain is the
