@@ -316,9 +316,19 @@ def mm_resize_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     only {B} small ints per item ever leave the scan, the payload
     never shuffles. The fixed output size is the point at 100 TB:
     downstream stages cost O(items), not O(bytes)."""
+    m = media_table(spark, sf_dir).filter(F.col("meta.kind") == "image")
+    return m.select("doc_id", "payload").mapInPandas(
+        resize_kernel(),
+        schema="doc_id long, block_idx int, block_len int, mean_milli long",
+    )
+
+
+def resize_kernel():
+    """The block-pool kernel as a standalone factory — shared by the
+    registered operator and the partition-invariance test (one copy to
+    keep in sync with the SQL twin)."""
     import numpy as np
 
-    m = media_table(spark, sf_dir).filter(F.col("meta.kind") == "image")
     B = _RESIZE_BLOCKS
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -338,9 +348,7 @@ def mm_resize_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "block_idx", "block_len", "mean_milli"]
             )
 
-    return m.select("doc_id", "payload").mapInPandas(
-        run, schema="doc_id long, block_idx int, block_len int, mean_milli long"
-    )
+    return run
 
 
 mm_resize_block_stats.__doc__ = mm_resize_block_stats.__doc__.format(B=_RESIZE_BLOCKS)

@@ -892,16 +892,24 @@ def _winnow_oracle() -> str:
 
 @register("text_rolling_winnow_fingerprints", oracle=_winnow_oracle())
 def text_rolling_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprinting with WINNOWING (the
-    MOSS/Schleimer-Wilkerson-Aiken scheme): every 16-char window gets a
-    polynomial Rabin-Karp hash (base 257 mod 1e9+7, exact int64), and
-    a window hash is SELECTED iff it is the minimum of the 15-hash
-    neighborhood around it — guaranteeing at least one fingerprint per
-    8-hash run while keeping the fingerprint density ~2/w regardless
-    of document length. The corpus query reports fingerprints shared
-    by >= 2 documents — the copied-passage detector (plagiarism /
-    boilerplate / licence blocks) that whole-document hashing cannot
-    see and shingle-set Jaccard only scores in aggregate.
+    """Rolling-hash document fingerprinting with LOCAL-MIN winnowing
+    (the symmetric variant of Schleimer-Wilkerson-Aiken): every
+    16-char window gets a polynomial Rabin-Karp hash (base 257 mod
+    1e9+7, exact int64), and a window hash is SELECTED iff it is the
+    minimum of the 15-hash neighborhood centred on it. Expected
+    fingerprint density is ~2/(2K-1) of windows regardless of document
+    length, and selection is position-stable (a copied passage selects
+    the same hashes in both documents, away from its edges). Unlike
+    true per-window-min winnowing this variant has no HARD
+    one-per-K-window guarantee — a monotone hash run longer than the
+    neighborhood selects nothing inside it (probability ~1/15! per
+    position for i.i.d. hashes; accepted here for a selection rule
+    that is one vectorized sliding-min in the kernel AND one list
+    comprehension in the SQL twin). The corpus query reports
+    fingerprints shared by >= 2 documents — the copied-passage
+    detector (plagiarism / boilerplate / licence blocks) that
+    whole-document hashing cannot see and shingle-set Jaccard only
+    scores in aggregate.
 
     Plan shape: hashing + winnowing run INSIDE the scan task (one
     numpy sliding-window pass per Arrow batch — true rolling reuse is

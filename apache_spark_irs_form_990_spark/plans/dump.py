@@ -100,11 +100,11 @@ SHOWCASE = {
         "to long form by stack()."
     ),
     "dedup_minhash_banding_md5": (
-        "MinHash banding with the shuffle-free signature build (r3.1): the "
-        "per-band minima are array_min over an in-row md5 transform — a pure "
-        "projection, no explode/groupBy exchange — so the only shuffles are "
-        "the checkpointed signature self-join's (band, band_min) exchange "
-        "and the pair count."
+        "MinHash banding: the signature build is a codegen'd explode + "
+        "groupBy(doc_id) min-aggregate (measured ~2.5x faster than the "
+        "interpreted in-row higher-order form — SCALE.md §9), checkpointed "
+        "once; the pair self-join is keyed on (band, band_min), pair work "
+        "Σ bucket²."
     ),
     "sim_ann_lsh_multiprobe": (
         "Multiprobe LSH: ONE stored signature table (checkpointed), probe "
@@ -120,7 +120,7 @@ SHOWCASE = {
     ),
     "pipeline_dedup_cascade": (
         "Staged dedup funnel: exact sha-256 window keeper first (one "
-        "32-byte-key exchange), map-side band signatures on the "
+        "32-byte-key exchange), band signatures computed on the "
         "checkpointed survivors only, counts assembled from 1-row "
         "aggregates — no corpus re-scan per stage."
     ),

@@ -138,9 +138,11 @@ def sql_scripting_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
     run. The oracle is the equivalent single query (CTE in place of
     the variable), proving the script's observable result is plain
     relational algebra."""
+    old = spark.conf.get("spark.sql.scripting.enabled", "false")
     spark.conf.set("spark.sql.scripting.enabled", "true")
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
+    try:
+        return spark.sql(
         """
         BEGIN
           DECLARE cut BIGINT DEFAULT 0;
@@ -159,4 +161,8 @@ def sql_scripting_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY o_orderpriority;
         END
         """
-    )
+        )
+    finally:
+        # the script executes inside spark.sql(); restore the shared
+        # session's parser config so query order can't matter
+        spark.conf.set("spark.sql.scripting.enabled", old)

@@ -160,8 +160,9 @@ class CityReportWriter(DataSourceWriter):
     def abort(self, messages) -> None:
         import os
 
+        # failed tasks contribute None instead of a commit message
         for m in messages:
-            if os.path.exists(m.staged):
+            if m is not None and os.path.exists(m.staged):
                 os.remove(m.staged)
 
 

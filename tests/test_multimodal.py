@@ -107,9 +107,7 @@ class TestRound3Kernels:
             m.repartition(1)
             .select("doc_id", "payload")
             .mapInPandas(
-                # reuse the registered query's kernel by re-deriving from the module
-                # (block pooling is deterministic per row)
-                _resize_kernel(),
+                mm.resize_kernel(),
                 schema="doc_id long, block_idx int, block_len int, mean_milli long",
             )
             .toPandas()
@@ -135,32 +133,3 @@ class TestRound3Kernels:
             "SELECT count(*) FROM documents WHERE CAST(doc_id % 3 AS INT) = 1"
         ).fetchone()[0]
         assert len(pdf) == n_audio  # exactly one winner per audio item
-
-
-def _resize_kernel():
-    """The block-pool kernel, standalone, for the invariance test."""
-    import numpy as np
-    import pandas as pd
-
-    from apache_spark_irs_form_990_spark.operators.multimodal import _RESIZE_BLOCKS
-
-    B = _RESIZE_BLOCKS
-
-    def run(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
-                n = len(arr)
-                idx = (np.arange(B, dtype=np.int64) * n) // B
-                sums = np.add.reduceat(arr, idx)
-                lens = np.diff(np.append(idx, n))
-                for b in range(B):
-                    rows.append(
-                        (doc_id, b, int(lens[b]), int(sums[b] * 1000 // lens[b]))
-                    )
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "block_idx", "block_len", "mean_milli"]
-            )
-
-    return run
