@@ -359,3 +359,51 @@ def agg_linreg_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope / 100.0, 6).alias("slope_per_day"),
         F.round(intercept / 100.0, 6).alias("intercept_dollars"),
     )
+
+
+@register(
+    "agg_approx_percentile_contract",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_disc(CAST(round(l_extendedprice * 100) AS BIGINT),
+                              0.5) AS BIGINT) AS p50_exact_cents,
+           TRUE AS approx_within_1pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketched quantiles — the 100 TB path for percentiles, under the
+    same exact-checkable contract as [[agg_approx_count_distinct]]:
+    exact percentiles need the group's values materialized (memory
+    O(group)), while `approx_percentile` keeps a fixed-size
+    Greenwald-Khanna-style summary that partial-merges map-side. The
+    sketch value is engine-specific, so the emitted columns are the
+    EXACT discrete p50 (integer cents — the yardstick) plus a boolean
+    asserting the sketch landed within 1% of it; the oracle states the
+    boolean TRUE, so any drift past tolerance hash-fails the gate.
+    Production callers read the estimate alone (one pass, bounded
+    state) — SCALE.md §7 names this swap first on the real-run list."""
+    li = load(spark, sf_dir, "lineitem")
+    exact = F.expr(
+        "percentile(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5D)"
+    )
+    approx = F.expr(
+        "approx_percentile(CAST(round(l_extendedprice * 100) AS BIGINT),"
+        " 0.5D, 10000)"
+    )
+    # the cross-engine yardstick is the DISCRETE p50 (an actual data
+    # value — DuckDB's quantile_disc), not the interpolated one
+    disc = F.expr(
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY"
+        " CAST(round(l_extendedprice * 100) AS BIGINT))"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            disc.cast("long").alias("p50_exact_cents"),
+            ((F.abs(approx - exact) / exact) <= 0.01).alias(
+                "approx_within_1pct"
+            ),
+        )
+    )
