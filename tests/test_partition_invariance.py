@@ -34,6 +34,8 @@ SWEEP = [
     "mm_phash_hamming_dedup",  # Arrow block-mean kernel + quarter banding
     "sim_ann_lsh_multiprobe",  # probe explode + bucket join + re-rank
     "pipeline_dedup_cascade",  # window keeper + band signatures + scalars
+    "text_rolling_winnow_fingerprints",  # Arrow sliding-window hash kernel
+    "agg_approx_percentile_contract",    # GK sketch merge under tolerance
 ]
 
 
