@@ -271,3 +271,62 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cy").cast("long").alias("min_cy"),
         F.max("cy").cast("long").alias("max_cy"),
     )
+
+
+_TARGET_FILE_BYTES = 128 * 1024 * 1024  # the maxPartitionBytes default
+
+
+@register(
+    "layout_partition_size_planner",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           CAST(sum(8 + 8 + 8 + 4
+                    + octet_length(CAST(o_orderpriority AS BLOB))
+                    + octet_length(CAST(o_orderstatus AS BLOB))) AS BIGINT)
+             AS est_bytes,
+           CAST(greatest(1,
+             (sum(8 + 8 + 8 + 4
+                  + octet_length(CAST(o_orderpriority AS BLOB))
+                  + octet_length(CAST(o_orderstatus AS BLOB)))
+              + {_TARGET_FILE_BYTES - 1}) // {_TARGET_FILE_BYTES})
+             AS BIGINT) AS n_target_files
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def layout_partition_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-layout SIZING audit — the query you run BEFORE a
+    partitioned write to avoid both failure modes of file layout: tiny
+    files (per-file overhead swamps the scan; the reference's nightly
+    output shape) and giant files (a task's input no longer fits
+    memory under `maxPartitionBytes`). Per partition key it estimates
+    uncompressed bytes from exact column widths (fixed-width columns
+    at their encoded size + actual UTF-8 string lengths — all integer
+    arithmetic, no sampling) and derives the target file count at the
+    128 MB default via ceiling division. Feed the result into
+    `repartitionByRange(n_target_files, key, ...)` before the write —
+    `sink_partitioned_prune` shows the write itself, and SCALE.md §7
+    names this sizing as step 2 of a real 100 TB run. One hash
+    aggregate on the partition key; nothing but (key, 3 longs) leaves
+    the exchange."""
+    o = load(spark, sf_dir, "orders")
+    row_bytes = (
+        F.lit(8 + 8 + 8 + 4)  # orderkey, custkey, totalprice, orderdate
+        + F.octet_length("o_orderpriority")
+        + F.octet_length("o_orderstatus")
+    ).cast("long")
+    est = F.sum(row_bytes)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_rows"),
+            est.alias("est_bytes"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(
+                    (est + (_TARGET_FILE_BYTES - 1)) / _TARGET_FILE_BYTES
+                ).cast("long"),
+            ).alias("n_target_files"),
+        )
+    )
