@@ -166,3 +166,51 @@ def sql_scripting_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the script executes inside spark.sql(); restore the shared
         # session's parser config so query order can't matter
         spark.conf.set("spark.sql.scripting.enabled", old)
+
+
+@register(
+    "fn_collation_lcase",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                  ELSE event_type END AS et
+      FROM events
+    )
+    SELECT min(et) AS variant_min,
+           count(*) AS n_events,
+           count(DISTINCT et) AS n_case_variants
+    FROM mixed
+    GROUP BY lower(et)
+    """,
+)
+def fn_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String COLLATIONS (Spark 4): grouping under the UTF8_LCASE
+    collation makes case-insensitivity a property of the comparison,
+    not a rewrite — no `lower()` scattered over every predicate, and
+    (unlike the rewrite) the collation survives into sorts, joins and
+    GROUP BYs the optimizer plans natively. The fixture upper-cases
+    every even event's type so each logical group really contains two
+    binary-distinct variants; the output proves it (n_case_variants=2)
+    while grouping collapses them. Output key is min(variant) under
+    BINARY collation — deterministic in both engines — because the
+    collated group's representative is not. The oracle is the
+    classic `GROUP BY lower()` rewrite: for ASCII data the two must
+    agree exactly, which is precisely the migration guarantee a user
+    switching to collations needs checked."""
+    ev = load(spark, sf_dir, "events")
+    mixed = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.upper("event_type"))
+        .otherwise(F.col("event_type"))
+        .alias("et")
+    )
+    return (
+        mixed.groupBy(F.expr("collate(et, 'UTF8_LCASE')").alias("_k"))
+        .agg(
+            F.min(F.expr("collate(et, 'UTF8_BINARY')")).alias("variant_min"),
+            F.count("*").alias("n_events"),
+            F.countDistinct(F.expr("collate(et, 'UTF8_BINARY')")).alias(
+                "n_case_variants"
+            ),
+        )
+        .drop("_k")
+    )
