@@ -407,3 +407,51 @@ def agg_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+
+
+@register(
+    "agg_hll_sketch_union_contract",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           TRUE AS union_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_hll_sketch_union_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct sketches (Apache DataSketches HLL, Spark
+    3.5+): per-(type, day) `hll_sketch_agg` builds a binary sketch,
+    `hll_union_agg` merges the days, `hll_sketch_estimate` reads the
+    total — the INCREMENTAL form of distinct counting that
+    `approx_count_distinct` (a one-shot scalar) cannot give you.
+    Persist the daily sketch table and each new day costs one
+    day-sized build plus a union over tiny blobs; 'distinct users,
+    any date range' becomes a sketch-merge, never a raw re-scan —
+    THE warehouse pattern for distinct-over-time at 100 TB.
+
+    The estimate is engine-specific, so the contract (the
+    [[agg_approx_count_distinct]] pattern): emit the exact per-type
+    distinct as the yardstick plus a boolean asserting the
+    sketch-union landed within 5%; the oracle pins the boolean TRUE,
+    so sketch drift past tolerance hash-fails the gate."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+    )
+    unioned = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, true))").alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(unioned, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("est").cast("double") - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double")
+            <= 0.05
+        ).alias("union_within_5pct"),
+    )
