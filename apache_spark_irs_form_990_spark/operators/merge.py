@@ -104,3 +104,90 @@ def merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = mod_changes.unionByName(new_rows)
     return merge_apply(base, changes, key="n_nationkey")
+
+
+@register(
+    "merge_scd2_dimension_apply",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment AS seg FROM customer
+    ),
+    batch AS (
+      SELECT c_custkey, 'NEW-' || c_mktsegment AS seg
+      FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT d.c_custkey,
+           d.seg,
+           '2023-01-01' AS valid_from,
+           CASE WHEN b.c_custkey IS NULL THEN '9999-12-31'
+                ELSE '2024-06-01' END AS valid_to,
+           b.c_custkey IS NULL AS is_current
+    FROM dim d LEFT JOIN batch b ON d.c_custkey = b.c_custkey
+    UNION ALL
+    SELECT c_custkey, seg,
+           '2024-06-01', '9999-12-31', TRUE
+    FROM batch
+    """,
+)
+def merge_scd2_dimension_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 dimension maintenance — apply a CDC batch to a
+    slowly-changing dimension by CLOSING the changed keys' current
+    interval (valid_to = effective date, is_current = false) and
+    INSERTING the new version (open-ended interval) in the SAME pass:
+    one left join of the dimension against the (small, broadcastable)
+    change batch, then a conditional 1-or-2-row explode per key — no
+    second scan of the dimension for the inserts, which is the
+    difference between this and the naive close-then-append two-job
+    version. Complements [[merge_upsert_cdc]] (type-1 overwrite) and
+    [[win_scd2_intervals]] (rebuilding history from an event log);
+    [[join_scd2_asof_lookup]] is the read side. The change batch is
+    synthesized deterministically (every 7th customer re-segments on
+    2024-06-01). At 100 TB the dimension never shuffles: the batch
+    broadcasts, and output rewrites touch only affected partitions."""
+    dim = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    batch = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey", F.concat(F.lit("NEW-"), F.col("c_mktsegment")).alias("bseg")
+        )
+    )
+    # interval bounds emitted as ISO strings: DATE round-trips as
+    # datetime64 from DuckDB but as date objects from Spark, and the
+    # bounds here are literals anyway
+    eff = F.lit("2024-06-01")
+    far = F.lit("9999-12-31")
+    opened = F.lit("2023-01-01")
+    changed = F.col("bseg").isNotNull()
+    joined = dim.join(F.broadcast(batch), "c_custkey", "left")
+    rows = F.when(
+        changed,
+        F.array(
+            F.struct(
+                F.col("seg").alias("seg"),
+                opened.alias("valid_from"),
+                eff.alias("valid_to"),
+                F.lit(False).alias("is_current"),
+            ),
+            F.struct(
+                F.col("bseg").alias("seg"),
+                eff.alias("valid_from"),
+                far.alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            ),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.col("seg").alias("seg"),
+                opened.alias("valid_from"),
+                far.alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            )
+        )
+    )
+    return joined.select("c_custkey", F.explode(rows).alias("r")).select(
+        "c_custkey", "r.seg", "r.valid_from", "r.valid_to", "r.is_current"
+    )
