@@ -400,3 +400,64 @@ def ts_wow_same_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - prev).cast("long").alias("wow_diff"),
         (F.col("n").cast("double") / prev).alias("wow_ratio"),
     )
+
+
+@register(
+    "ts_downsample_minmax",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id,
+             epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS bucket_us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    ranked AS (
+      SELECT bucket_us, event_id, cents,
+             row_number() OVER (PARTITION BY bucket_us
+                                ORDER BY cents ASC, event_id) AS rn_min,
+             row_number() OVER (PARTITION BY bucket_us
+                                ORDER BY cents DESC, event_id) AS rn_max
+      FROM ev
+    )
+    SELECT bucket_us, 'min' AS kind, cents, event_id
+    FROM ranked WHERE rn_min = 1
+    UNION ALL
+    SELECT bucket_us, 'max' AS kind, cents, event_id
+    FROM ranked WHERE rn_max = 1
+    """,
+)
+def ts_downsample_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max DOWNSAMPLING for monitoring charts (the M4 scheme): per
+    time bucket keep only the extreme points — the two samples that
+    bound everything a pixel column can render — so a billion-point
+    series plots from 2·buckets rows with zero visual loss of spikes
+    (mean-based downsampling erases exactly the anomalies you chart
+    for). Unlike LTTB (sequential, selected-point dependency) the
+    min/max rule has no cross-bucket dependency: both extremes come
+    from ONE window spec pair sharing ONE exchange on the bucket key,
+    embarrassingly parallel at any scale. Ties break on event_id so
+    the selected representative is deterministic cross-engine; values
+    ride as exact cents."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("bucket_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w_min = Window.partitionBy("bucket_us").orderBy(
+        F.col("cents").asc(), F.col("event_id")
+    )
+    w_max = Window.partitionBy("bucket_us").orderBy(
+        F.col("cents").desc(), F.col("event_id")
+    )
+    ranked = ev.withColumn("rn_min", F.row_number().over(w_min)).withColumn(
+        "rn_max", F.row_number().over(w_max)
+    )
+    return (
+        ranked.filter(F.col("rn_min") == 1)
+        .select("bucket_us", F.lit("min").alias("kind"), "cents", "event_id")
+        .unionByName(
+            ranked.filter(F.col("rn_max") == 1).select(
+                "bucket_us", F.lit("max").alias("kind"), "cents", "event_id"
+            )
+        )
+    )
