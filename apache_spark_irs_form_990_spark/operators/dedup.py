@@ -1121,3 +1121,120 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_variants") > 1)
     )
+
+
+def _minhash_jaccard_audit_oracle() -> str:
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1,
+                             len(string_split(text, ' ')) - 2), ' ')
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    {band_signatures_sql("corpus", "a")},
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS n_shared_bands
+      FROM asig a JOIN asig b
+        ON a.band = b.band AND a.band_min = b.band_min
+       AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([
+               array_to_string(list_slice(t, i, i + 2), ' ')
+               FOR i IN generate_series(1, len(t) - 2)
+             ])) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT c.id_a, c.id_b, c.n_shared_bands,
+           CAST((coalesce(m.n_common, 0) * 1000000)
+                // (sa.n + sb.n - coalesce(m.n_common, 0)) AS BIGINT)
+             AS jacc_micro
+    FROM cand c
+    LEFT JOIN common m ON m.id_a = c.id_a AND m.id_b = c.id_b
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    """
+
+
+@register("dedup_minhash_jaccard_audit", oracle=_minhash_jaccard_audit_oracle())
+def dedup_minhash_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ESTIMATOR CALIBRATION for the MinHash banding path: for every
+    candidate pair the bands propose, compute the EXACT shingle-set
+    Jaccard (integer micro-units, floor division) next to the band
+    agreement count — the table you regress to answer "what Jaccard
+    does k-of-4 shared bands actually correspond to on THIS corpus?"
+    before trusting the banding threshold at full scale. Completes the
+    audit family (`dedup_lsh_recall_audit` measures recall of the
+    candidate set; this measures what the band signal MEANS).
+
+    Scale shape: the expensive exact Jaccard runs on CANDIDATE PAIRS
+    ONLY — the shared-shingle join is gated through the banded
+    candidate set (two semi-structured equi-joins keyed on doc_id +
+    shingle), never all-pairs; cost is O(candidates x shingles/doc),
+    the same asymptotics as the banding pass itself."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0)))
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(near).localCheckpoint()
+    sig = band_signatures(corpus)
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_min") == F.col("b.band_min"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+    sh = corpus.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingles(F.col("text")))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # shared-shingle count per candidate pair: both joins are
+    # equi-joins — the second keyed on (id_b, shingle) so only
+    # matching shingles ever meet, never the per-pair cross product
+    common = (
+        cand.select("id_a", "id_b")
+        .join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        cand.join(common, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared_bands",
+            F.floor(
+                (F.coalesce(F.col("n_common"), F.lit(0)) * 1000000)
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("n_common"), F.lit(0)))
+            ).cast("long").alias("jacc_micro"),
+        )
+    )
