@@ -713,3 +713,72 @@ def mm_video_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 mm_video_scene_change.__doc__ = mm_video_scene_change.__doc__.format(
     W=_SCENE_FRAME, T=_SCENE_THRESHOLD
 )
+
+
+@register(
+    "mm_token_budget_report",
+    # token-cost model (deterministic, integer): text items cost their
+    # whitespace word count; image items a fixed 576 patch tokens
+    # (ViT-L/14 at 336px); audio/video items one token per 64-byte
+    # frame — the STUB analogue of a real multimodal tokenizer's
+    # per-modality cost function.
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             octet_length(CAST(text AS BLOB)) AS n_bytes,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words
+      FROM documents
+    ),
+    costed AS (
+      SELECT kind,
+             CASE kind WHEN 'image' THEN 576
+                  ELSE (n_bytes + 63) // 64 END
+               + CASE kind WHEN 'image' THEN n_words ELSE 0 END AS tokens
+      FROM m
+    )
+    SELECT kind,
+           count(*) AS n_items,
+           CAST(sum(tokens) AS BIGINT) AS total_tokens,
+           CAST((sum(tokens) * 1000) // count(*) AS BIGINT) AS avg_tokens_milli
+    FROM costed
+    GROUP BY kind
+    """,
+)
+def mm_token_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal TRAINING-TOKEN budget accounting — the question every
+    VLM data mix starts with ("how many tokens does this corpus cost,
+    per modality?"): each item is costed by a per-modality function
+    (images: 576 fixed patch tokens + caption words; audio/video: one
+    token per 64-byte frame, ceiling division) and rolled up per kind
+    with exact integer totals and milli-means. Downstream this feeds
+    [[pipeline_pretrain_mix]] (mix weights need per-source token
+    counts, not item counts — a modality with few huge items dominates
+    a naive item-weighted mix). One hash aggregate over scan-side
+    arithmetic; the payload column is needed only for its length, and
+    the byte count comes from the metadata struct, so the binary
+    column prunes at the scan exactly as in [[mm_column_struct]]."""
+    m = media_table(spark, sf_dir)
+    words = F.size(
+        F.filter(F.split(F.col("caption"), " "), lambda x: x != F.lit(""))
+    )
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("caption")
+    )
+    joined = m.select("doc_id", F.col("meta.kind").alias("kind"),
+                      F.col("meta.n_bytes").alias("n_bytes")).join(d, "doc_id")
+    tokens = (
+        F.when(F.col("kind") == "image", F.lit(576) + words)
+        .otherwise(F.floor((F.col("n_bytes") + 63) / 64))
+        .cast("long")
+    )
+    return (
+        joined.select("kind", tokens.alias("tokens"))
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("tokens").alias("total_tokens"),
+            F.expr("sum(tokens) * 1000 div count(*)").alias("avg_tokens_milli"),
+        )
+    )
