@@ -25,12 +25,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from apache_spark_irs_form_990_spark.operators.dedup import _shingles
+from apache_spark_irs_form_990_spark.functions.text import shingles
+from apache_spark_irs_form_990_spark.functions.vectors import (
+    SQL_COS_AB,
+    dot,
+    pair_dot_udf,
+    sq_norm,
+)
 from apache_spark_irs_form_990_spark.operators.similarity import (
-    _pair_dot_udf,
-    _SQL_COS_AB,
-    _dot,
-    _sq_norm,
     banded_lsh_pairs,
     banded_lsh_pairs_sql,
     emb_milli_corpus,
@@ -164,7 +166,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _three_gen_corpus(spark, sf_dir)
     shingled0 = corpus.select(
         "doc_id",
-        F.explode(F.array_distinct(_shingles(F.col("text")))).alias("shingle"),
+        F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
     )
     w_df = Window.partitionBy("shingle")
     shingled = (
@@ -221,7 +223,7 @@ def _semantic_corpus(spark: SparkSession, sf_dir: str, cap: int | None = None):
 def _semantic_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine >= 0.9 edges among banded-LSH candidates of the injected
     corpus — the bucketed edge source for the cluster default."""
-    corpus = _semantic_corpus(spark, sf_dir).withColumn("n", _sq_norm(F.col("v")))
+    corpus = _semantic_corpus(spark, sf_dir).withColumn("n", sq_norm(F.col("v")))
     cand = banded_lsh_pairs(corpus.select("vec_id", "v"))
     a = corpus.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
@@ -229,7 +231,7 @@ def _semantic_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = corpus.select(
         F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
     )
-    cosine = _pair_dot_udf()(F.col("va"), F.col("vb")).cast("double") / (
+    cosine = pair_dot_udf()(F.col("va"), F.col("vb")).cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
     return (
@@ -253,7 +255,7 @@ def _semantic_cluster_oracle() -> str:
       FROM cand c
       JOIN corpus a ON a.vec_id = c.id_a
       JOIN corpus b ON b.vec_id = c.id_b
-      WHERE {_SQL_COS_AB} >= 0.9
+      WHERE {SQL_COS_AB} >= 0.9
     ),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
@@ -305,7 +307,7 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-      WHERE {_SQL_COS_AB} >= 0.9
+      WHERE {SQL_COS_AB} >= 0.9
     ),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
@@ -326,10 +328,10 @@ def dedup_semantic_cluster_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, same component step. Audits the bucketed default's edge
     recall — at 100 TB exact truth runs on a sample only."""
     corpus = _semantic_corpus(spark, sf_dir, cap=300).withColumn(
-        "n", _sq_norm(F.col("v"))
+        "n", sq_norm(F.col("v"))
     )
     a, b = corpus.alias("a"), corpus.alias("b")
-    cosine = _dot(F.col("a.v"), F.col("b.v")).cast("double") / (
+    cosine = dot(F.col("a.v"), F.col("b.v")).cast("double") / (
         F.sqrt(F.col("a.n").cast("double")) * F.sqrt(F.col("b.n").cast("double"))
     )
     edges = (

@@ -25,11 +25,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from apache_spark_irs_form_990_spark.functions.text import shingles
+from apache_spark_irs_form_990_spark.functions.vectors import (
+    SQL_COS_AB,
+    dot,
+    pair_dot_udf,
+    sq_norm,
+)
 from apache_spark_irs_form_990_spark.operators.similarity import (
-    _pair_dot_udf,
-    _SQL_COS_AB,
-    _dot,
-    _sq_norm,
     banded_lsh_pairs,
     banded_lsh_pairs_sql,
     emb_milli_corpus,
@@ -77,21 +80,6 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(col, n: int = 3):
-    """Word n-gram shingles of a text column as an array, via one
-    JVM-side transform over the token array (no Python). Guarded:
-    sequence(0, k-1) with k<=0 would generate a DESCENDING sequence,
-    not an empty one."""
-    toks = F.split(col, " ")
-    k = F.size(toks) - (n - 1)
-    idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
-
-
 def band_signatures(df: DataFrame) -> DataFrame:
     """Chunked-md5 MinHash band signatures of a (doc_id, text) frame:
     (doc_id, band, band_min) with 4 bands, each band's hash one 32-bit
@@ -113,7 +101,7 @@ def band_signatures(df: DataFrame) -> DataFrame:
     option at any price."""
     shingled = df.select(
         "doc_id",
-        F.explode(F.array_distinct(_shingles(F.col("text")))).alias("shingle"),
+        F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
     )
     md5h = F.md5(F.col("shingle"))
     sigw = shingled.groupBy("doc_id").agg(
@@ -142,7 +130,7 @@ def band_signatures_stateless(df: DataFrame) -> DataFrame:
     this interpreted higher-order form."""
     hashed = df.select(
         "doc_id",
-        F.transform(_shingles(F.col("text")), lambda s: F.md5(s)).alias("hs"),
+        F.transform(shingles(F.col("text")), lambda s: F.md5(s)).alias("hs"),
     ).filter(F.size("hs") > 0)
     sigw = hashed.select(
         "doc_id",
@@ -257,7 +245,7 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled0 = (
         corpus.select(
             "doc_id",
-            F.explode(F.array_distinct(_shingles(F.col("text")))).alias("shingle"),
+            F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
         )
     )
     w_df = Window.partitionBy("shingle")
@@ -384,7 +372,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.unionByName(near)
     shingled = corpus.select(
         "doc_id",
-        F.explode(F.array_distinct(_shingles(F.col("text")))).alias("shingle"),
+        F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
     )
     # K permutations = 8-hex chunks of ceil(K/4) seeded md5s; min per
     # doc and chunk (one md5 evaluation -> four 32-bit hash functions).
@@ -592,7 +580,7 @@ def _near_embedding_oracle() -> str:
     ),
     {banded_lsh_pairs_sql("corpus")},
     scored AS (
-      SELECT c.id_a, c.id_b, {_SQL_COS_AB} AS cosine
+      SELECT c.id_a, c.id_b, {SQL_COS_AB} AS cosine
       FROM cand c
       JOIN corpus a ON a.vec_id = c.id_a
       JOIN corpus b ON b.vec_id = c.id_b
@@ -605,7 +593,7 @@ def _scored_cand(corpus: DataFrame) -> DataFrame:
     """Exact milli-int cosine for each banded-LSH candidate pair of a
     (vec_id, v) corpus: (id_a, id_b, cosine). The pair join is keyed on
     (band, bucket); scoring is two equi-joins on vec_id."""
-    corpus_n = corpus.withColumn("n", _sq_norm(F.col("v")))
+    corpus_n = corpus.withColumn("n", sq_norm(F.col("v")))
     cand = banded_lsh_pairs(corpus)
     a = corpus_n.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
@@ -613,7 +601,7 @@ def _scored_cand(corpus: DataFrame) -> DataFrame:
     b = corpus_n.select(
         F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
     )
-    cosine = _pair_dot_udf()(F.col("va"), F.col("vb")).cast("double") / (
+    cosine = pair_dot_udf()(F.col("va"), F.col("vb")).cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
     return cand.join(a, "id_a").join(b, "id_b").select(
@@ -650,7 +638,7 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
       {emb_milli_corpus_sql((60,))}
     ),
     pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_SQL_COS_AB} AS cosine
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {SQL_COS_AB} AS cosine
       FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.95
@@ -663,9 +651,9 @@ def dedup_near_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`dedup_embedding_recall_audit`) — at 100 TB exact truth runs on a
     sample, never the corpus."""
     corpus = emb_milli_corpus(spark, sf_dir, keeps=(60,), cap=300)
-    corpus = corpus.withColumn("n", _sq_norm(F.col("v")))
+    corpus = corpus.withColumn("n", sq_norm(F.col("v")))
     a, b = corpus.alias("a"), corpus.alias("b")
-    cosine = _dot(F.col("a.v"), F.col("b.v")).cast("double") / (
+    cosine = dot(F.col("a.v"), F.col("b.v")).cast("double") / (
         F.sqrt(F.col("a.n").cast("double")) * F.sqrt(F.col("b.n").cast("double"))
     )
     return (
@@ -691,7 +679,7 @@ def dedup_near_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-      WHERE {_SQL_COS_AB} >= 0.95
+      WHERE {SQL_COS_AB} >= 0.95
     ),
     hit AS (SELECT * FROM cand INTERSECT SELECT * FROM truth)
     SELECT (SELECT count(*) FROM truth) AS n_truth,
@@ -711,10 +699,10 @@ def dedup_embedding_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     before trusting it on the full corpus — the dedup_lsh_recall_audit
     pattern applied to the embedding family. Single-row output."""
     corpus = emb_milli_corpus(spark, sf_dir, keeps=(60,), cap=300)
-    corpus_n = corpus.withColumn("n", _sq_norm(F.col("v")))
+    corpus_n = corpus.withColumn("n", sq_norm(F.col("v")))
     cand = banded_lsh_pairs(corpus)
     a, b = corpus_n.alias("a"), corpus_n.alias("b")
-    cosine = _dot(F.col("a.v"), F.col("b.v")).cast("double") / (
+    cosine = dot(F.col("a.v"), F.col("b.v")).cast("double") / (
         F.sqrt(F.col("a.n").cast("double")) * F.sqrt(F.col("b.n").cast("double"))
     )
     truth = (
@@ -1208,7 +1196,7 @@ def dedup_minhash_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = corpus.select(
         "doc_id",
-        F.explode(F.array_distinct(_shingles(F.col("text")))).alias("shingle"),
+        F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     # shared-shingle count per candidate pair: both joins are

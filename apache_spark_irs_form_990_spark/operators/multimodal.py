@@ -284,6 +284,7 @@ def _resize_oracle() -> str:
     WITH imgs AS (
       SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
       FROM documents WHERE CAST(doc_id % 3 AS INT) = 0
+        AND octet_length(CAST(text AS BLOB)) >= {_RESIZE_BLOCKS}
     ),
     codes AS (
       SELECT doc_id, n,
@@ -315,8 +316,16 @@ def mm_resize_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas (one numpy reduceat per batch — no per-byte Python);
     only {B} small ints per item ever leave the scan, the payload
     never shuffles. The fixed output size is the point at 100 TB:
-    downstream stages cost O(items), not O(bytes)."""
-    m = media_table(spark, sf_dir).filter(F.col("meta.kind") == "image")
+    downstream stages cost O(items), not O(bytes).
+
+    Payloads shorter than {B} bytes are filtered out (mirrored in the
+    oracle): they would yield zero-length blocks, where the kernel's
+    floor division raises and `reduceat` mis-sums repeated indices —
+    the same guard [[mm_phash_hamming_dedup]] applies."""
+    m = media_table(spark, sf_dir).filter(
+        (F.col("meta.kind") == "image")
+        & (F.col("meta.n_bytes") >= _RESIZE_BLOCKS)
+    )
     return m.select("doc_id", "payload").mapInPandas(
         resize_kernel(),
         schema="doc_id long, block_idx int, block_len int, mean_milli long",

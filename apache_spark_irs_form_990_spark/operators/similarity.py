@@ -23,28 +23,17 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from apache_spark_irs_form_990_spark.functions.vectors import (
+    SQL_COS_AB,
+    dot,
+    milli_vec,
+    pair_dot_udf,
+    sq_norm,
+)
 from apache_spark_irs_form_990_spark.registry import register
 from apache_spark_irs_form_990_spark.tables import load
 
 _QUERY_VEC_ID = 0  # deterministic fixed query: vec_id 0's embedding
-
-
-def _milli_vec(col):
-    return F.transform(
-        col, lambda x: F.round(x.cast("double") * 1000).cast("long")
-    )
-
-
-def _sq_norm(col):
-    return F.aggregate(
-        F.transform(col, lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
-    )
-
-
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda a_, x: a_ + x
-    )
 
 
 @register(
@@ -76,14 +65,14 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — no global sort, no shuffle of the corpus.
     """
     emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _milli_vec(F.col("embedding")).alias("v")
+        "vec_id", milli_vec(F.col("embedding")).alias("v")
     )
     q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("v").alias("qv")
     )
-    cosine = _dot(F.col("v"), F.col("qv")).cast("double") / (
-        F.sqrt(_sq_norm(F.col("v")).cast("double"))
-        * F.sqrt(_sq_norm(F.col("qv")).cast("double"))
+    cosine = dot(F.col("v"), F.col("qv")).cast("double") / (
+        F.sqrt(sq_norm(F.col("v")).cast("double"))
+        * F.sqrt(sq_norm(F.col("qv")).cast("double"))
     )
     return (
         emb.crossJoin(F.broadcast(q))
@@ -127,14 +116,14 @@ def sim_cosine_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window top-N over the scored scan; WindowGroupLimit keeps 3 per
     label pre-shuffle)."""
     emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _milli_vec(F.col("embedding")).alias("v")
+        "vec_id", "label", milli_vec(F.col("embedding")).alias("v")
     )
     q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("v").alias("qv")
     )
-    cosine = _dot(F.col("v"), F.col("qv")).cast("double") / (
-        F.sqrt(_sq_norm(F.col("v")).cast("double"))
-        * F.sqrt(_sq_norm(F.col("qv")).cast("double"))
+    cosine = dot(F.col("v"), F.col("qv")).cast("double") / (
+        F.sqrt(sq_norm(F.col("v")).cast("double"))
+        * F.sqrt(sq_norm(F.col("qv")).cast("double"))
     )
     w = Window.partitionBy("label").orderBy(F.col("cosine").desc(), "vec_id")
     return (
@@ -230,21 +219,6 @@ def _bucket_udf(planes: list | None = None):
     return buckets
 
 
-def _pair_dot_udf():
-    """Arrow-batched exact int64 dot for scored candidate pairs (one
-    einsum per batch instead of an interpreted per-pair aggregate)."""
-
-    @F.pandas_udf("long")
-    def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
-        if len(a) == 0:
-            return pd.Series([], dtype="int64")
-        A = np.vstack(a.to_numpy()).astype(np.int64)
-        B_ = np.vstack(b.to_numpy()).astype(np.int64)
-        return pd.Series(np.einsum("nd,nd->n", A, B_))
-
-    return pair_dot
-
-
 def banded_lsh_pairs(emb: DataFrame) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from banded hyperplane
     LSH over a DataFrame with columns (vec_id, v: array<long>).
@@ -328,7 +302,7 @@ def emb_milli_corpus(
     emb = load(spark, sf_dir, "embeddings")
     if cap is not None:
         emb = emb.filter(F.col("vec_id") < cap)
-    emb = emb.select("vec_id", _milli_vec(F.col("embedding")).alias("v"))
+    emb = emb.select("vec_id", milli_vec(F.col("embedding")).alias("v"))
     def zero_tail(keep: int):
         return lambda x, i: F.when(i < keep, x).otherwise(F.lit(0).cast("long"))
 
@@ -363,12 +337,6 @@ _SQL_MILLI = """m AS (
                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
       FROM embeddings
     )"""
-
-_SQL_COS_AB = """CAST(list_sum(list_transform(range(1, 65),
-                           i -> a.v[i] * b.v[i])) AS DOUBLE)
-             / (sqrt(CAST(list_sum(list_transform(a.v, x -> x * x)) AS DOUBLE))
-                * sqrt(CAST(list_sum(list_transform(b.v, x -> x * x)) AS DOUBLE)))"""
-
 
 def _ann_lsh_oracle() -> str:
     """DuckDB twin of sim_cosine_ann_lsh: same literal planes, same
@@ -433,16 +401,16 @@ def sim_cosine_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     down, cost down) — the single knob of the engine's ANN story.
     """
     emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _milli_vec(F.col("embedding")).alias("v")
+        "vec_id", milli_vec(F.col("embedding")).alias("v")
     )
     # one Arrow int64 matmul per batch computes all 8 sign bits
     # (same kernel as banded_lsh_pairs, single-band plane set)
     bucketed = emb.withColumn(
         "bucket", _bucket_udf(_PLANES)(F.col("v")).getItem(0)
-    ).withColumn("n", _sq_norm(F.col("v")))
+    ).withColumn("n", sq_norm(F.col("v")))
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    cosine = _dot(F.col("a.v"), F.col("b.v")).cast("double") / (
+    cosine = dot(F.col("a.v"), F.col("b.v")).cast("double") / (
         F.sqrt(F.col("a.n").cast("double")) * F.sqrt(F.col("b.n").cast("double"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
@@ -476,7 +444,7 @@ def _scored_sym_pairs(emb_n: DataFrame, cand: DataFrame) -> DataFrame:
     b = emb_n.select(
         F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
     )
-    cosine = _pair_dot_udf()(F.col("va"), F.col("vb")).cast("double") / (
+    cosine = pair_dot_udf()(F.col("va"), F.col("vb")).cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
     scored = cand.join(a, "id_a").join(b, "id_b").select(
@@ -510,7 +478,7 @@ def _nn_lsh_oracle() -> str:
       SELECT id_b AS qid, id_a AS nid FROM cand
     ),
     scored AS (
-      SELECT s.qid, s.nid, {_SQL_COS_AB} AS cosine
+      SELECT s.qid, s.nid, {SQL_COS_AB} AS cosine
       FROM sym s JOIN m a ON a.vec_id = s.qid JOIN m b ON b.vec_id = s.nid
     )
     SELECT qid AS vec_id, nid AS nn_id, cosine FROM (
@@ -537,9 +505,9 @@ def sim_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join keyed on (band, bucket), then two equi-joins on vec_id
     to score — no unbucketed self-join anywhere."""
     emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _milli_vec(F.col("embedding")).alias("v")
+        "vec_id", milli_vec(F.col("embedding")).alias("v")
     )
-    emb_n = emb.withColumn("n", _sq_norm(F.col("v")))
+    emb_n = emb.withColumn("n", sq_norm(F.col("v")))
     scored = _scored_sym_pairs(emb_n, banded_lsh_pairs(emb))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
     return (
@@ -585,11 +553,11 @@ def sim_nearest_neighbor_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     never on the corpus; the registered default `sim_nearest_neighbor`
     is the bucketed one."""
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
-        "vec_id", _milli_vec(F.col("embedding")).alias("v")
+        "vec_id", milli_vec(F.col("embedding")).alias("v")
     )
-    emb = emb.withColumn("n", _sq_norm(F.col("v")))
+    emb = emb.withColumn("n", sq_norm(F.col("v")))
     a, b = emb.alias("a"), emb.alias("b")
-    cosine = _dot(F.col("a.v"), F.col("b.v")).cast("double") / (
+    cosine = dot(F.col("a.v"), F.col("b.v")).cast("double") / (
         F.sqrt(F.col("a.n").cast("double")) * F.sqrt(F.col("b.n").cast("double"))
     )
     pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
@@ -623,7 +591,7 @@ def _nn_recall_oracle() -> str:
       SELECT id_b AS qid, id_a AS nid FROM cand
     ),
     lsh_scored AS (
-      SELECT s.qid, s.nid, {_SQL_COS_AB} AS cosine
+      SELECT s.qid, s.nid, {SQL_COS_AB} AS cosine
       FROM sym s JOIN m a ON a.vec_id = s.qid JOIN m b ON b.vec_id = s.nid
     ),
     lsh_nn AS (
@@ -634,7 +602,7 @@ def _nn_recall_oracle() -> str:
       ) WHERE rn = 1
     ),
     exact_scored AS (
-      SELECT a.vec_id AS qid, b.vec_id AS nid, {_SQL_COS_AB} AS cosine
+      SELECT a.vec_id AS qid, b.vec_id AS nid, {SQL_COS_AB} AS cosine
       FROM m a JOIN m b ON a.vec_id != b.vec_id
     ),
     exact_nn AS (
@@ -664,9 +632,9 @@ def sim_nn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB it runs on a hash-sampled slice to tune (bands, planes)
     before trusting the bucketed pass on the corpus."""
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
-        "vec_id", _milli_vec(F.col("embedding")).alias("v")
+        "vec_id", milli_vec(F.col("embedding")).alias("v")
     )
-    emb_n = emb.withColumn("n", _sq_norm(F.col("v")))
+    emb_n = emb.withColumn("n", sq_norm(F.col("v")))
 
     def rank1(scored: DataFrame) -> DataFrame:
         w = Window.partitionBy("qid").orderBy(
@@ -680,7 +648,7 @@ def sim_nn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lsh_nn = rank1(_scored_sym_pairs(emb_n, banded_lsh_pairs(emb)))
     a, b = emb_n.alias("a"), emb_n.alias("b")
-    cosine = _dot(F.col("a.v"), F.col("b.v")).cast("double") / (
+    cosine = dot(F.col("a.v"), F.col("b.v")).cast("double") / (
         F.sqrt(F.col("a.n").cast("double")) * F.sqrt(F.col("b.n").cast("double"))
     )
     exact_scored = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
@@ -773,7 +741,7 @@ def sim_cosine_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10 is a fixture property (the cells partition the corpus);
     the operator reports each hit's cell so recall is auditable."""
     emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _milli_vec(F.col("embedding")).alias("v")
+        "vec_id", milli_vec(F.col("embedding")).alias("v")
     )
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
@@ -781,8 +749,8 @@ def sim_cosine_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
 
     def _cos(a, b):
-        return _dot(a, b).cast("double") / (
-            F.sqrt(_sq_norm(a).cast("double")) * F.sqrt(_sq_norm(b).cast("double"))
+        return dot(a, b).cast("double") / (
+            F.sqrt(sq_norm(a).cast("double")) * F.sqrt(sq_norm(b).cast("double"))
         )
 
     pairs = emb.crossJoin(F.broadcast(cents)).select(
@@ -934,7 +902,7 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     only. Milli-int sums keep the mean exact under any merge order."""
     e = load(spark, sf_dir, "embeddings")
     exploded = e.select(
-        "label", F.posexplode(_milli_vec(F.col("embedding"))).alias("pos0", "mv")
+        "label", F.posexplode(milli_vec(F.col("embedding"))).alias("pos0", "mv")
     )
     return (
         exploded.groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
@@ -991,7 +959,7 @@ def sim_label_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, which is how a statistic like this is estimated at 100 TB —
     round 2 registered the unbounded all-pairs form instead."""
     emb0 = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _milli_vec(F.col("embedding")).alias("v")
+        "vec_id", "label", milli_vec(F.col("embedding")).alias("v")
     )
     emb = emb0.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id").limit(1024)
     a = emb.select(
@@ -1000,9 +968,9 @@ def sim_label_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.select(
         F.col("vec_id").alias("idb"), F.col("label").alias("lb"), F.col("v").alias("vb")
     )
-    cos = _dot(F.col("va"), F.col("vb")).cast("double") / (
-        F.sqrt(_sq_norm(F.col("va")).cast("double"))
-        * F.sqrt(_sq_norm(F.col("vb")).cast("double"))
+    cos = dot(F.col("va"), F.col("vb")).cast("double") / (
+        F.sqrt(sq_norm(F.col("va")).cast("double"))
+        * F.sqrt(sq_norm(F.col("vb")).cast("double"))
     )
     pairs = a.join(b, F.col("ida") < F.col("idb")).select(
         (F.col("la") == F.col("lb")).alias("same_label"),
@@ -1094,11 +1062,11 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     query batch — which is why multiprobe is the production default
     (FALCONN/faiss-style) when index memory, not query CPU, binds."""
     emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _milli_vec(F.col("embedding")).alias("v")
+        "vec_id", milli_vec(F.col("embedding")).alias("v")
     )
     bucketed = (
         emb.withColumn("bucket", _bucket_udf(_PLANES)(F.col("v")).getItem(0))
-        .withColumn("n", _sq_norm(F.col("v")))
+        .withColumn("n", sq_norm(F.col("v")))
         .localCheckpoint()
     )
     probes = bucketed.select(
@@ -1129,7 +1097,7 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     qb = bucketed.select(
         F.col("vec_id").alias("nid"), F.col("v").alias("vb"), F.col("n").alias("nb")
     )
-    cosine = _pair_dot_udf()(F.col("va"), F.col("vb")).cast("double") / (
+    cosine = pair_dot_udf()(F.col("va"), F.col("vb")).cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
     scored = cand.join(qa, "qid").join(qb, "nid").select(
@@ -1189,14 +1157,14 @@ def sim_topk_label_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the global top-10 is TakeOrderedAndProject over the capped
     (tiny) survivor set — no global sort of the corpus anywhere."""
     emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _milli_vec(F.col("embedding")).alias("v")
+        "vec_id", "label", milli_vec(F.col("embedding")).alias("v")
     )
     q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("v").alias("qv")
     )
-    cosine = _dot(F.col("v"), F.col("qv")).cast("double") / (
-        F.sqrt(_sq_norm(F.col("v")).cast("double"))
-        * F.sqrt(_sq_norm(F.col("qv")).cast("double"))
+    cosine = dot(F.col("v"), F.col("qv")).cast("double") / (
+        F.sqrt(sq_norm(F.col("v")).cast("double"))
+        * F.sqrt(sq_norm(F.col("qv")).cast("double"))
     )
     w = Window.partitionBy("label").orderBy(F.col("cosine").desc(), "vec_id")
     return (

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from apache_spark_irs_form_990_spark.functions.ranks import global_order
 from apache_spark_irs_form_990_spark.queries._helpers import sql_cents
 from apache_spark_irs_form_990_spark.registry import register
 from apache_spark_irs_form_990_spark.tables import load
@@ -234,12 +235,12 @@ def text_fingerprint_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-hash MinHash) + shingle cardinality. SHA-256 hex is identical
     across engines, so this is the rare hash-based op with an exact
     oracle twin."""
-    from apache_spark_irs_form_990_spark.operators.dedup import _shingles
+    from apache_spark_irs_form_990_spark.functions.text import shingles
 
     return (
         load(spark, sf_dir, "documents")
         .select(
-            "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+            "doc_id", F.explode(shingles(F.col("text"))).alias("shingle")
         )
         .groupBy("doc_id")
         .agg(
@@ -326,10 +327,10 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     near zero. Pure array expressions (shingle → distinct → ratio),
     partition-local, no shuffle — it composes into pipeline_corpus_prep
     as just another quality predicate."""
-    from apache_spark_irs_form_990_spark.operators.dedup import _shingles
+    from apache_spark_irs_form_990_spark.functions.text import shingles
 
     d = load(spark, sf_dir, "documents")
-    grams = _shingles(F.col("text"))
+    grams = shingles(F.col("text"))
     n = F.size(grams)
     nd = F.size(F.array_distinct(grams))
     return d.select(
@@ -688,21 +689,23 @@ def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id order are laid head-to-tail and cut into 2048-token bins —
     each doc's bin is its preceding cumulative token count div the
     budget, the exact assignment a concatenating data loader produces.
-    One running-sum window over integer token counts (the global order
-    is the packing CONTRACT; at 100 TB you pack per shard — partition
-    by a shard key and the same expression runs shard-parallel), then
-    a per-bin rollup. Exact integers end to end."""
+    The global running sum — formerly one unpartitioned window, a
+    single-task sort over the corpus — comes from `global_order`
+    (range-partition on doc_id, per-partition running sums, broadcast
+    partition offsets): the same exact cumulative token counts,
+    computed partition-parallel, so the GLOBAL packing contract is
+    kept without the one-task plan. Then a per-bin rollup. Exact
+    integers end to end."""
     d = load(spark, sf_dir, "documents")
     sized = d.select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
     )
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    placed = sized.select(
+    placed = global_order(
+        sized, ["doc_id"], running={"cum_tok": F.col("n_tok")}, rn_col="_rn"
+    ).select(
         "doc_id",
         "n_tok",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 2048)
+        F.floor((F.col("cum_tok") - F.col("n_tok")) / 2048)
         .cast("long")
         .alias("bin_id"),
     )
@@ -745,10 +748,13 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     diminishing-returns signal for corpus collection (flattening curve
     = new data adds few new types). Running COUNT(DISTINCT) at corpus
     scale uses the first-occurrence trick globally: each token charges
-    its min(doc_id), new-type counts aggregate per doc, and one
-    running sum over the |docs|-sized frame yields the curve — the
-    exploded token table is touched exactly twice (per-doc counts,
-    per-token minima), never held in window state."""
+    its min(doc_id), new-type counts aggregate per doc, and the two
+    running sums over the |docs|-sized frame — formerly one
+    unpartitioned window — come from one `global_order` pass
+    (range-partition on doc_id, per-partition running sums, broadcast
+    partition offsets), yielding the identical curve partition-
+    parallel. The exploded token table is touched exactly twice
+    (per-doc counts, per-token minima), never held in window state."""
     d = load(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
@@ -763,14 +769,12 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = per_doc.join(
         firsts, per_doc.doc_id == firsts.min_doc, "left"
     ).select("doc_id", "n_tok", F.coalesce("n_new", F.lit(0)).alias("n_new"))
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return joined.select(
-        "doc_id",
-        F.sum("n_tok").over(w).cast("long").alias("cum_tokens"),
-        F.sum("n_new").over(w).cast("long").alias("cum_vocab"),
-    )
+    return global_order(
+        joined,
+        ["doc_id"],
+        running={"cum_tokens": F.col("n_tok"), "cum_vocab": F.col("n_new")},
+        rn_col="_rn",
+    ).select("doc_id", "cum_tokens", "cum_vocab")
 
 
 @register(

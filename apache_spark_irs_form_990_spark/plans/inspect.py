@@ -46,6 +46,37 @@ def assert_read_schema_only(df: DataFrame, columns: set[str], table_hint: str) -
     raise AssertionError(f"no ReadSchema line mentioning {table_hint!r}:\n{plan}")
 
 
+def _iter_logical_nodes(node):
+    """Depth-first walk of a Catalyst logical plan via py4j, descending
+    into children AND subquery expressions' plans."""
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _iter_logical_nodes(children.apply(i))
+    try:
+        subs = node.subqueries()
+        for i in range(subs.size()):
+            yield from _iter_logical_nodes(subs.apply(i))
+    except Exception:  # noqa: BLE001 — node types without subqueries()
+        pass
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window nodes with an EMPTY partition spec in the optimized
+    logical plan — each one Spark executes as a single task holding
+    that window's entire input ("No Partition Defined for Window
+    operation! Moving all data to a single partition"). The scale
+    anti-pattern tests/test_plan_lint.py bans for every registered
+    query."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    hits = []
+    for node in _iter_logical_nodes(plan):
+        if node.getClass().getSimpleName() == "Window":
+            if node.partitionSpec().isEmpty():
+                hits.append(node.simpleString(120))
+    return hits
+
+
 def count_occurrences(df: DataFrame, op: str) -> int:
     return physical_plan(df).count(op)
 

@@ -31,6 +31,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from apache_spark_irs_form_990_spark.functions.ranks import (
+    global_order,
+    ntile_from_rn,
+)
 from apache_spark_irs_form_990_spark.queries._helpers import (
     cents,
     dsum,
@@ -1073,14 +1077,28 @@ def profile_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixed-width [[agg_histogram_bins]] and the shape optimizers
     use for selectivity estimation. `ntile` is ANSI-identical on both
     engines; the unique (price, key) sort makes bucket assignment
-    deterministic under ties. This exact form needs one global sort —
-    the 100 TB path replaces it with `approx_percentile` cutpoints
-    (one pass, no sort) at the cost of boundary exactness; the decile
-    COUNTS this query audits are what validate that approximation."""
+    deterministic under ties. Computed scale-safe: the exact global
+    row_number comes from `global_order` (range-partition +
+    per-partition rank + broadcast offsets — no single-task window),
+    and `ntile_from_rn` reproduces ANSI NTILE arithmetic from that
+    rank plus the broadcast total, so the buckets stay hash-identical
+    to the oracle's `ntile(10)`. The sloppier 100 TB shortcut —
+    `approx_percentile` cutpoints, one pass, no exactness — remains
+    noted; the decile COUNTS this exact query audits are what validate
+    that approximation."""
     o = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = global_order(
+        o.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        rn_col="_rn",
+    )
+    total = o.agg(F.count(F.lit(1)).alias("_total"))
     return (
-        o.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "o_totalprice",
+            ntile_from_rn(F.col("_rn"), F.col("_total"), 10).alias("bucket"),
+        )
         .groupBy("bucket")
         .agg(
             F.count("*").cast("long").alias("n"),

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from apache_spark_irs_form_990_spark.functions.ranks import global_order
 from apache_spark_irs_form_990_spark.registry import register
 from apache_spark_irs_form_990_spark.tables import load
 
@@ -240,15 +241,18 @@ def pipeline_step_data_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     that batch'. Reproducible data ordering is what makes this
     answerable at all (with `rand()` shuffling the answer changes
     per run/partitioning); the position→step map is pure integer
-    arithmetic on the rank. At 100 TB the rank comes from the epoch
-    manifest written at shuffle time rather than recomputed."""
+    arithmetic on the rank. The rank — formerly one unpartitioned
+    window, a single-task sort — comes from `global_order` over the
+    md5 epoch key (range-partition + per-partition rank + broadcast
+    offsets), the DataFrame expression of the epoch manifest a 100 TB
+    pipeline writes at shuffle time."""
     d = load(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit("epoch7|"), F.col("doc_id").cast("string")))
-    ordered = d.select(
-        "doc_id",
-        "source",
-        F.row_number().over(Window.orderBy(key, "doc_id")).alias("position"),
-    )
+    ordered = global_order(
+        d.select("doc_id", "source", key.alias("_ekey")),
+        ["_ekey", "doc_id"],
+        rn_col="position",
+    ).drop("_ekey")
     return (
         ordered.withColumn(
             "step", F.floor((F.col("position") - 1) / 32).cast("bigint")

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from apache_spark_irs_form_990_spark.operators.dedup import _shingles
+from apache_spark_irs_form_990_spark.functions.text import shingles
 from apache_spark_irs_form_990_spark.queries._helpers import cents, sql_cents
 from apache_spark_irs_form_990_spark.registry import register
 from apache_spark_irs_form_990_spark.tables import load, register_views
@@ -115,7 +115,7 @@ def ml_ngram_precision_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             docs.filter(F.col("source") == src)
             .select(
-                F.explode(_shingles(F.col("text"))).alias("gram")
+                F.explode(shingles(F.col("text"))).alias("gram")
             )
             .groupBy("gram")
             .agg(F.count(F.lit(1)).alias("c"))

@@ -210,6 +210,7 @@ def sink_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame
     (stream in), and this (batch out) are the three faces a real
     Python-reachable system integration needs."""
     import os
+    import shutil
     import tempfile
 
     from apache_spark_irs_form_990_spark.sources.python_datasource import (
@@ -226,9 +227,22 @@ def sink_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("sum_value"),
     )
     out = tempfile.mkdtemp(prefix="spark990_cityreport_")
-    agg.write.format("cityreport").option("path", out).mode("append").save()
-    assert os.path.exists(os.path.join(out, "_SUCCESS"))
-    return (
-        spark.read.schema("event_type string, cnt long, sum_value double")
-        .json(os.path.join(out, "part-*.jsonl"))
-    )
+    try:
+        agg.write.format("cityreport").option("path", out).mode("append").save()
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            # explicit raise, not `assert` — the commit-protocol check
+            # must survive `python -O`
+            raise RuntimeError(
+                f"cityreport sink commit left no _SUCCESS manifest in {out}"
+            )
+        schema = "event_type string, cnt long, sum_value double"
+        # materialize the tiny (|event types|-row) report so the temp
+        # output dir can be removed before returning
+        rows = (
+            spark.read.schema(schema)
+            .json(os.path.join(out, "part-*.jsonl"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, schema=schema)

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from apache_spark_irs_form_990_spark.functions.ranks import global_order
 from apache_spark_irs_form_990_spark.queries._helpers import cents, sql_cents
 from apache_spark_irs_form_990_spark.registry import register
 from apache_spark_irs_form_990_spark.tables import load
@@ -41,21 +42,22 @@ def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     for `n_chars` ranking `lang='en'`: AP = (1/n⁺) Σ_{positives}
     precision@k — the eval metric that, unlike ROC-AUC
     ([[ml_roc_auc]]), ignores the easy negatives and is the standard
-    for retrieval and imbalanced classification. One global ranking
-    window with a full (score DESC, id) tiebreak produces k and the
-    running positive count; each positive's precision@k is an exact
-    ratio snapped to micro-integers so the sum is order-independent,
-    then two divisions close the form. At 100 TB the global sort is
-    replaced by the value-domain collapse of [[ml_roc_auc]] plus
-    per-value tie-averaged precision."""
+    for retrieval and imbalanced classification. The global rank k and
+    the running positive count over the full (score DESC, id) tiebreak
+    order — formerly one unpartitioned window, a single-task sort —
+    both come from `global_order` in one pass: range-partition on the
+    score key, per-partition row_number + running sum, broadcast
+    partition offsets. Exactly the same (k, cumpos) pairs, so the
+    micro-snapped precision@k sum stays hash-identical to the oracle;
+    no unpartitioned window remains in the plan
+    (tests/test_plan_lint.py)."""
     docs = load(spark, sf_dir, "documents")
-    w = Window.orderBy(F.desc("n_chars"), "doc_id")
-    ranked = docs.select(
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
-        F.row_number().over(w).alias("k"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cumpos"),
+    pos = F.when(F.col("lang") == "en", 1).otherwise(0)
+    ranked = global_order(
+        docs.select("doc_id", "n_chars", pos.alias("pos")),
+        [F.desc("n_chars"), "doc_id"],
+        running={"cumpos": F.col("pos")},
+        rn_col="k",
     )
     prec_micro = F.round(
         F.col("cumpos").cast("double") / F.col("k") * 1000000

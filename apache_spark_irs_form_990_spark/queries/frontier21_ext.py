@@ -41,22 +41,20 @@ def audit_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit salting ([[join_skew_salted]] /
     [[agg_skew_salted_twostage]]) — SCALE.md §1's 'two tools' rule
     needs this number to pick one. One count aggregate (key-domain
-    sized), then unordered windows over the count table; the
-    hot-multiple is an exact cross-ratio, the percentile exact."""
+    sized); the corpus totals and the exact p99 come back as a
+    broadcast 1-row cross join rather than unordered windows — the
+    per-key count table is |keys|-sized and must never collapse into
+    a single window task. The hot-multiple is an exact cross-ratio."""
     li = load(spark, sf_dir, "lineitem")
     fanout = li.groupBy(F.col("l_orderkey").alias("k")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    wall = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    tot = fanout.agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.expr("percentile(c, 0.99)").alias("p99"),
     )
-    stats = fanout.select(
-        "k",
-        "c",
-        F.sum("c").over(wall).alias("total"),
-        F.count(F.lit(1)).over(wall).alias("n_keys"),
-        F.expr("percentile(c, 0.99)").over(wall).alias("p99"),
-    )
+    stats = fanout.crossJoin(F.broadcast(tot))
     return (
         stats.select(
             F.col("k").alias("hot_key"),

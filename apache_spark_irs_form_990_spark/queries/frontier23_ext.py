@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from apache_spark_irs_form_990_spark.functions.ranks import global_order
 from apache_spark_irs_form_990_spark.registry import register
 from apache_spark_irs_form_990_spark.tables import load
 
@@ -59,24 +60,32 @@ def ml_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection. p = 0.5 makes the depth weights exact binary
     fractions, and each term is (exact ratio)×2^{-(d-1)} folded in
     fixed depth order — bit-identical cross-engine. The two global
-    ranking sorts are the data-sized work; at 100 TB they'd come from
-    the score pipelines' own top-k outputs instead."""
+    rankings — formerly two unpartitioned windows, each a single-task
+    sort — come from `global_order` (range-partition + per-partition
+    rank + broadcast offsets); only docs in BOTH top-50s can have
+    max-rank ≤ depth, so each side prunes to ≤50 rows before a
+    broadcast join. At 100 TB the rankings would come from the score
+    pipelines' own top-k outputs instead."""
     docs = load(spark, sf_dir, "documents")
     n_tokens = F.size(
         F.filter(F.split("text", " "), lambda x: x != F.lit(""))
     )
-    scored = docs.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("n_chars"), "doc_id"))
-        .alias("p1"),
-        F.row_number()
-        .over(Window.orderBy(n_tokens.desc(), F.col("doc_id")))
-        .alias("p2"),
+    r1 = global_order(
+        docs.select("doc_id", "n_chars"),
+        [F.desc("n_chars"), "doc_id"],
+        rn_col="p1",
+    ).filter(F.col("p1") <= _RBO_DEPTH)
+    r2 = global_order(
+        docs.select("doc_id", n_tokens.alias("_ntok")),
+        [F.col("_ntok").desc(), F.col("doc_id")],
+        rn_col="p2",
+    ).filter(F.col("p2") <= _RBO_DEPTH)
+    m = (
+        r1.select("doc_id", "p1")
+        .join(F.broadcast(r2.select("doc_id", "p2")), "doc_id")
+        .select("doc_id", F.greatest("p1", "p2").alias("md"))
+        .filter(F.col("md") <= _RBO_DEPTH)
     )
-    m = scored.select(
-        "doc_id", F.greatest("p1", "p2").alias("md")
-    ).filter(F.col("md") <= _RBO_DEPTH)
     depths = spark.range(1, _RBO_DEPTH + 1).select(
         F.col("id").cast("int").alias("d")
     )

@@ -14,10 +14,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from apache_spark_irs_form_990_spark.operators.dedup import _shingles
+from apache_spark_irs_form_990_spark.functions.ranks import (
+    global_order,
+    ntile_from_rn,
+)
+from apache_spark_irs_form_990_spark.functions.text import shingles
 from apache_spark_irs_form_990_spark.operators.multimodal import media_table
 from apache_spark_irs_form_990_spark.queries._helpers import cents, sql_cents
-from apache_spark_irs_form_990_spark.queries.graph_ext import _copurchase_edges
+from apache_spark_irs_form_990_spark.queries.graph_ext import copurchase_edges
 from apache_spark_irs_form_990_spark.registry import register
 from apache_spark_irs_form_990_spark.tables import load, register_views
 
@@ -107,7 +111,7 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.unionByName(near)
     shingled = corpus.select(
         "doc_id",
-        F.explode(F.array_distinct(_shingles(F.col("text")))).alias("shingle"),
+        F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
     ).localCheckpoint()
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = shingled.alias("a"), shingled.alias("b")
@@ -248,37 +252,55 @@ def ml_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gain (cumulative-capture) table for `n_chars` as a ranking score
     of `lang = 'en'` — the model-evaluation companion to `ml_roc_auc`:
     decile 1 = highest scores; capture_rate = share of all positives
-    found in deciles 1..k. Deciles come from `ntile(10)` with a full
-    (score DESC, doc_id) tiebreak so assignment is deterministic under
-    ties. The row-level sort is the only data-sized operation; the
-    gain arithmetic runs on the 10-row decile table with exact BIGINT
-    counts and one IEEE division per row. At scale the global ntile
-    sort is replaced by quantile cut-points off a pre-aggregated
-    score histogram (`profile_histogram_equidepth` composes), keeping
-    the shuffle histogram-sized."""
+    found in deciles 1..k. Decile assignment is NTILE(10) over the full
+    (score DESC, doc_id) tiebreak order — computed scale-safe: the
+    exact global row_number comes from `global_order` (range-partition
+    + per-partition rank + broadcast offsets, no single-task window),
+    and `ntile_from_rn` reproduces ANSI NTILE arithmetic from that
+    rank and the broadcast total count, so the result stays
+    hash-identical to the oracle's `ntile(10)`. The gain arithmetic
+    then runs on the 10-row decile table — cumulative sums via a
+    triangular broadcast self-join (10x10 pairs), keeping the whole
+    plan free of unpartitioned windows (tests/test_plan_lint.py)."""
     docs = load(spark, sf_dir, "documents")
-    ranked = docs.select(
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("n_chars"), "doc_id"))
-        .alias("decile"),
+    ranked = global_order(
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        ),
+        [F.desc("n_chars"), "doc_id"],
+        rn_col="_rn",
     )
-    per = ranked.groupBy("decile").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
+    total = docs.agg(F.count(F.lit(1)).alias("_total"))
+    per = (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "pos",
+            ntile_from_rn(F.col("_rn"), F.col("_total"), 10).alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos"))
     )
-    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    lower = per.select(
+        F.col("decile").alias("_d2"), F.col("n_pos").alias("_p2")
     )
-    return per.select(
-        "decile",
-        "n",
-        "n_pos",
-        F.sum("n_pos").over(wcum).alias("cum_pos"),
-        (
-            F.sum("n_pos").over(wcum).cast("double")
-            / F.sum("n_pos").over(wall)
-        ).alias("capture_rate"),
+    return (
+        per.join(F.broadcast(lower), F.col("_d2") <= F.col("decile"))
+        .groupBy("decile", "n", "n_pos")
+        .agg(F.sum("_p2").alias("cum_pos"))
+        .crossJoin(
+            F.broadcast(per.agg(F.sum("n_pos").alias("_tot_pos")))
+        )
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            "cum_pos",
+            (F.col("cum_pos").cast("double") / F.col("_tot_pos")).alias(
+                "capture_rate"
+            ),
+        )
     )
 
 
@@ -322,7 +344,7 @@ _KCORE_SQL_EDGES = """
 )
 def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core peeling of the part co-purchase graph (edges = part pairs
-    sharing ≥ 2 orders, from `_copurchase_edges`): three unrolled
+    sharing ≥ 2 orders, from `copurchase_edges`): three unrolled
     peel rounds, each dropping nodes of degree < 3 and restricting
     edges to survivors via left-semi joins. The edge derivation is the
     one data-sized pass (shared-exchange self-join on l_orderkey); the
@@ -332,7 +354,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB (heavy extraction once, fixpoint on the graph summary).
     Output: surviving nodes with their degree after round 3 (a fixed
     iteration count, mirrored exactly by the unrolled SQL twin)."""
-    e = _copurchase_edges(spark, sf_dir, support=2).select("pa", "pb").localCheckpoint()
+    e = copurchase_edges(spark, sf_dir, support=2).select("pa", "pb").localCheckpoint()
     for _ in range(3):
         deg = (
             e.select(F.explode(F.array("pa", "pb")).alias("p"))
@@ -492,7 +514,7 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(
         "doc_id",
         "source",
-        F.explode(F.array_distinct(_shingles(F.col("text"), 5))).alias("gram"),
+        F.explode(F.array_distinct(shingles(F.col("text"), 5))).alias("gram"),
     )
     return (
         grams.groupBy("gram")

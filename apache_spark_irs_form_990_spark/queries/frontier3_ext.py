@@ -17,6 +17,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from apache_spark_irs_form_990_spark.functions.ranks import global_order
 from apache_spark_irs_form_990_spark.operators.text_analysis import (
     text_langid_vote,
     _LANG_MARKERS,
@@ -144,13 +145,15 @@ def beh_concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval-sweep: +1 at each session start, −1 at each end, running
     sum, global max. Starts order before ends at the same instant
     (`d DESC`), so boundary-touching sessions count as concurrent;
-    rows tied on (ts, d) are interchangeable, so the (peak, first-ts)
-    projection is order-stable without further tiebreaks. The
-    sessionize windows shuffle once by user; the sweep itself sorts
-    2·|sessions| delta rows in a single partition — at 100 TB the
-    sweep is run per day/shard and the per-shard peaks max'd, since a
-    session boundary crossing a shard edge changes concurrency by at
-    most the cross-boundary session count."""
+    rows tied on (ts, d) are interchangeable (the multiset of running
+    sums is tie-order invariant), so the (peak, first-ts) projection
+    is order-stable without further tiebreaks. The sessionize windows
+    shuffle once by user; the sweep's global running sum — formerly a
+    single-task unpartitioned window over 2·|sessions| delta rows —
+    comes from `global_order` (range-partition on the sweep key,
+    per-partition running sums, broadcast offsets), and the peak
+    rides back as a broadcast 1-row max instead of a second global
+    window."""
     ev = load(spark, sf_dir, "events").select("user_id", "ts")
     wu = Window.partitionBy("user_id").orderBy("ts")
     lagd = ev.select(
@@ -180,17 +183,15 @@ def beh_concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = iv.select(F.col("s").alias("ts"), F.lit(1).alias("d")).union(
         iv.select(F.col("e").alias("ts"), F.lit(-1).alias("d"))
     )
-    wrun = Window.orderBy(F.col("ts"), F.col("d").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    run = deltas.select(
-        "ts", "d", F.sum("d").over(wrun).cast("long").alias("c")
-    )
-    wall = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    run = global_order(
+        deltas,
+        [F.col("ts"), F.col("d").desc()],
+        running={"c": F.col("d")},
+        rn_col="_rn",
+    ).select("ts", "d", "c")
+    peak = run.agg(F.max("c").alias("peak"))
     return (
-        run.withColumn("peak", F.max("c").over(wall))
+        run.crossJoin(F.broadcast(peak))
         .select(
             "ts", "c", "peak"
         )

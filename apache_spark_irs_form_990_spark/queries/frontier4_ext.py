@@ -153,10 +153,15 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage curve: the share of all token occurrences
     covered by the top-K vocabulary entries, K ∈ {5,10,20,50} — the
     plot that sizes a tokenizer's vocab (where the curve flattens, stop
-    paying embedding rows). One token-count aggregate (data-sized),
-    then ranking and conditional sums on the VOCABULARY (domain-sized);
-    coverages are exact-integer ratios, one division each. A K beyond
-    the vocab size degenerates to coverage 1.0 on both engines."""
+    paying embedding rows). One token-count aggregate (data-sized);
+    only the TOP-50 rows are ever ranked — a TakeOrderedAndProject
+    (limit 50 on the count order) feeds a 50-row window, so no
+    vocabulary-sized frame reaches a single task (the former full-vocab
+    row_number did exactly that; vocab_size and the coverage
+    denominator now come from 1-row aggregates instead of max(rnk) /
+    a global window sum). Coverages are exact-integer ratios, one
+    division each. A K beyond the vocab size degenerates to coverage
+    1.0 on both engines."""
     docs = load(spark, sf_dir, "documents")
     vocab = (
         docs.select(
@@ -167,22 +172,25 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    wall = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    totals = vocab.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("cnt").cast("long").alias("total"),
     )
-    ranked = vocab.select(
+    # 50-row frame: limit feeds the rank window, so the single window
+    # task holds 50 rows by construction (plan-lint whitelisted).
+    top50 = vocab.orderBy(F.desc("cnt"), "tok").limit(50)
+    ranked = top50.select(
         "cnt",
         F.row_number()
         .over(Window.orderBy(F.desc("cnt"), "tok"))
         .alias("rnk"),
-        F.sum("cnt").over(wall).alias("total"),
     )
-    total = F.max("total").cast("long")
     cov = lambda k: (  # noqa: E731
-        F.sum(F.when(F.col("rnk") <= k, F.col("cnt"))).cast("double") / total
+        F.sum(F.when(F.col("rnk") <= k, F.col("cnt"))).cast("double")
+        / F.max("total").cast("long")
     )
-    return ranked.agg(
-        F.max("rnk").cast("long").alias("vocab_size"),
+    return ranked.crossJoin(F.broadcast(totals)).agg(
+        F.max("vocab_size").cast("long").alias("vocab_size"),
         cov(5).alias("cov_5"),
         cov(10).alias("cov_10"),
         cov(20).alias("cov_20"),

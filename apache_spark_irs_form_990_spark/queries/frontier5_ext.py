@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from apache_spark_irs_form_990_spark.functions.ranks import global_order
 from apache_spark_irs_form_990_spark.queries._helpers import sql_cents
 from apache_spark_irs_form_990_spark.registry import register
 from apache_spark_irs_form_990_spark.tables import load, register_views
@@ -220,19 +221,22 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch seed, so a crashed training run resumes mid-epoch on the
     exact same order, on any cluster size (the property
     `rand(seed)` loses the moment partitioning changes). Emits the
-    first 20 positions of epoch 7. At 100 TB the same hash is used as
-    a range-partitioning key for the shuffle-write of epoch files —
-    rank materialization is only for the audit view."""
+    first 20 positions of epoch 7. The global rank — formerly one
+    unpartitioned window, a single-task sort — comes from
+    `global_order`: the md5 key IS the range-partitioning key (epoch
+    shards = hash ranges, exactly how the 100 TB shuffle-write lays
+    out epoch files), ranks are per-partition, and broadcast offsets
+    make them global. The top-20 audit view is then a plain
+    TakeOrderedAndProject."""
     docs = load(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit("epoch7|"), F.col("doc_id").cast("string")))
+    ranked = global_order(
+        docs.select("doc_id", key.alias("_ekey")),
+        ["_ekey", "doc_id"],
+        rn_col="position",
+    )
     return (
-        docs.select(
-            F.row_number()
-            .over(Window.orderBy(key, "doc_id"))
-            .cast("long")
-            .alias("position"),
-            "doc_id",
-        )
+        ranked.select(F.col("position").cast("long").alias("position"), "doc_id")
         .orderBy("position")
         .limit(20)
     )

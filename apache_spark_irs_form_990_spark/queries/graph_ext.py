@@ -33,7 +33,7 @@ from apache_spark_irs_form_990_spark.registry import register
 from apache_spark_irs_form_990_spark.tables import load
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str, support: int) -> DataFrame:
+def copurchase_edges(spark: SparkSession, sf_dir: str, support: int) -> DataFrame:
     """Undirected part co-purchase edges (pa < pb) appearing in at least
     `support` distinct orders. The self-join is keyed on l_orderkey, so
     both sides share one exchange and the pair blow-up is bounded by
@@ -207,7 +207,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the graph's degeneracy, not |E|². The support filter collapses
     the edge list before the self-joins, and the edge table is
     `localCheckpoint`-ed since three downstream subplans reuse it."""
-    e = _copurchase_edges(spark, sf_dir, support=2).select("pa", "pb").localCheckpoint()
+    e = copurchase_edges(spark, sf_dir, support=2).select("pa", "pb").localCheckpoint()
     e1 = e.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
     e2 = e.select(F.col("pa").alias("y2"), F.col("pb").alias("z"))
     e3 = e.select(F.col("pa").alias("x3"), F.col("pb").alias("z3"))
@@ -243,7 +243,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each undirected edge contributes one endpoint record per side
     (edges are distinct pairs, so partner counts need no dedup); both
     aggregation levels are plain partial+final hash aggregates."""
-    e = _copurchase_edges(spark, sf_dir, support=2)
+    e = copurchase_edges(spark, sf_dir, support=2)
     deg = (
         e.select(F.explode(F.array("pa", "pb")).alias("p"))
         .groupBy("p")
@@ -287,7 +287,7 @@ def beh_assoc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    pairs = _copurchase_edges(spark, sf_dir, support=3)
+    pairs = copurchase_edges(spark, sf_dir, support=3)
     ic = items.groupBy("l_partkey").agg(F.count("*").cast("long").alias("n"))
     tot = items.select("l_orderkey").distinct().agg(
         F.count("*").cast("long").alias("n_orders")
@@ -432,7 +432,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers; top-20 orders by that ratio (bit-identical both
     engines) with full id tiebreaks, planning as
     TakeOrderedAndProject."""
-    e = _copurchase_edges(spark, sf_dir, support=2).select("pa", "pb").localCheckpoint()
+    e = copurchase_edges(spark, sf_dir, support=2).select("pa", "pb").localCheckpoint()
     d = e.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
         e.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )

@@ -25,10 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from apache_spark_irs_form_990_spark.operators.similarity import (
-    _dot,
-    _milli_vec,
-    _sq_norm,
+from apache_spark_irs_form_990_spark.functions.vectors import (
+    dot,
+    milli_vec,
+    sq_norm,
 )
 from apache_spark_irs_form_990_spark.registry import register
 from apache_spark_irs_form_990_spark.tables import load
@@ -596,7 +596,7 @@ def ml_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame
     the argmax is a 10-row-per-vector rank with a label tiebreak; at
     any corpus size the only shuffle is the centroid aggregation."""
     emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _milli_vec(F.col("embedding")).alias("v")
+        "vec_id", "label", milli_vec(F.col("embedding")).alias("v")
     )
     long = emb.select("label", F.posexplode("v").alias("pos", "x"))
     sums = long.groupBy("label", "pos").agg(F.sum("x").alias("sx"))
@@ -605,9 +605,9 @@ def ml_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame
             F.array_sort(F.collect_list(F.struct("pos", "sx"))), lambda s: s["sx"]
         ).alias("cv")
     )
-    cos = _dot(F.col("v"), F.col("cv")).cast("double") / (
-        F.sqrt(_sq_norm(F.col("v")).cast("double"))
-        * F.sqrt(_sq_norm(F.col("cv")).cast("double"))
+    cos = dot(F.col("v"), F.col("cv")).cast("double") / (
+        F.sqrt(sq_norm(F.col("v")).cast("double"))
+        * F.sqrt(sq_norm(F.col("cv")).cast("double"))
     )
     scored = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id", "label", "label_c", cos.alias("cos")

@@ -121,31 +121,38 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def audit_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surrogate-key gap census over the finished-order keyspace
     (`o_orderstatus = 'F'` — a real subset, so the gap arithmetic is
-    exercised): key count, span, number of gaps and total missing keys
-    via lag over the sorted distinct keys. The unpartitioned window
-    runs on the *distinct key* stream, which is the compacted form of
-    the table; for keyspaces too large for one partition, shard by
-    `k DIV B` and reconcile bucket boundaries — here the single sort
-    is the honest plan. Gaps-only sum (not max-min identity) so the
-    report stays correct when the key domain has legitimate holes at
-    either end."""
+    exercised): key count, span, number of gaps and total missing
+    keys. Computed WITHOUT the lag-over-sorted-keys single-task
+    window, via two exact identities on the distinct-key set:
+    total missing = span − n_keys (every interior absent key is
+    missing exactly once), and n_gaps = (#run starts) − 1, where a
+    run start is a key whose predecessor k−1 is absent — one
+    self-anti-join on the key (hash-shuffled, scale-safe). Identical
+    to the oracle's lag formulation: interior holes only — holes
+    outside [min, max] are uncounted by both."""
     k = (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
     )
-    g = k.withColumn("prev", F.lag("k").over(Window.orderBy("k")))
-    gap = F.col("prev").isNotNull() & (F.col("k") - F.col("prev") > 1)
-    return g.agg(
+    succ = k.select((F.col("k") + 1).alias("k"))
+    starts = k.join(succ, "k", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_starts")
+    )
+    base = k.agg(
         F.count("*").cast("long").alias("n_keys"),
         F.min("k").alias("min_key"),
         F.max("k").alias("max_key"),
-        F.count_if(gap).cast("long").alias("n_gaps"),
-        F.coalesce(
-            F.sum(F.when(gap, F.col("k") - F.col("prev") - 1).otherwise(0)),
-            F.lit(0),
-        )
+    )
+    return base.crossJoin(F.broadcast(starts)).select(
+        "n_keys",
+        "min_key",
+        "max_key",
+        F.greatest(F.col("n_starts") - 1, F.lit(0))
+        .cast("long")
+        .alias("n_gaps"),
+        (F.col("max_key") - F.col("min_key") + 1 - F.col("n_keys"))
         .cast("long")
         .alias("n_missing"),
     )

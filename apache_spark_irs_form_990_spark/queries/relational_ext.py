@@ -24,6 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from apache_spark_irs_form_990_spark.functions.ranks import (
+    global_order,
+    ntile_from_rn,
+)
 from apache_spark_irs_form_990_spark.queries._helpers import (
     cents,
     davg,
@@ -674,20 +678,37 @@ def fn_string_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution window functions. percent_rank/cume_dist are
-    tie-stable (equal keys share a value); ntile is NOT — its bucket
-    boundary cuts through ties arbitrarily, so it gets the unique-key
-    tiebreak. Single unpartitioned window = one-task sort: fine for a
-    report tail, wrong as a pipeline stage at scale — partition it or
-    use approx quantiles there."""
+    """Distribution window functions — percent_rank / cume_dist /
+    ntile(4) over account balance — computed scale-safe from ONE
+    distributed global row_number (`global_order`: range-partition +
+    per-partition rank + broadcast offsets) instead of the former
+    single-task unpartitioned window. The tie-stable identities:
+    rank = min(rn) within the tie group, so percent_rank =
+    (min(rn)−1)/(N−1); cume_dist = max(rn)/N; ntile gets the
+    unique-key tiebreak (its bucket boundary cuts through ties), so
+    its bucket is `ntile_from_rn` of rn directly. The tie-group
+    min/max windows partition BY the order value (c_acctbal) — never
+    empty partition specs — and N broadcasts as a 1-row cross join.
+    All three are IEEE divisions of exact integers, hash-identical to
+    the engines' built-ins."""
     c = load(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal")
-    wt = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
-        "c_custkey",
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
-        F.ntile(4).over(wt).cast("long").alias("quartile"),
+    ranked = global_order(
+        c.select("c_custkey", "c_acctbal"),
+        ["c_acctbal", "c_custkey"],
+        rn_col="_rn",
+    )
+    total = c.agg(F.count(F.lit(1)).alias("_total"))
+    wtie = Window.partitionBy("c_acctbal")
+    return (
+        ranked.withColumn("_min_rn", F.min("_rn").over(wtie))
+        .withColumn("_max_rn", F.max("_rn").over(wtie))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "c_custkey",
+            ((F.col("_min_rn") - 1).cast("double") / (F.col("_total") - 1)).alias("pr"),
+            (F.col("_max_rn").cast("double") / F.col("_total")).alias("cd"),
+            ntile_from_rn(F.col("_rn"), F.col("_total"), 4).alias("quartile"),
+        )
     )
 
 

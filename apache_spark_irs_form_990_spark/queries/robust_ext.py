@@ -13,10 +13,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from apache_spark_irs_form_990_spark.operators.similarity import (
-    _dot,
-    _milli_vec,
-    _sq_norm,
+from apache_spark_irs_form_990_spark.functions.vectors import (
+    dot,
+    milli_vec,
+    sq_norm,
 )
 from apache_spark_irs_form_990_spark.queries._helpers import (
     SQL_REVENUE_CENTS,
@@ -256,9 +256,9 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs of `sim_cosine_ann_lsh` and keep the identical
     vote tail."""
     m = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _milli_vec(F.col("embedding")).alias("v")
+        "vec_id", "label", milli_vec(F.col("embedding")).alias("v")
     )
-    m = m.withColumn("n", _sq_norm(F.col("v")))
+    m = m.withColumn("n", sq_norm(F.col("v")))
     t = m.filter(F.col("vec_id") % 5 == 0).select(
         F.col("vec_id").alias("test_id"),
         F.col("label").alias("true_label"),
@@ -271,7 +271,7 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("rv"),
         F.col("n").alias("rn_norm"),
     )
-    cosine = _dot(F.col("tv"), F.col("rv")).cast("double") / (
+    cosine = dot(F.col("tv"), F.col("rv")).cast("double") / (
         F.sqrt(F.col("tn").cast("double")) * F.sqrt(F.col("rn_norm").cast("double"))
     )
     pairs = t.crossJoin(F.broadcast(r)).select(

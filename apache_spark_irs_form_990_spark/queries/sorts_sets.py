@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from apache_spark_irs_form_990_spark.functions.ranks import global_order
 from apache_spark_irs_form_990_spark.queries._helpers import revenue_sum, sql_revenue_sum
 from apache_spark_irs_form_990_spark.registry import register
 from apache_spark_irs_form_990_spark.tables import load
@@ -158,12 +159,18 @@ def sort_multi_null_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     LAST, so `desc_nulls_first` must be said out loud). The rank is
     materialized as a column so the driver's order-insensitive hash
     still verifies the ORDER — a sort query is only checkable if its
-    order is data. Nulls injected deterministically (custkey%10)."""
+    order is data. Nulls injected deterministically (custkey%10). The
+    global rank comes from `global_order` (range-partition +
+    per-partition rank + broadcast offsets) rather than a single-task
+    unpartitioned window — range partitioning honors the same
+    desc_nulls_first key, so null-ordering semantics survive the
+    distributed form exactly."""
     c = load(spark, sf_dir, "customer").select(
         "c_custkey",
         F.when(F.col("c_custkey") % 10 == 0, None)
         .otherwise(F.col("c_acctbal"))
         .alias("bal"),
     )
-    w = Window.orderBy(F.col("bal").desc_nulls_first(), "c_custkey")
-    return c.withColumn("rk", F.row_number().over(w).cast("long"))
+    return global_order(
+        c, [F.col("bal").desc_nulls_first(), "c_custkey"], rn_col="rk"
+    ).select("c_custkey", "bal", F.col("rk").cast("long").alias("rk"))

@@ -405,12 +405,13 @@ def join_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 analog: the supplier(s) achieving maximum revenue in
-    1997Q1 (the view + scalar-max-subquery query). Implemented as one
-    aggregation + an unpartitioned max window over the per-supplier
-    totals — supplier count is tiny after aggregation, so the window's
-    single-partition pass is on |suppliers| rows, not the fact. Ties
-    all surface (same semantics as the SQL max-equality), which keeps
-    the result deterministic without a tiebreak."""
+    1997Q1 (the view + scalar-max-subquery query). One aggregation,
+    then the scalar max rides back as a broadcast 1-row cross join and
+    an equality filter — the per-supplier totals never collapse into a
+    single-task window (they are |suppliers|-sized, which grows with
+    the corpus). Ties all surface (same semantics as the SQL
+    max-equality), which keeps the result deterministic without a
+    tiebreak."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.to_date("l_shipdate") >= F.lit("1997-01-01"))
         & (F.to_date("l_shipdate") < F.lit("1997-04-01"))
@@ -419,8 +420,8 @@ def join_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         revenue_sum("total_revenue")
     )
-    w = Window.partitionBy()
-    top = rev.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(
         F.col("total_revenue") == F.col("max_rev")
     )
     return top.join(s, top.supplier_no == s.s_suppkey).select(

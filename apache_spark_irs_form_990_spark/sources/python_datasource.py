@@ -151,9 +151,18 @@ class CityReportWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         import os
+        import uuid
 
+        # Per-commit unique component in the final names: a second
+        # mode('append') write to the same path must ADD parts, never
+        # silently overwrite the first commit's part-0000N files
+        # (append semantics across invocations — ADVICE r3).
+        commit_id = uuid.uuid4().hex[:12]
         for i, m in enumerate(messages):
-            os.replace(m.staged, os.path.join(self.path, f"part-{i:05d}.jsonl"))
+            os.replace(
+                m.staged,
+                os.path.join(self.path, f"part-{i:05d}-{commit_id}.jsonl"),
+            )
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write("")
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -858,7 +859,10 @@ def stream_dedup_near_static_index(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .agg(F.count("*").alias("n_shared_bands"))
     )
-    return run_to_completion(agg, "complete")
+    result = run_to_completion(agg, "complete")
+    # the result is a materialized copy; the replay input dir can go
+    shutil.rmtree(root, ignore_errors=True)
+    return result
 
 
 @register(
@@ -918,9 +922,15 @@ def stream_statestore_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    st = spark.read.format("statestore").load(ckpt)
-    return st.select(
-        F.col("key.event_type").alias("event_type"),
-        F.unix_micros(F.col("key.window.start")).alias("window_start_us"),
-        F.col("value.count").cast("long").alias("pending_cnt"),
-    )
+    try:
+        st = spark.read.format("statestore").load(ckpt).select(
+            F.col("key.event_type").alias("event_type"),
+            F.unix_micros(F.col("key.window.start")).alias("window_start_us"),
+            F.col("value.count").cast("long").alias("pending_cnt"),
+        )
+        # materialize the (pending-windows-sized) report so the
+        # checkpoint dir can be removed before returning
+        rows, schema = st.collect(), st.schema
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, schema=schema)

@@ -68,7 +68,61 @@ EXTENDED = [
     "sim_ann_lsh_multiprobe",
     "pipeline_dedup_cascade",
     "text_rolling_winnow_fingerprints",
+    # r4 additions (VERDICT r3 task 4): the ingestion family — the
+    # reference's core workload — and one streaming query.
+    "stream_tumbling_count",
 ]
+
+
+def _ingest_xml_1k(spark, sf_dir: str):
+    """Bench twin of `ingest_manifest_xml` on a ~1k-file fixture: the
+    full manifest->fetch->flatten->CitiesCount kernel at
+    parse-throughput scale (the 3-file correctness fixture measures
+    nothing). sf_dir is ignored — the workload is the XML parse, not
+    the tables."""
+    from apache_spark_irs_form_990_spark.sources.xml_ingest import (
+        cities_count,
+        read_xml_manifest,
+        write_bench_fixture,
+    )
+
+    manifest = write_bench_fixture(1000)
+    flattened = read_xml_manifest(
+        spark,
+        manifest,
+        base_dir=os.path.dirname(manifest),
+        num_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    )
+    return cities_count(flattened)
+
+
+# Non-registry bench entries: name -> (spark, sf_dir) -> DataFrame.
+CUSTOM = {
+    "ingest_manifest_xml_1k": _ingest_xml_1k,
+}
+
+
+def _run_canary(spark) -> float:
+    """Fixed CPU-bound calibration query, timed FIRST (min-of-3): a
+    5e7-row range checksum with zero I/O, so its runtime measures the
+    VM's compute speed and nothing about this repo's code. Each round
+    lands on a fresh VM with 30-50% drift (BENCH_r02 vs r03 showed
+    uniform 1.07-1.83x slowdowns with zero code change);
+    scripts/bench_compare.py divides per-query times by the canary to
+    separate code regressions from VM drift."""
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        spark.range(50_000_000).select(
+            # bit_xor, not sum: xxhash64 spans the full long range and
+            # a 5e7-term sum overflows under ANSI mode.
+            F.bit_xor(F.xxhash64("id")).alias("checksum")
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    once()  # warm-up
+    return round(min(once() for _ in range(3)), 3)
 
 
 def _run_set(spark, qs, names: list[str], sf_dir: str) -> dict[str, float]:
@@ -105,16 +159,30 @@ def main() -> None:
     spark = get_session(app_name="bench")
 
     qs = registry.queries()
+    qs.update(CUSTOM)
+
+    # Canary first (r4): one number that captures this VM's compute
+    # speed, for cross-round normalization.
+    canary_s = _run_canary(spark)
 
     # Two phases: the stable-16 headline set is warmed and timed FIRST,
     # in isolation — the same session state rounds 1-2 measured it
     # under — so its total stays round-comparable; the extended heavy
-    # set runs afterwards and cannot perturb the headline numbers.
+    # set (incl. the custom ingest entry) runs afterwards and cannot
+    # perturb the headline numbers.
     timings = _run_set(spark, qs, [n for n in HEADLINE if n in qs], sf_dir)
-    timings.update(_run_set(spark, qs, [n for n in EXTENDED if n in qs], sf_dir))
+    timings.update(
+        _run_set(
+            spark,
+            qs,
+            [n for n in EXTENDED if n in qs] + sorted(CUSTOM),
+            sf_dir,
+        )
+    )
 
     total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
-    extended_total = round(sum(timings[n] for n in EXTENDED if n in timings), 3)
+    ext_names = [n for n in EXTENDED if n in timings] + sorted(CUSTOM)
+    extended_total = round(sum(timings[n] for n in ext_names), 3)
     print(
         json.dumps(
             {
@@ -125,6 +193,7 @@ def main() -> None:
                 "sf": sf,
                 "extended_total": extended_total,
                 "all_total": round(total + extended_total, 3),
+                "canary_s": canary_s,
             }
         )
     )

@@ -66,10 +66,23 @@ def compare(old_path: str, new_path: str, threshold: float) -> dict:
     new = _load_bench(new_path)
     oq, nq = old.get("queries", {}), new.get("queries", {})
     shared = sorted(set(oq) & set(nq))
+    # Canary normalization (VERDICT r3 task 3): each round runs on a
+    # fresh VM with 30-50% uniform drift; the fixed CPU-bound canary
+    # (bench.py:_run_canary) measures that drift, so when both files
+    # carry canary_s the regression gate uses the canary-NORMALIZED
+    # ratio — (t_new/canary_new)/(t_old/canary_old) — and raw ratios
+    # are reported for reference. Old files without a canary fall
+    # back to raw ratios (vm_factor = 1).
+    c_old, c_new = old.get("canary_s"), new.get("canary_s")
+    vm_factor = (c_new / c_old) if (c_old and c_new) else None
     report = {
         "old": os.path.basename(old_path),
         "new": os.path.basename(new_path),
         "threshold": threshold,
+        "canary_old_s": c_old,
+        "canary_new_s": c_new,
+        "vm_factor": round(vm_factor, 3) if vm_factor else None,
+        "normalized": vm_factor is not None,
         "regressions": [],
         "improvements": [],
         "only_old": sorted(set(oq) - set(nq)),
@@ -81,15 +94,16 @@ def compare(old_path: str, new_path: str, threshold: float) -> dict:
         t_old, t_new = oq[name], nq[name]
         if t_old <= 0:
             continue
-        ratio = t_new / t_old
+        raw = t_new / t_old
+        norm = raw / vm_factor if vm_factor else raw
         entry = {"query": name, "old_s": t_old, "new_s": t_new,
-                 "ratio": round(ratio, 3)}
-        if ratio > threshold:
+                 "raw_ratio": round(raw, 3), "norm_ratio": round(norm, 3)}
+        if norm > threshold:
             report["regressions"].append(entry)
-        elif ratio < 1 / threshold:
+        elif norm < 1 / threshold:
             report["improvements"].append(entry)
-    report["regressions"].sort(key=lambda e: -e["ratio"])
-    report["improvements"].sort(key=lambda e: e["ratio"])
+    report["regressions"].sort(key=lambda e: -e["norm_ratio"])
+    report["improvements"].sort(key=lambda e: e["norm_ratio"])
     return report
 
 
