@@ -163,6 +163,11 @@ _PLANES = _lsh_planes()
 # falls to ~3%, so pair work is Sum(bucket^2) per band, never n^2.
 # At larger corpus scale, grow R with log2(n) to hold bucket sizes flat.
 _N_BANDS, _BAND_PLANES = 8, 8
+# Hot-bucket occupancy cap for banded LSH candidate generation — see
+# banded_lsh_pairs. 8x headroom over the ~8 avg occupancy at sf0.1;
+# binds only on crowded buckets at larger corpora, bounding candidate
+# volume at bands * n * C instead of ~n^2/2^planes.
+_MAX_BUCKET_OCCUPANCY = 64
 
 
 def _banded_planes() -> list[list[list[int]]]:
@@ -235,13 +240,36 @@ def banded_lsh_pairs(emb: DataFrame) -> DataFrame:
     downstream consumer read the materialized (vec_id, band, bucket)
     rows — 3 small ints per row — instead of re-running the scan +
     matmul per reference. This is the in-query analogue of the
-    persisted signature index a production corpus keeps."""
+    persisted signature index a production corpus keeps.
+
+    HOT-BUCKET CAP (r4): with 8 bands x 8 planes the bucket space
+    per band is only 2^8 = 256, so at n vectors the average
+    occupancy is n/256 and candidate volume Sum(occ^2) grows as
+    ~n^2/64 — the r4 scale-step measured exactly that (7.3M pairs at
+    20k vectors, SCALE_STEP_r04.json). Buckets holding more than
+    `_MAX_BUCKET_OCCUPANCY` members are therefore dropped before the
+    self-join (the embedding analogue of `dedup_near_jaccard`'s
+    df<=100 posting-list cap, and of FAISS/suffix-array stop-bucket
+    practice): an over-full bucket is non-discriminative — colliding
+    there is weak evidence of similarity — and true near-dups collide
+    in several of the 8 bands, so they survive losing one. Candidate
+    volume is then <= bands * n * C: LINEAR in corpus size. At the
+    test SFs occupancy (~2-8) never reaches the cap, so results are
+    unchanged there; the identical HAVING-clause cap is mirrored in
+    the DuckDB twin either way."""
     banded = (
         emb.select("vec_id", _bucket_udf()(F.col("v")).alias("bks"))
         .select("vec_id", F.posexplode("bks").alias("band", "bucket"))
         .localCheckpoint()
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    keep = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") <= _MAX_BUCKET_OCCUPANCY)
+        .select("band", "bucket")
+    )
+    cold = banded.join(keep, ["band", "bucket"])
+    a, b = cold.alias("a"), cold.alias("b")
     return (
         a.join(
             b,
@@ -278,9 +306,15 @@ def banded_lsh_pairs_sql(src: str) -> str:
     banded AS (
       {band_selects}
     ),
+    cold AS (
+      SELECT banded.* FROM banded
+      JOIN (SELECT band, bucket FROM banded GROUP BY band, bucket
+            HAVING count(*) <= {_MAX_BUCKET_OCCUPANCY}) k
+      USING (band, bucket)
+    ),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM banded a JOIN banded b
+      FROM cold a JOIN cold b
         ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     )"""
 
