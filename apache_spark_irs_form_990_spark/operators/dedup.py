@@ -1226,3 +1226,79 @@ def dedup_minhash_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("jacc_micro"),
         )
     )
+
+
+@register(
+    "dedup_minhash_star_links",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1,
+                             len(string_split(text, ' ')) - 2), ' ') AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    shingled AS (
+      SELECT doc_id,
+             unnest(list_distinct([
+               array_to_string(list_slice(t, i, i + 2), ' ')
+               FOR i IN generate_series(1, len(t) - 2)
+             ])) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+    ),
+    sigw AS (
+      SELECT doc_id,
+             min(substr(md5(shingle),  1, 8)) AS m0,
+             min(substr(md5(shingle),  9, 8)) AS m1,
+             min(substr(md5(shingle), 17, 8)) AS m2,
+             min(substr(md5(shingle), 25, 8)) AS m3
+      FROM shingled GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id, 0 AS band, m0 AS band_min FROM sigw
+      UNION ALL SELECT doc_id, 1, m1 FROM sigw
+      UNION ALL SELECT doc_id, 2, m2 FROM sigw
+      UNION ALL SELECT doc_id, 3, m3 FROM sigw
+    ),
+    hubs AS (
+      SELECT band, band_min, min(doc_id) AS hub_id
+      FROM sig GROUP BY band, band_min
+    )
+    SELECT h.hub_id, s.doc_id, count(*) AS n_shared_bands
+    FROM sig s
+    JOIN hubs h ON s.band = h.band AND s.band_min = h.band_min
+    WHERE s.doc_id <> h.hub_id
+    GROUP BY h.hub_id, s.doc_id
+    """,
+)
+def dedup_minhash_star_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAR-TOPOLOGY near-dup edges — the O(bucket) alternative to the
+    all-pairs bucket self-join of [[dedup_minhash_banding_md5]]
+    (SCALE.md §11 finding 2): each bucket member links only to the
+    bucket's MINIMUM doc_id (the hub), so a k-member bucket emits k−1
+    edges instead of k(k−1)/2, and total edge volume is bounded by
+    bands × n regardless of duplicate-cluster size. A star spans the
+    same connected component as the clique, so survivorship
+    (keep-min) and component clustering are unchanged — what is lost
+    is only the explicit pairwise list, which is why this is the
+    registered MEGACLUSTER path while the banding query remains the
+    pairwise default for the small clusters real SFs contain. Same
+    corpus injection and md5-chunk signatures as the banding twin, so
+    the two results are directly comparable."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0)))
+        ).alias("text"),
+    )
+    sig = band_signatures(docs.unionByName(near)).localCheckpoint()
+    hubs = sig.groupBy("band", "band_min").agg(F.min("doc_id").alias("hub_id"))
+    return (
+        sig.join(hubs, ["band", "band_min"])
+        .filter(F.col("doc_id") != F.col("hub_id"))
+        .groupBy("hub_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )

@@ -224,6 +224,21 @@ def _bucket_udf(planes: list | None = None):
     return buckets
 
 
+def banded_signature_table(emb: DataFrame) -> DataFrame:
+    """(vec_id, band, bucket) banded-LSH signature rows for a
+    (vec_id, v: array<long>) frame — one Arrow-batched int64 matmul
+    per batch (`_bucket_udf`), posexplode to B rows per vector,
+    `localCheckpoint`ed so every consumer reads the materialized
+    3-small-int rows (the in-query analogue of a persisted signature
+    index). Shared by `banded_lsh_pairs` and the occupancy histogram
+    (`sim_lsh_bucket_histogram`)."""
+    return (
+        emb.select("vec_id", _bucket_udf()(F.col("v")).alias("bks"))
+        .select("vec_id", F.posexplode("bks").alias("band", "bucket"))
+        .localCheckpoint()
+    )
+
+
 def banded_lsh_pairs(emb: DataFrame) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from banded hyperplane
     LSH over a DataFrame with columns (vec_id, v: array<long>).
@@ -257,11 +272,7 @@ def banded_lsh_pairs(emb: DataFrame) -> DataFrame:
     test SFs occupancy (~2-8) never reaches the cap, so results are
     unchanged there; the identical HAVING-clause cap is mirrored in
     the DuckDB twin either way."""
-    banded = (
-        emb.select("vec_id", _bucket_udf()(F.col("v")).alias("bks"))
-        .select("vec_id", F.posexplode("bks").alias("band", "bucket"))
-        .localCheckpoint()
-    )
+    banded = banded_signature_table(emb)
     keep = (
         banded.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("_occ"))
@@ -282,11 +293,11 @@ def banded_lsh_pairs(emb: DataFrame) -> DataFrame:
     )
 
 
-def banded_lsh_pairs_sql(src: str) -> str:
-    """DuckDB twin of `banded_lsh_pairs`: CTE text defining `planes`,
-    `banded`, `cand` over an existing CTE ``src(vec_id, v)``. The same
-    md5-derived plane literals embed in both engines, so the candidate
-    set — and everything downstream — is bit-identical."""
+def banded_signature_sql(src: str) -> str:
+    """DuckDB twin of `banded_signature_table`: CTE text defining
+    `planes` and `banded(vec_id, band, bucket)` over an existing CTE
+    ``src(vec_id, v)``. The same md5-derived plane literals embed in
+    both engines, so signatures are bit-identical."""
     plane_cols = ", ".join(
         "[" + ",".join(str(x) for x in _BANDED[b][j]) + f"] AS p{b}_{j}"
         for b in range(_N_BANDS)
@@ -305,7 +316,15 @@ def banded_lsh_pairs_sql(src: str) -> str:
     return f"""planes AS (SELECT {plane_cols}),
     banded AS (
       {band_selects}
-    ),
+    )"""
+
+
+def banded_lsh_pairs_sql(src: str) -> str:
+    """DuckDB twin of `banded_lsh_pairs`: CTE text defining `planes`,
+    `banded`, `cold` (hot-bucket cap applied), and `cand` over an
+    existing CTE ``src(vec_id, v)`` — so the candidate set, and
+    everything downstream, is bit-identical across engines."""
+    return f"""{banded_signature_sql(src)},
     cold AS (
       SELECT banded.* FROM banded
       JOIN (SELECT band, bucket FROM banded GROUP BY band, bucket
@@ -1209,4 +1228,48 @@ def sim_topk_label_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("label_rank") <= 2)
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
+    )
+
+
+@register(
+    "sim_lsh_bucket_histogram",
+    oracle=f"""
+    WITH {_SQL_MILLI},
+    {banded_signature_sql("m")},
+    occs AS (
+      SELECT band, bucket, CAST(count(*) AS BIGINT) AS occ
+      FROM banded GROUP BY band, bucket
+    )
+    SELECT occ,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(count(*) * occ * (occ - 1) / 2 AS BIGINT) AS cand_pairs,
+           occ > {_MAX_BUCKET_OCCUPANCY} AS over_cap
+    FROM occs GROUP BY occ
+    """,
+)
+def sim_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-occupancy histogram: for each occupancy level, how
+    many (band, bucket) cells hold that many vectors, the candidate
+    pairs those cells would emit (n_buckets * occ*(occ-1)/2), and
+    whether the hot-bucket cap drops them — the operational
+    measurement behind `banded_lsh_pairs`' cap (SCALE.md §11): run it
+    BEFORE a corpus-wide near-dup pass to see where the candidate mass
+    sits and whether signature width or the cap needs retuning. One
+    tiny aggregate over the shared signature table (3 small ints per
+    row); the pair arithmetic is exact integers (occ*(occ-1) is even,
+    so the halving division is exact in both engines)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", milli_vec(F.col("embedding")).alias("v")
+    )
+    occs = (
+        banded_signature_table(emb)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    return occs.groupBy("occ").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        (F.count(F.lit(1)) * F.col("occ") * (F.col("occ") - 1) / 2)
+        .cast("long")
+        .alias("cand_pairs"),
+        (F.col("occ") > _MAX_BUCKET_OCCUPANCY).alias("over_cap"),
     )

@@ -118,6 +118,19 @@ SHOWCASE = {
         "(band, key), popcount confirm on candidates — payload bytes never "
         "leave the scan."
     ),
+    "pipeline_epoch_shuffle": (
+        "Distributed global rank (r4 rewire): RangePartitioning on the md5 "
+        "epoch key, per-partition row_number keyed on the captured "
+        "partition id, broadcast offset join — the former unpartitioned "
+        "Window (one task holding the corpus) is gone; the audit top-20 is "
+        "TakeOrderedAndProject."
+    ),
+    "profile_histogram_equidepth": (
+        "Exact distributed NTILE (r4 rewire): global row_number via "
+        "range-partition + broadcast offsets, ANSI NTILE arithmetic from "
+        "the rank and a broadcast total — hash-identical to single-task "
+        "ntile(10), with no unpartitioned WindowExec in the plan."
+    ),
     "pipeline_dedup_cascade": (
         "Staged dedup funnel: exact sha-256 window keeper first (one "
         "32-byte-key exchange), band signatures computed on the "

@@ -1,0 +1,89 @@
+"""Unit tests for functions.ranks — the distributed global
+row_number / running-sum / NTILE helper every former single-task
+global sort now routes through (SURVEY.md §4.2 global-sort policy).
+Each property is checked against Spark's own single-task window
+built-ins on the same frame, so the helper is pinned to the exact
+semantics the rewired queries' unchanged oracles assume."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from apache_spark_irs_form_990_spark.functions.ranks import (
+    global_order,
+    idiv,
+    ntile_from_rn,
+)
+
+
+def _frame(spark, n=997, parts=7):
+    # deterministic, tie-heavy (key has only 13 distinct values), with
+    # a unique tiebreak id — the contract global_order requires
+    return spark.range(n).repartition(parts).select(
+        F.col("id"),
+        (F.col("id") * 37 % 13).alias("key"),
+        (F.col("id") % 5).alias("val"),
+    )
+
+
+def test_global_row_number_matches_window(spark):
+    df = _frame(spark)
+    got = global_order(df, ["key", "id"], rn_col="rn")
+    want = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("key", "id")).cast("long")
+    )
+    assert got.select("id", "rn").exceptAll(want.select("id", "rn")).count() == 0
+    assert want.select("id", "rn").exceptAll(got.select("id", "rn")).count() == 0
+
+
+def test_global_running_sum_matches_window(spark):
+    df = _frame(spark)
+    got = global_order(
+        df, [F.desc("key"), "id"], running={"cum": F.col("val")}, rn_col="rn"
+    )
+    w = Window.orderBy(F.desc("key"), "id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = df.withColumn("cum", F.sum("val").over(w).cast("long"))
+    assert got.select("id", "cum").exceptAll(want.select("id", "cum")).count() == 0
+    assert want.select("id", "cum").exceptAll(got.select("id", "cum")).count() == 0
+
+
+@pytest.mark.parametrize("n,buckets", [(997, 4), (997, 10), (7, 10), (40, 4)])
+def test_ntile_from_rn_matches_builtin(spark, n, buckets):
+    # includes total < buckets (q = 0 branch must stay unevaluated)
+    df = spark.range(n).select("id")
+    got = (
+        global_order(df, ["id"], rn_col="rn")
+        .crossJoin(F.broadcast(df.agg(F.count(F.lit(1)).alias("t"))))
+        .select("id", ntile_from_rn(F.col("rn"), F.col("t"), buckets).alias("b"))
+    )
+    want = df.select(
+        "id",
+        F.ntile(buckets).over(Window.orderBy("id")).cast("long").alias("b"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_idiv_exact(spark):
+    rows = (
+        spark.range(1, 1000)
+        .select(idiv(F.col("id") * 7919, F.lit(13)).alias("q"), "id")
+        .collect()
+    )
+    for r in rows:
+        assert r.q == (r.id * 7919) // 13
+
+
+def test_no_unpartitioned_window_in_helper_plan(spark):
+    from apache_spark_irs_form_990_spark.plans.inspect import (
+        unpartitioned_windows,
+    )
+
+    df = global_order(
+        _frame(spark), ["key", "id"], running={"cum": F.col("val")}
+    )
+    assert unpartitioned_windows(df) == []
