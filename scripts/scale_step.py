@@ -126,6 +126,13 @@ def measure(spark, sf_dir: str) -> dict:
     out["embedding_lsh_candidate_pairs"] = banded_lsh_pairs(
         emb_milli_corpus(spark, sf_dir)
     ).count()
+    # star-link edge count on the same signatures: Σ (occ - 1) per
+    # bucket = rows - #buckets — the O(bucket) alternative SCALE.md
+    # §11 finding 2 documents, measured next to the pairwise count
+    occ = sig.groupBy("band", "band_min").agg(F.count(F.lit(1)).alias("occ"))
+    out["minhash_star_link_edges"] = int(
+        occ.agg(F.sum(F.col("occ") - 1)).collect()[0][0]
+    )
 
     for name in QUERIES:
         fn = qs[name]
