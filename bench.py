@@ -71,6 +71,10 @@ EXTENDED = [
     # r4 additions (VERDICT r3 task 4): the ingestion family — the
     # reference's core workload — and one streaming query.
     "stream_tumbling_count",
+    # r4: the distributed-rank machinery (functions.ranks) — the
+    # global-sort rewires get bench coverage like every other family.
+    "beh_rfm_segments",
+    "text_pack_bins",
 ]
 
 

@@ -78,6 +78,32 @@ def test_idiv_exact(spark):
         assert r.q == (r.id * 7919) // 13
 
 
+def test_global_order_partition_invariant(spark):
+    """The assigned ranks are a pure function of the data and the
+    order spec — they must not change under input repartitioning
+    (range boundaries move, but offset + local rank always
+    reconstructs the same total order). The property that makes the
+    rewired queries reproducible across cluster sizes."""
+    df = _frame(spark)
+    base = {
+        (r.id, r.rn, r.cum)
+        for r in global_order(
+            df, ["key", "id"], running={"cum": F.col("val")}, rn_col="rn"
+        ).collect()
+    }
+    for n in (1, 3, 50):
+        got = {
+            (r.id, r.rn, r.cum)
+            for r in global_order(
+                df.repartition(n),
+                ["key", "id"],
+                running={"cum": F.col("val")},
+                rn_col="rn",
+            ).collect()
+        }
+        assert got == base, f"ranks changed under repartition({n})"
+
+
 def test_no_unpartitioned_window_in_helper_plan(spark):
     from apache_spark_irs_form_990_spark.plans.inspect import (
         unpartitioned_windows,
