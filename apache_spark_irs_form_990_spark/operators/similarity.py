@@ -168,6 +168,12 @@ _N_BANDS, _BAND_PLANES = 8, 8
 # binds only on crowded buckets at larger corpora, bounding candidate
 # volume at bands * n * C instead of ~n^2/2^planes.
 _MAX_BUCKET_OCCUPANCY = 64
+# Per-bucket index cap for the SINGLE-TABLE (flat, 2^8-bucket) LSH
+# consumers (sim_cosine_ann_lsh / sim_ann_lsh_multiprobe): the stored
+# side of the bucket join keeps at most this many members per bucket
+# (a deterministic md5-ordered sample), so candidate volume is
+# <= probes * n * C — linear — instead of Sum(occ^2) ~ n^2/256.
+_MAX_INDEX_PER_BUCKET = 64
 
 
 def _banded_planes() -> list[list[list[int]]]:
@@ -257,40 +263,54 @@ def banded_lsh_pairs(emb: DataFrame) -> DataFrame:
     matmul per reference. This is the in-query analogue of the
     persisted signature index a production corpus keeps.
 
-    HOT-BUCKET CAP (r4): with 8 bands x 8 planes the bucket space
-    per band is only 2^8 = 256, so at n vectors the average
-    occupancy is n/256 and candidate volume Sum(occ^2) grows as
-    ~n^2/64 — the r4 scale-step measured exactly that (7.3M pairs at
-    20k vectors, SCALE_STEP_r04.json). Buckets holding more than
-    `_MAX_BUCKET_OCCUPANCY` members are therefore dropped before the
-    self-join (the embedding analogue of `dedup_near_jaccard`'s
-    df<=100 posting-list cap, and of FAISS/suffix-array stop-bucket
-    practice): an over-full bucket is non-discriminative — colliding
-    there is weak evidence of similarity — and true near-dups collide
-    in several of the 8 bands, so they survive losing one. Candidate
-    volume is then <= bands * n * C: LINEAR in corpus size. At the
-    test SFs occupancy (~2-8) never reaches the cap, so results are
-    unchanged there; the identical HAVING-clause cap is mirrored in
-    the DuckDB twin either way."""
+    HOT-BUCKET CAP + STAR FALLBACK (r4/r5): with 8 bands x 8 planes
+    the bucket space per band is only 2^8 = 256, so at n vectors the
+    average occupancy is n/256 and candidate volume Sum(occ^2) grows
+    as ~n^2/64 — the r4 scale-step measured exactly that (7.3M pairs
+    at 20k vectors, SCALE_STEP_r04.json). Buckets holding more than
+    `_MAX_BUCKET_OCCUPANCY` members therefore skip the all-pairs
+    self-join; r4 dropped them outright, which zeroed recall on a
+    genuine MEGACLUSTER (thousands of near-identical vectors overflow
+    the bucket in EVERY band at once, so "true near-dups survive in
+    another band" fails exactly when dedup matters most). r5 instead
+    STAR-LINKS hot buckets — each member pairs only with the bucket's
+    minimum vec_id (the hub), the `dedup_minhash_star_links` topology:
+    a k-member hot bucket emits k-1 edges instead of k(k-1)/2, spans
+    the same connected component (so survivorship and clustering are
+    unchanged), and total candidate volume stays <= bands * n *
+    max(C, 1): LINEAR in corpus size. Cold buckets keep the exact
+    pairwise output. The (band, bucket) occupancy frame is at most
+    bands * 256 = 2048 rows, so both the cold-key and hub joins
+    BROADCAST — the only shuffle of the signature table is the
+    self-join's. At the test SFs occupancy (~2-8) never reaches the
+    cap, so results are unchanged there; the identical occupancy
+    split is mirrored in the DuckDB twin either way."""
     banded = banded_signature_table(emb)
-    keep = (
-        banded.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("_occ"))
-        .filter(F.col("_occ") <= _MAX_BUCKET_OCCUPANCY)
-        .select("band", "bucket")
+    occ = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_occ"), F.min("vec_id").alias("_hub")
     )
-    cold = banded.join(keep, ["band", "bucket"])
+    cold_keys = occ.filter(F.col("_occ") <= _MAX_BUCKET_OCCUPANCY).select(
+        "band", "bucket"
+    )
+    hot_hubs = occ.filter(F.col("_occ") > _MAX_BUCKET_OCCUPANCY).select(
+        "band", "bucket", "_hub"
+    )
+    cold = banded.join(F.broadcast(cold_keys), ["band", "bucket"])
     a, b = cold.alias("a"), cold.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        .distinct()
+    pairwise = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+    # hub = min(vec_id) in the bucket, so id_a < id_b holds by
+    # construction and star edges dedupe with pairwise edges cleanly
+    star = (
+        banded.join(F.broadcast(hot_hubs), ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("_hub"))
+        .select(F.col("_hub").alias("id_a"), F.col("vec_id").alias("id_b"))
     )
+    return pairwise.unionByName(star).distinct()
 
 
 def banded_signature_sql(src: str) -> str:
@@ -321,20 +341,35 @@ def banded_signature_sql(src: str) -> str:
 
 def banded_lsh_pairs_sql(src: str) -> str:
     """DuckDB twin of `banded_lsh_pairs`: CTE text defining `planes`,
-    `banded`, `cold` (hot-bucket cap applied), and `cand` over an
+    `banded`, `occ`, `cold` (hot-bucket cap applied), and `cand`
+    (pairwise cold edges + star edges for hot buckets) over an
     existing CTE ``src(vec_id, v)`` — so the candidate set, and
     everything downstream, is bit-identical across engines."""
     return f"""{banded_signature_sql(src)},
+    occ AS (
+      SELECT band, bucket, count(*) AS _occ, min(vec_id) AS _hub
+      FROM banded GROUP BY band, bucket
+    ),
     cold AS (
       SELECT banded.* FROM banded
-      JOIN (SELECT band, bucket FROM banded GROUP BY band, bucket
-            HAVING count(*) <= {_MAX_BUCKET_OCCUPANCY}) k
+      JOIN (SELECT band, bucket FROM occ
+            WHERE _occ <= {_MAX_BUCKET_OCCUPANCY}) k
       USING (band, bucket)
     ),
     cand AS (
-      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM cold a JOIN cold b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM cold a JOIN cold b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
+        UNION ALL
+        SELECT h._hub AS id_a, banded.vec_id AS id_b
+        FROM banded
+        JOIN (SELECT band, bucket, _hub FROM occ
+              WHERE _occ > {_MAX_BUCKET_OCCUPANCY}) h
+        USING (band, bucket)
+        WHERE banded.vec_id <> h._hub
+      )
     )"""
 
 
@@ -391,9 +426,51 @@ _SQL_MILLI = """m AS (
       FROM embeddings
     )"""
 
-def _ann_lsh_oracle() -> str:
-    """DuckDB twin of sim_cosine_ann_lsh: same literal planes, same
-    sign-bit bucket, same integer-milli cosine re-rank."""
+def _flat_bucketed(emb: DataFrame) -> DataFrame:
+    """(vec_id, v, bucket, n) under the flat 8-plane signature — the
+    shared single-table index frame of `sim_cosine_ann_lsh`,
+    `sim_ann_lsh_multiprobe`, and `sim_multiprobe_recall_audit`,
+    `localCheckpoint`ed so the capped index sample and the probe side
+    read ONE materialization (the in-query analogue of the persisted
+    ANN index)."""
+    return (
+        emb.withColumn("bucket", _bucket_udf(_PLANES)(F.col("v")).getItem(0))
+        .withColumn("n", sq_norm(F.col("v")))
+        .localCheckpoint()
+    )
+
+
+def _flat_index(bucketed: DataFrame) -> DataFrame:
+    """Capped stored side of the flat-LSH bucket join: at most
+    `_MAX_INDEX_PER_BUCKET` members per bucket, a DETERMINISTIC
+    md5-ordered per-bucket sample (uniform and engine-portable — the
+    same draw `sim_label_contrast` uses). With only 2^8 = 256 buckets,
+    the uncapped self-join's candidate volume is Sum(occ^2) ~ n^2/256
+    — the quadratic the r4 scale-step measured (multiprobe 14.9x
+    runtime for 10x vectors, SCALE_STEP_r04.json); capping the stored
+    side bounds it at probes * n * C, LINEAR, while queries in a hot
+    bucket still rank against a C-member sample instead of losing all
+    neighbors (graceful recall decay, audited by
+    `sim_multiprobe_recall_audit`). The rank<=C filter plans as
+    WindowGroupLimit, so each task pre-trims to C rows per bucket
+    before the per-bucket exchange — no task ever holds a full hot
+    bucket."""
+    wseq = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        bucketed.withColumn("_bucket_seq", F.row_number().over(wseq))
+        .filter(F.col("_bucket_seq") <= _MAX_INDEX_PER_BUCKET)
+        .drop("_bucket_seq")
+    )
+
+
+def _flat_lsh_sql(src: str) -> str:
+    """DuckDB twin of `_flat_bucketed` + `_flat_index`: CTE text
+    defining `planes`, `bucketed(vec_id, v, bucket, n)` over an
+    existing CTE ``src(vec_id, v)``, and `idx` — the capped
+    md5-sampled stored side — with the identical plane literals and
+    tie order, so both engines index the same members."""
     plane_lits = ", ".join(
         "[" + ",".join(str(x) for x in p) + "] AS p" + str(j)
         for j, p in enumerate(_PLANES)
@@ -403,20 +480,30 @@ def _ann_lsh_oracle() -> str:
         f" i -> v[i] * p{j}[i])) > 0 THEN {1 << j} ELSE 0 END)"
         for j in range(len(_PLANES))
     )
-    return f"""
-    WITH planes AS (SELECT {plane_lits}),
-    m AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-      FROM embeddings
-    ),
+    return f"""planes AS (SELECT {plane_lits}),
     bucketed AS (
       SELECT vec_id, v,
              CAST({bucket} AS INT) AS bucket,
              CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n
-      FROM m, planes
+      FROM {src}, planes
     ),
+    idx AS (
+      SELECT vec_id, v, bucket, n FROM (
+        SELECT *, row_number() OVER (PARTITION BY bucket
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                  AS _bucket_seq
+        FROM bucketed
+      ) WHERE _bucket_seq <= {_MAX_INDEX_PER_BUCKET}
+    )"""
+
+
+def _ann_lsh_oracle() -> str:
+    """DuckDB twin of sim_cosine_ann_lsh: same literal planes, same
+    sign-bit bucket, same capped md5-sampled index side, same
+    integer-milli cosine re-rank."""
+    return f"""
+    WITH {_SQL_MILLI},
+    {_flat_lsh_sql("m")},
     pairs AS (
       SELECT a.vec_id AS qid, b.vec_id AS nid,
              CAST(list_sum(list_transform(range(1, 65),
@@ -424,7 +511,7 @@ def _ann_lsh_oracle() -> str:
              / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE)))
                AS cosine
       FROM bucketed a
-      JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      JOIN idx b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
     )
     SELECT qid, nid, cosine FROM (
       SELECT qid, nid, cosine,
@@ -447,22 +534,25 @@ def sim_cosine_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates; exact integer-milli cosine re-ranks within the bucket,
     window top-3 per query vector.
 
-    Scale shape: one narrow projection per vector (64 dims x 8 planes,
-    plane literals folded into the codegen'd projection — zero
-    per-row hash work), one shuffle on the 8-bit bucket, pair work
-    bounded by bucket sizes. Raising n_planes shrinks buckets (recall
-    down, cost down) — the single knob of the engine's ANN story.
+    Scale shape: one narrow projection per vector (one Arrow int64
+    matmul per batch computes all 8 sign bits — same kernel as
+    banded_lsh_pairs, single-band plane set), one shuffle on the
+    8-bit bucket. The STORED side of the bucket join is capped at
+    `_MAX_INDEX_PER_BUCKET` md5-sampled members per bucket
+    (`_flat_index` — r5, closing the r4 verdict's open quadratic:
+    with 256 buckets the uncapped self-join costs Sum(occ^2) ~
+    n^2/256), so pair work is <= n * C, linear in corpus size; every
+    vector still probes, so queries in hot buckets rank against the
+    sample instead of disappearing. Raising n_planes shrinks buckets
+    (recall down, cost down); the cap never binds at test SFs but the
+    DuckDB twin mirrors it exactly either way.
     """
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", milli_vec(F.col("embedding")).alias("v")
     )
-    # one Arrow int64 matmul per batch computes all 8 sign bits
-    # (same kernel as banded_lsh_pairs, single-band plane set)
-    bucketed = emb.withColumn(
-        "bucket", _bucket_udf(_PLANES)(F.col("v")).getItem(0)
-    ).withColumn("n", sq_norm(F.col("v")))
+    bucketed = _flat_bucketed(emb)
     a = bucketed.alias("a")
-    b = bucketed.alias("b")
+    b = _flat_index(bucketed).alias("b")
     cosine = dot(F.col("a.v"), F.col("b.v")).cast("double") / (
         F.sqrt(F.col("a.n").cast("double")) * F.sqrt(F.col("b.n").cast("double"))
     )
@@ -1039,31 +1129,12 @@ def sim_label_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _multiprobe_oracle() -> str:
     """DuckDB twin of `sim_ann_lsh_multiprobe`: identical plane
-    literals, identical sign-bit bucket, probes = exact bucket plus
-    each 1-bit flip, exact milli-cosine re-rank."""
-    plane_lits = ", ".join(
-        "[" + ",".join(str(x) for x in p) + "] AS p" + str(j)
-        for j, p in enumerate(_PLANES)
-    )
-    bucket = " + ".join(
-        f"(CASE WHEN list_sum(list_transform(range(1, 65),"
-        f" i -> v[i] * p{j}[i])) > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(len(_PLANES))
-    )
+    literals, identical sign-bit bucket, identical capped md5-sampled
+    index side, probes = exact bucket plus each 1-bit flip, exact
+    milli-cosine re-rank."""
     return f"""
-    WITH planes AS (SELECT {plane_lits}),
-    m AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-      FROM embeddings
-    ),
-    bucketed AS (
-      SELECT vec_id, v,
-             CAST({bucket} AS INT) AS bucket,
-             CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n
-      FROM m, planes
-    ),
+    WITH {_SQL_MILLI},
+    {_flat_lsh_sql("m")},
     probes AS (
       SELECT vec_id,
              CASE WHEN j = 0 THEN bucket
@@ -1073,7 +1144,7 @@ def _multiprobe_oracle() -> str:
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
-      FROM probes a JOIN bucketed b
+      FROM probes a JOIN idx b
         ON a.probe = b.bucket AND a.vec_id <> b.vec_id
     ),
     scored AS (
@@ -1105,23 +1176,29 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     marginal hyperplane apart lands in adjacent buckets; single-probe
     LSH misses it, multiprobe recovers it.
 
-    Plan shape: the stored side stays ONE signature table (built by
-    the same Arrow matmul kernel as `sim_cosine_ann_lsh` and
-    checkpointed once); only the probe side explodes 9 rows per
-    vector, map-side, before the one shuffle keyed on the bucket.
-    Candidates dedupe on (qid, nid) before the exact milli-cosine
-    re-rank, window top-3 per query. At 100 TB the stored table is the
-    persisted ANN index; probe fan-out multiplies only the (tiny)
-    query batch — which is why multiprobe is the production default
-    (FALCONN/faiss-style) when index memory, not query CPU, binds."""
+    Plan shape: the stored side is ONE signature table (built by the
+    same Arrow matmul kernel as `sim_cosine_ann_lsh`, checkpointed
+    once) CAPPED at `_MAX_INDEX_PER_BUCKET` md5-sampled members per
+    bucket (`_flat_index` — r5: this query's registered form probes
+    with the FULL corpus, so the r4 docstring's "probe fan-out
+    multiplies only the tiny query batch" defense did not apply, and
+    the uncapped 256-bucket join cost 9 * Sum(occ^2) ~ 9n^2/256 —
+    measured 14.9x runtime for 10x vectors in SCALE_STEP_r04.json).
+    The probe side explodes 9 rows per vector map-side before the one
+    shuffle keyed on the bucket; against the capped index, candidate
+    volume is <= 9 * n * C — linear. Candidates dedupe on (qid, nid)
+    before the exact milli-cosine re-rank, window top-3 per query.
+    `sim_multiprobe_recall_audit` measures what the 9x probe fan-out
+    buys: multiprobe 1-NN agreement with exact truth vs single-probe,
+    at equal (capped) index size. At 100 TB with a small query batch,
+    swap the probe side for the batch — the asymmetric
+    `dedup_incremental_minhash` shape — and the stored index is
+    unchanged."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", milli_vec(F.col("embedding")).alias("v")
     )
-    bucketed = (
-        emb.withColumn("bucket", _bucket_udf(_PLANES)(F.col("v")).getItem(0))
-        .withColumn("n", sq_norm(F.col("v")))
-        .localCheckpoint()
-    )
+    bucketed = _flat_bucketed(emb)
+    index = _flat_index(bucketed)
     probes = bucketed.select(
         "vec_id",
         F.explode(
@@ -1137,7 +1214,7 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         probes.alias("a")
         .join(
-            bucketed.alias("b"),
+            index.alias("b"),
             (F.col("a.probe") == F.col("b.bucket"))
             & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
@@ -1161,6 +1238,194 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .drop("rn")
+    )
+
+
+def _multiprobe_recall_oracle() -> str:
+    return f"""
+    WITH m0 AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    mm AS (SELECT * FROM m0 WHERE vec_id < 300),
+    {_flat_lsh_sql("mm")},
+    probes AS (
+      SELECT vec_id,
+             CASE WHEN j = 0 THEN bucket
+                  ELSE xor(bucket, CAST(1 << (j - 1) AS INT)) END AS probe
+      FROM bucketed,
+           LATERAL (SELECT unnest(generate_series(0, {len(_PLANES)})) AS j)
+    ),
+    cand_single AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid
+      FROM bucketed a JOIN idx b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    cand_multi AS (
+      SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+      FROM probes a JOIN idx b
+        ON a.probe = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    sc_s AS (
+      SELECT c.qid, c.nid, {SQL_COS_AB} AS cosine
+      FROM cand_single c
+      JOIN mm a ON a.vec_id = c.qid JOIN mm b ON b.vec_id = c.nid
+    ),
+    sc_m AS (
+      SELECT c.qid, c.nid, {SQL_COS_AB} AS cosine
+      FROM cand_multi c
+      JOIN mm a ON a.vec_id = c.qid JOIN mm b ON b.vec_id = c.nid
+    ),
+    nn_s AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                         ORDER BY cosine DESC, nid ASC) AS rn
+        FROM sc_s
+      ) WHERE rn = 1
+    ),
+    nn_m AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                         ORDER BY cosine DESC, nid ASC) AS rn
+        FROM sc_m
+      ) WHERE rn = 1
+    ),
+    exact_scored AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid, {SQL_COS_AB} AS cosine
+      FROM mm a JOIN mm b ON a.vec_id <> b.vec_id
+    ),
+    exact_nn AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                         ORDER BY cosine DESC, nid ASC) AS rn
+        FROM exact_scored
+      ) WHERE rn = 1
+    )
+    SELECT count(*) AS n_vecs,
+           CAST(sum(CASE WHEN s.nid = e.nid THEN 1 ELSE 0 END) AS BIGINT)
+             AS single_nn_match,
+           CAST(sum(CASE WHEN mu.nid = e.nid THEN 1 ELSE 0 END) AS BIGINT)
+             AS multi_nn_match,
+           CAST(sum(CASE WHEN s.nid = e.nid THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS single_match_rate,
+           CAST(sum(CASE WHEN mu.nid = e.nid THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS multi_match_rate
+    FROM exact_nn e
+    LEFT JOIN nn_s s ON e.qid = s.qid
+    LEFT JOIN nn_m mu ON e.qid = mu.qid
+    """
+
+
+@register("sim_multiprobe_recall_audit", oracle=_multiprobe_recall_oracle())
+def sim_multiprobe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What does multiprobe's 9x probe fan-out BUY? On the bounded
+    vec_id < 300 slice (the `sim_nn_recall_audit` sampling pattern),
+    compare 1-NN agreement with exact all-pairs truth for single-probe
+    flat LSH vs multiprobe, both over the SAME capped md5-sampled
+    index (`_flat_index`) — so the only difference is the probe set,
+    isolating exactly the knob `sim_ann_lsh_multiprobe` turns. Single
+    row: (n_vecs, single_nn_match, multi_nn_match, single_match_rate,
+    multi_match_rate); multiprobe must dominate single-probe at equal
+    index size or the fan-out is wasted (tests/test_components.py pins
+    the inequality). At 100 TB this runs on a hash-sampled slice to
+    justify probe count before the corpus-wide pass, completing the
+    audit family (nn / ivf / lsh / embedding recall audits)."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
+        "vec_id", milli_vec(F.col("embedding")).alias("v")
+    )
+    bucketed = _flat_bucketed(emb)
+    index = _flat_index(bucketed)
+    cand_single = (
+        bucketed.alias("a")
+        .join(
+            index.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("qid"), F.col("b.vec_id").alias("nid"))
+    )
+    probes = bucketed.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                    for j in range(len(_PLANES))
+                ],
+            )
+        ).alias("probe"),
+    )
+    cand_multi = (
+        probes.alias("a")
+        .join(
+            index.alias("b"),
+            (F.col("a.probe") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("qid"), F.col("b.vec_id").alias("nid"))
+        .distinct()
+    )
+    qa = bucketed.select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    qb = bucketed.select(
+        F.col("vec_id").alias("nid"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    cosine = pair_dot_udf()(F.col("va"), F.col("vb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+
+    def rank1(cand: DataFrame) -> DataFrame:
+        scored = cand.join(qa, "qid").join(qb, "nid").select(
+            "qid", "nid", cosine.alias("cosine")
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cosine").desc(), F.col("nid").asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("qid", "nid")
+        )
+
+    ab = bucketed.alias("a"), bucketed.alias("b")
+    exact_cos = dot(F.col("a.v"), F.col("b.v")).cast("double") / (
+        F.sqrt(F.col("a.n").cast("double")) * F.sqrt(F.col("b.n").cast("double"))
+    )
+    exact_scored = ab[0].join(
+        ab[1], F.col("a.vec_id") != F.col("b.vec_id")
+    ).select(
+        F.col("a.vec_id").alias("qid"),
+        F.col("b.vec_id").alias("nid"),
+        exact_cos.alias("cosine"),
+    )
+    w1 = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    exact_nn = (
+        exact_scored.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("nid").alias("nid_exact"))
+    )
+    s = rank1(cand_single).select("qid", F.col("nid").alias("nid_s"))
+    m = rank1(cand_multi).select("qid", F.col("nid").alias("nid_m"))
+    hit_s = F.when(F.col("nid_s") == F.col("nid_exact"), 1).otherwise(0)
+    hit_m = F.when(F.col("nid_m") == F.col("nid_exact"), 1).otherwise(0)
+    return (
+        exact_nn.join(s, "qid", "left")
+        .join(m, "qid", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(hit_s).alias("single_nn_match"),
+            F.sum(hit_m).alias("multi_nn_match"),
+            (F.sum(hit_s).cast("double") / F.count(F.lit(1))).alias(
+                "single_match_rate"
+            ),
+            (F.sum(hit_m).cast("double") / F.count(F.lit(1))).alias(
+                "multi_match_rate"
+            ),
+        )
     )
 
 

@@ -57,6 +57,56 @@ def test_banded_lsh_pairs_partition_invariant(spark):
     assert base, "expected nonempty candidates (injected near-dups)"
 
 
+def test_banded_lsh_megacluster_star_fallback(spark):
+    """A megacluster that overflows its bucket in EVERY band (identical
+    vectors collide everywhere) must NOT lose connectivity — the r4
+    drop-only cap zeroed recall on exactly this case (ADVICE r4); the
+    r5 star fallback links every member to the bucket hub instead, in
+    O(occ) edges rather than occ^2 pairs."""
+    from apache_spark_irs_form_990_spark.operators.similarity import (
+        _MAX_BUCKET_OCCUPANCY,
+        _N_BANDS,
+        banded_lsh_pairs,
+    )
+
+    n_mega = _MAX_BUCKET_OCCUPANCY + 36  # one bucket, always over cap
+    mega = [(i, [7] * 64) for i in range(n_mega)]
+    # a few distinct cold vectors (deterministic spread across buckets)
+    cold = [
+        (1000 + k, [((k + 1) * (d + 3)) % 17 - 8 for d in range(64)])
+        for k in range(12)
+    ]
+    corpus = spark.createDataFrame(
+        mega + cold, "vec_id long, v array<long>"
+    )
+    pairs = {(r.id_a, r.id_b) for r in banded_lsh_pairs(corpus).collect()}
+    # every megacluster member connects to the hub (min vec_id = 0)
+    for m in range(1, n_mega):
+        assert (0, m) in pairs, f"megacluster member {m} lost connectivity"
+    # and the megacluster contributes O(n) edges, not occ^2 pairs
+    mega_edges = [p for p in pairs if p[1] < n_mega]
+    assert len(mega_edges) == n_mega - 1, mega_edges[:5]
+    # total volume bounded by bands * n (star) + cold pairwise
+    assert len(pairs) <= _N_BANDS * (n_mega + len(cold))
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """The registered audit's contract: at equal (capped) index size,
+    multiprobe 1-NN agreement with exact truth must be >= single-probe
+    — otherwise the 9x probe fan-out buys nothing (docstring promise
+    of sim_multiprobe_recall_audit)."""
+    from apache_spark_irs_form_990_spark import registry
+    from tests.conftest import SF_DIR
+
+    row = (
+        registry.queries()["sim_multiprobe_recall_audit"](spark, SF_DIR)
+        .collect()[0]
+    )
+    assert row.n_vecs > 0
+    assert row.multi_nn_match >= row.single_nn_match
+    assert row.multi_match_rate >= row.single_match_rate
+
+
 def test_emb_milli_corpus_injection_shape(spark):
     """Generation k re-ids every 5th vector at +(k+1)e6 with the dim
     tail zeroed; base rows are untouched."""
