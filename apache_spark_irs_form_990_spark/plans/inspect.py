@@ -77,6 +77,52 @@ def unpartitioned_windows(df: DataFrame) -> list[str]:
     return hits
 
 
+_BUCKET_KEY_EQ = None  # compiled lazily below
+
+
+def unguarded_bucket_joins(df: DataFrame) -> list[str]:
+    """Join nodes in the optimized logical plan keyed on an LSH
+    bucket-like attribute (``bucket`` / ``band_min`` / ``probe``) on
+    both sides of an equality, whose join subtree lacks an OCCUPANCY
+    GUARD — a Filter on ``_occ`` (hot-bucket cap / star split,
+    `banded_lsh_pairs`) or ``_bucket_seq`` (capped per-bucket index
+    sample, `_flat_index`).
+
+    An unguarded join on a small fixed bucket space is the quadratic
+    the r4 scale-step measured (Sum over buckets of occ_a*occ_b ~
+    n^2/|buckets|): correct at test SF, fatal at corpus scale. The
+    guard column names are the structural markers the similarity
+    module's capped kernels emit; tests/test_bucket_join_lint.py bans
+    new unguarded bucket joins registry-wide the way
+    tests/test_plan_lint.py bans unpartitioned windows."""
+    import re
+
+    global _BUCKET_KEY_EQ
+    if _BUCKET_KEY_EQ is None:
+        name = r"(?:bucket|band_min|probe)#\d+"
+        _BUCKET_KEY_EQ = re.compile(f"{name} = {name}")
+    plan = df._jdf.queryExecution().optimizedPlan()
+    hits = []
+    for node in _iter_logical_nodes(plan):
+        if node.getClass().getSimpleName() != "Join":
+            continue
+        cond = node.condition()
+        if not cond.isDefined():
+            continue
+        if not _BUCKET_KEY_EQ.search(cond.get().toString()):
+            continue
+        guarded = False
+        for sub in _iter_logical_nodes(node):
+            if sub.getClass().getSimpleName() == "Filter":
+                fs = sub.condition().toString()
+                if "_occ#" in fs or "_bucket_seq#" in fs:
+                    guarded = True
+                    break
+        if not guarded:
+            hits.append(node.simpleString(160))
+    return hits
+
+
 def count_occurrences(df: DataFrame, op: str) -> int:
     return physical_plan(df).count(op)
 
