@@ -5,12 +5,23 @@ query modules:
   norm, Arrow-batched pair scoring) and their DuckDB SQL twin;
 - ``text`` — word n-gram shingles;
 - ``ranks`` — distributed exact global row_number / running sums /
-  NTILE (the scale-safe replacement for unpartitioned windows).
-
-Money/cents helpers live in ``queries._helpers`` (35 query-module
-import sites predate this package); new cross-module helpers go here.
+  NTILE (the scale-safe replacement for unpartitioned windows);
+- ``money`` — exact integer-cents aggregation helpers and their SQL
+  twins (the oracle-stability convention for double aggregates).
 """
 
+from apache_spark_irs_form_990_spark.functions.money import (  # noqa: F401
+    SQL_REVENUE_CENTS,
+    cents,
+    davg,
+    dsum,
+    revenue_cents,
+    revenue_sum,
+    sql_cents,
+    sql_davg,
+    sql_dsum,
+    sql_revenue_sum,
+)
 from apache_spark_irs_form_990_spark.functions.ranks import (  # noqa: F401
     global_order,
     idiv,

@@ -45,6 +45,12 @@ def idiv(a: Column, b: Column | int) -> Column:
     the quotient could round across an integer before ``floor``. Taking
     the remainder out first makes the numerator an exact multiple, so
     the double division is exact and the cast is a no-op truncation.
+
+    Domain: exact only while ``a < 2^53`` — above that the long-to-
+    double conversion itself rounds and the quotient can be off by
+    one. Row counts and the NTILE operands used here stay far below
+    that (2^53 rows ~ 9e15; a 100 TB corpus is ~1e10-1e12 rows); for
+    byte-scale running sums use decimal arithmetic instead.
     """
     return ((a - (a % b)) / b).cast("long")
 
@@ -67,10 +73,16 @@ def global_order(
     """
     running = dict(running or {})
     spark = df.sparkSession
-    n = int(
-        num_partitions
-        or spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    if num_partitions is None:
+        try:
+            num_partitions = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+        except ValueError:
+            # e.g. "auto" on platforms with adaptive coalescing —
+            # fall back to the cluster's default parallelism
+            num_partitions = spark.sparkContext.defaultParallelism
+    n = int(num_partitions)
     parted = (
         df.repartitionByRange(n, *order_cols)
         .withColumn("_gpid", F.spark_partition_id())

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from apache_spark_irs_form_990_spark.jobs.base import SparkJob, main_for
-from apache_spark_irs_form_990_spark.queries._helpers import revenue_sum
+from apache_spark_irs_form_990_spark.functions.money import revenue_sum
 from apache_spark_irs_form_990_spark.tables import load
 
 

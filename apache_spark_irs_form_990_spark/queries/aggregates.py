@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from apache_spark_irs_form_990_spark.queries._helpers import (
+from apache_spark_irs_form_990_spark.functions.money import (
     davg,
     dsum,
     sql_davg,

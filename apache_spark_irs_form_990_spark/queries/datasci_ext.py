@@ -35,7 +35,7 @@ from apache_spark_irs_form_990_spark.functions.ranks import (
     global_order,
     ntile_from_rn,
 )
-from apache_spark_irs_form_990_spark.queries._helpers import (
+from apache_spark_irs_form_990_spark.functions.money import (
     cents,
     dsum,
     sql_cents,

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from apache_spark_irs_form_990_spark.queries._helpers import (
+from apache_spark_irs_form_990_spark.functions.money import (
     SQL_REVENUE_CENTS,
     cents,
     revenue_cents,
@@ -126,7 +126,7 @@ def filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
 def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived-column projection (reference A9 generalized); pure codegen
     arithmetic, no Python in the row path. Integer-cents money math
-    (see _helpers) so both engines emit bit-identical doubles."""
+    (see functions.money) so both engines emit bit-identical doubles."""
     li = load(spark, sf_dir, "lineitem")
     net = revenue_cents()
     return li.select(

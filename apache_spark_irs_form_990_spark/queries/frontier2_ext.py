@@ -20,7 +20,7 @@ from apache_spark_irs_form_990_spark.functions.ranks import (
 )
 from apache_spark_irs_form_990_spark.functions.text import shingles
 from apache_spark_irs_form_990_spark.operators.multimodal import media_table
-from apache_spark_irs_form_990_spark.queries._helpers import cents, sql_cents
+from apache_spark_irs_form_990_spark.functions.money import cents, sql_cents
 from apache_spark_irs_form_990_spark.queries.graph_ext import copurchase_edges
 from apache_spark_irs_form_990_spark.registry import register
 from apache_spark_irs_form_990_spark.tables import load, register_views

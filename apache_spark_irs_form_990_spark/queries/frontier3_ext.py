@@ -22,7 +22,7 @@ from apache_spark_irs_form_990_spark.operators.text_analysis import (
     text_langid_vote,
     _LANG_MARKERS,
 )
-from apache_spark_irs_form_990_spark.queries._helpers import (
+from apache_spark_irs_form_990_spark.functions.money import (
     cents,
     revenue_cents,
     sql_cents,

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from apache_spark_irs_form_990_spark.functions.ranks import global_order
-from apache_spark_irs_form_990_spark.queries._helpers import sql_cents
+from apache_spark_irs_form_990_spark.functions.money import sql_cents
 from apache_spark_irs_form_990_spark.registry import register
 from apache_spark_irs_form_990_spark.tables import load, register_views
 

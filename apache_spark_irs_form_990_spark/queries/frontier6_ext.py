@@ -22,7 +22,7 @@ from apache_spark_irs_form_990_spark.operators.components import (
     dedup_cluster_components,
     _SQL_CORPUS,
 )
-from apache_spark_irs_form_990_spark.queries._helpers import cents, sql_cents
+from apache_spark_irs_form_990_spark.functions.money import cents, sql_cents
 from apache_spark_irs_form_990_spark.registry import register
 from apache_spark_irs_form_990_spark.tables import load
 

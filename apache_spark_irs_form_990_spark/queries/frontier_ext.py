@@ -9,7 +9,7 @@ aggregation and no joins/windows/iteration); these are the shapes a
 partial+final hash-aggregate machinery.
 
 Cross-engine determinism follows the house conventions
-(`_helpers.py` / stats_ext docstring):
+(`functions/money.py` / stats_ext docstring):
 
 - exact BIGINT accumulation (counts, cents, micro-nats), one IEEE
   division at the end — identical bits on both engines;
@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from apache_spark_irs_form_990_spark.queries._helpers import cents, sql_cents
+from apache_spark_irs_form_990_spark.functions.money import cents, sql_cents
 from apache_spark_irs_form_990_spark.registry import register
 from apache_spark_irs_form_990_spark.tables import load
 

@@ -10,7 +10,7 @@ queries.
 Determinism notes: string renderings of profiled min/max values avoid
 double→string formatting (engines disagree on it) by going through
 exact integer cents; the Zipf regression sums ln() values as exact
-integer micro-nats (same trick as `_helpers.cents`) because 200-term
+integer micro-nats (same trick as `functions.money.cents`) because 200-term
 double sums are summation-order-dependent, integer sums are not.
 """
 

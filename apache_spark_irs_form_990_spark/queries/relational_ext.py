@@ -9,7 +9,7 @@ exact distribution statistics, percentiles, deterministic hash
 sampling, range-frame windows, explode/flatten, and ordered string
 aggregation.
 
-Oracle-stability rules (see queries/_helpers.py): any double aggregate
+Oracle-stability rules (see functions/money.py): any double aggregate
 goes through integer cents; any threshold computed from data (e.g. a
 scalar-subquery average) is computed with the same exact-integer
 formula on both engines so boundary rows can't flip.
@@ -28,7 +28,7 @@ from apache_spark_irs_form_990_spark.functions.ranks import (
     global_order,
     ntile_from_rn,
 )
-from apache_spark_irs_form_990_spark.queries._helpers import (
+from apache_spark_irs_form_990_spark.functions.money import (
     cents,
     davg,
     dsum,
@@ -705,7 +705,14 @@ def win_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .select(
             "c_custkey",
-            ((F.col("_min_rn") - 1).cast("double") / (F.col("_total") - 1)).alias("pr"),
+            # N=1 guard: built-in percent_rank (and the oracle) define
+            # the degenerate single-row ranking as 0.0, not 0/0=NaN
+            F.when(
+                F.col("_total") > 1,
+                (F.col("_min_rn") - 1).cast("double") / (F.col("_total") - 1),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pr"),
             (F.col("_max_rn").cast("double") / F.col("_total")).alias("cd"),
             ntile_from_rn(F.col("_rn"), F.col("_total"), 4).alias("quartile"),
         )

@@ -18,7 +18,7 @@ from apache_spark_irs_form_990_spark.functions.vectors import (
     milli_vec,
     sq_norm,
 )
-from apache_spark_irs_form_990_spark.queries._helpers import (
+from apache_spark_irs_form_990_spark.functions.money import (
     SQL_REVENUE_CENTS,
     cents,
     revenue_cents,

@@ -19,7 +19,7 @@ Scale posture shared by the whole suite:
   date ranges, brand predicates) sit before any join so they push into
   the parquet scan (verify: `PushedFilters` in `.explain`).
 - Money/quantity arithmetic uses the exact-integer-cents convention of
-  `_helpers.py` so every oracle hash-matches bit-for-bit.
+  `functions/money.py` so every oracle hash-matches bit-for-bit.
 
 Reference lineage: the reference has no joins at all (SURVEY.md §2
 Part A, "operators the reference does NOT have" — verified against all
@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from apache_spark_irs_form_990_spark.queries._helpers import (
+from apache_spark_irs_form_990_spark.functions.money import (
     SQL_REVENUE_CENTS,
     cents,
     revenue_cents,

@@ -52,7 +52,7 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @F.pandas_udf(T.DoubleType())
 def _exact_sum_cents(v: pd.Series) -> float:
     """GROUPED_AGG pandas UDF: order-independent exact sum via integer
-    cents (same convention as _helpers.dsum, but computed in Python)."""
+    cents (same convention as functions.money.dsum, but computed in Python)."""
     return float((v * 100).round().astype("int64").sum()) / 100.0
 
 

@@ -19,7 +19,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from apache_spark_irs_form_990_spark.queries._helpers import revenue_sum, sql_revenue_sum
+from apache_spark_irs_form_990_spark.functions.money import revenue_sum, sql_revenue_sum
 from apache_spark_irs_form_990_spark.registry import register
 from apache_spark_irs_form_990_spark.tables import load
 

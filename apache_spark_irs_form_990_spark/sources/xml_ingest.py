@@ -246,6 +246,10 @@ _DOC2 = """<?xml version="1.0" encoding="utf-8"?>
 _BROKEN = "<Return><CityNm>Oops</Return>"
 
 
+# bump when write_bench_fixture's generated content changes — the
+# version keys the on-disk reuse dir so old fixtures are never re-timed
+_BENCH_FIXTURE_VERSION = 1
+
 _BENCH_CITIES = [
     "Berkeley", "MADISON", "oakland", "Chicago", "austin", "Denver",
     "PORTLAND", "boston", "Seattle", "atlanta", "Tucson", "omaha",
@@ -260,10 +264,13 @@ def write_bench_fixture(n_files: int = 1000, tmp_root: str | None = None) -> str
     bench.py times the full manifest→fetch→flatten→CitiesCount kernel
     on this (VERDICT r3 "What's missing" #1 — the reference's core
     workload, `/root/reference/IRSSpark.py:177-188`, previously had
-    zero bench coverage). Content-addressed dir: repeat calls reuse.
-    Returns the manifest path."""
+    zero bench coverage). The reuse dir is keyed on (n_files, generator
+    version): bump `_BENCH_FIXTURE_VERSION` whenever the generated
+    content changes, so stale on-disk XML from an older generator is
+    never silently re-timed (ADVICE r4). Returns the manifest path."""
     root = os.path.join(
-        tmp_root or tempfile.gettempdir(), f"spark990_xml_bench_{n_files}"
+        tmp_root or tempfile.gettempdir(),
+        f"spark990_xml_bench_{n_files}_v{_BENCH_FIXTURE_VERSION}",
     )
     xml_dir = os.path.join(root, "xml")
     manifest = os.path.join(root, "manifest.txt")
