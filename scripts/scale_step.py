@@ -1,18 +1,35 @@
-"""Scale-step study (VERDICT r3 task 5): run the dedup/ANN family at
-sf0.01 / sf0.1 / synthetic-sf1 and record CANDIDATE-PAIR counts next
-to runtimes — the empirical check that banded candidate generation
-grows ~linearly in corpus size, which no fixed-SF oracle can show.
+"""Scale-step study (VERDICT r3 task 5, extended r5): run the
+dedup/ANN family AND the global_order-rewired queries at sf0.01 /
+sf0.1 / synthetic-sf1 and record CANDIDATE-PAIR counts and max-task
+input sizes next to runtimes — the empirical check that candidate
+generation and distributed ranking grow ~linearly in corpus size,
+which no fixed-SF oracle can show.
 
 No sf1 testdata exists, so sf1 is synthesized at 10x sf0.1 into
 /tmp/spark990_scale/sf1 (testdata itself is read-only): 10 deterministic
-copies of documents/embeddings with content MUTATED per copy — every
-7th word gets a copy-suffix (so copies are near- but not exact
-duplicates: shingle overlap ~0.5, the realistic near-dup regime) and
+copies of documents/embeddings/orders with content MUTATED per copy —
+every 7th word gets a copy-suffix (so copies are near- but not exact
+duplicates: shingle overlap ~0.5, the realistic near-dup regime),
 embeddings rotate by the copy index (different hyperplane projections,
 so LSH buckets spread instead of stacking 10 exact clones per bucket,
-which would fake quadratic growth that no natural corpus has).
+which would fake quadratic growth that no natural corpus has), and
+orders shift both keys (10x the customer population for the RFM
+rankings). The on-disk reuse marker carries _SYNTH_VERSION so a
+generator change can never silently re-measure stale data (ADVICE r4).
 
-Usage: python scripts/scale_step.py   (writes SCALE_STEP_r04.json)
+r5 additions:
+- `sim_cosine_ann_lsh` + flat-LSH candidate counts: the r4 verdict's
+  two uncapped 256-bucket self-joins are now capped via the
+  md5-sampled per-bucket index (`_flat_index`); this sweep is the
+  "done" evidence that both consumers grow ~linearly post-cap
+  (multiprobe was 14.9x runtime for 10x vectors pre-cap).
+- Four `global_order` rewires (`text_pack_bins`, `beh_rfm_segments`,
+  `pipeline_epoch_shuffle`, `ml_rank_biased_overlap` — the last runs
+  TWO full-corpus orders): runtime at each step plus the
+  max-task-rows profile of the distributed rank itself, vs the
+  whitelisted single-task form whose one window task holds ALL rows.
+
+Usage: python scripts/scale_step.py   (writes SCALE_STEP_r05.json)
 """
 
 from __future__ import annotations
@@ -28,28 +45,36 @@ sys.path.insert(0, REPO_ROOT)
 from pyspark.sql import functions as F  # noqa: E402
 
 SCALE_ROOT = "/tmp/spark990_scale"
+_SYNTH_VERSION = 2  # bump when synthesize_sf1's generated content changes
 QUERIES = [
     "dedup_minhash_banding_md5",
     "dedup_near_embedding",
+    "sim_cosine_ann_lsh",
     "sim_ann_lsh_multiprobe",
     "pipeline_dedup_cascade",
+    "text_pack_bins",
+    "beh_rfm_segments",
+    "pipeline_epoch_shuffle",
+    "ml_rank_biased_overlap",
 ]
 
 
 def synthesize_sf1(spark, base: str = "/root/testdata/sf0.1", copies: int = 10) -> str:
     out = os.path.join(SCALE_ROOT, "sf1")
-    marker = os.path.join(out, ".complete")
+    marker = os.path.join(out, f".complete_v{_SYNTH_VERSION}")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
     docs = spark.read.parquet(os.path.join(base, "documents.parquet"))
     embs = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
+    orders = spark.read.parquet(os.path.join(base, "orders.parquet"))
 
-    doc_parts, emb_parts = [], []
+    doc_parts, emb_parts, ord_parts = [], [], []
     for k in range(copies):
         if k == 0:
             doc_parts.append(docs)
             emb_parts.append(embs)
+            ord_parts.append(orders)
             continue
         def mutate(kk: int):
             return lambda w, i: F.when(
@@ -77,27 +102,73 @@ def synthesize_sf1(spark, base: str = "/root/testdata/sf0.1", copies: int = 10) 
                 "label",
             )
         )
-    d = doc_parts[0]
-    for p in doc_parts[1:]:
-        d = d.unionByName(p)
-    e = emb_parts[0]
-    for p in emb_parts[1:]:
-        e = e.unionByName(p)
-    d.repartition(8).write.mode("overwrite").parquet(
-        os.path.join(out, "documents.parquet")
-    )
-    e.repartition(8).write.mode("overwrite").parquet(
-        os.path.join(out, "embeddings.parquet")
-    )
+        ord_parts.append(
+            orders.select(
+                (F.col("o_orderkey") + k * 100_000_000).alias("o_orderkey"),
+                (F.col("o_custkey") + k * 10_000_000).alias("o_custkey"),
+                *[c for c in orders.columns if c not in ("o_orderkey", "o_custkey")],
+            )
+        )
+
+    def union_write(parts, name):
+        d = parts[0]
+        for p in parts[1:]:
+            d = d.unionByName(p)
+        d.repartition(8).write.mode("overwrite").parquet(
+            os.path.join(out, f"{name}.parquet")
+        )
+
+    union_write(doc_parts, "documents")
+    union_write(emb_parts, "embeddings")
+    union_write(ord_parts, "orders")
     with open(marker, "w") as f:
         f.write("ok\n")
     return out
 
 
+def global_order_task_profile(spark, sf_dir: str) -> dict:
+    """Max-task input rows of the distributed rank vs the single-task
+    form, on the heaviest rewired input shape (documents ordered by
+    the epoch-shuffle md5 key — `pipeline_epoch_shuffle`'s order).
+    The distributed form's window stage holds max-per-range-partition
+    rows per task; the whitelisted single-task form would hold ALL
+    rows in ONE task. Near-flat max_task_rows / total across SF steps
+    is the claim the r4 rewires shipped on — this measures it."""
+    from apache_spark_irs_form_990_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("epoch7|"), F.col("doc_id").cast("string")))
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parted = (
+        docs.select("doc_id", key.alias("_ekey"))
+        .repartitionByRange(n, "_ekey", "doc_id")
+        .withColumn("_gpid", F.spark_partition_id())
+    )
+    prof = (
+        parted.groupBy("_gpid")
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .agg(
+            F.max("rows").alias("max_task_rows"),
+            F.sum("rows").alias("total_rows"),
+            F.count(F.lit(1)).alias("n_tasks"),
+        )
+        .collect()[0]
+    )
+    return {
+        "global_order_max_task_rows": int(prof.max_task_rows),
+        "global_order_total_rows": int(prof.total_rows),
+        "global_order_n_tasks": int(prof.n_tasks),
+        "single_task_form_rows": int(prof.total_rows),
+    }
+
+
 def measure(spark, sf_dir: str) -> dict:
     from apache_spark_irs_form_990_spark import registry
+    from apache_spark_irs_form_990_spark.functions.vectors import milli_vec
     from apache_spark_irs_form_990_spark.operators.dedup import band_signatures
     from apache_spark_irs_form_990_spark.operators.similarity import (
+        _flat_bucketed,
+        _flat_index,
         banded_lsh_pairs,
         emb_milli_corpus,
     )
@@ -133,6 +204,46 @@ def measure(spark, sf_dir: str) -> dict:
     out["minhash_star_link_edges"] = int(
         occ.agg(F.sum(F.col("occ") - 1)).collect()[0][0]
     )
+    # flat-LSH candidate volume through the r5 capped index: the
+    # registered single-probe and 9x-multiprobe joins' own shapes
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", milli_vec(F.col("embedding")).alias("v")
+    )
+    bucketed = _flat_bucketed(emb)
+    index = _flat_index(bucketed)
+    out["flat_lsh_single_candidates"] = (
+        bucketed.alias("a")
+        .join(
+            index.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .count()
+    )
+    # capped candidates/vec are bounded by C (single) and 9C (multi):
+    # the ratio to n_vecs across steps is the linearity evidence
+    probes = bucketed.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(8)],
+            )
+        ).alias("probe"),
+    )
+    out["flat_lsh_multi_candidates"] = (
+        probes.alias("a")
+        .join(
+            index.alias("b"),
+            (F.col("a.probe") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select("a.vec_id", "b.vec_id")
+        .distinct()
+        .count()
+    )
+
+    out.update(global_order_task_profile(spark, sf_dir))
 
     for name in QUERIES:
         fn = qs[name]
@@ -157,7 +268,7 @@ def main() -> None:
         measure(spark, sf1),
     ]
     result = {"queries": QUERIES, "steps": rows}
-    path = os.path.join(REPO_ROOT, "SCALE_STEP_r04.json")
+    path = os.path.join(REPO_ROOT, "SCALE_STEP_r05.json")
     with open(path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1))
