@@ -1241,6 +1241,104 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _batch_query_oracle() -> str:
+    return f"""
+    WITH {_SQL_MILLI},
+    {_flat_lsh_sql("m")},
+    batch AS (SELECT * FROM bucketed WHERE vec_id % 97 = 0),
+    probes AS (
+      SELECT vec_id,
+             CASE WHEN j = 0 THEN bucket
+                  ELSE xor(bucket, CAST(1 << (j - 1) AS INT)) END AS probe
+      FROM batch,
+           LATERAL (SELECT unnest(generate_series(0, {len(_PLANES)})) AS j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+      FROM probes a JOIN idx b
+        ON a.probe = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    scored AS (
+      SELECT c.qid, c.nid,
+             CAST(list_sum(list_transform(range(1, 65),
+                           i -> a.v[i] * b.v[i])) AS DOUBLE)
+             / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE)))
+               AS cosine
+      FROM cand c
+      JOIN bucketed a ON a.vec_id = c.qid
+      JOIN bucketed b ON b.vec_id = c.nid
+    )
+    SELECT qid, nid, cosine FROM (
+      SELECT qid, nid, cosine,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, nid) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """
+
+
+@register("sim_ann_batch_query", oracle=_batch_query_oracle())
+def sim_ann_batch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC batch-probes-index ANN — the serving shape
+    `sim_ann_lsh_multiprobe`'s docstring describes and the 100 TB
+    deployment actually runs: a SMALL query batch (here the
+    deterministic vec_id % 97 == 0 slice, ~1% of the corpus — in
+    production, the incoming request batch) multiprobes the persisted
+    capped index (`_flat_index`, same md5-sampled <=C-per-bucket
+    stored side as the symmetric ops). Join cost is
+    |batch| * 9 probes * C — independent of corpus size on the probe
+    axis and linear on the index axis; this is the
+    `dedup_incremental_minhash` asymmetry applied to the embedding
+    family. Exact milli-cosine re-rank, top-3 per query, exact DuckDB
+    twin via the shared `_flat_lsh_sql` CTE."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", milli_vec(F.col("embedding")).alias("v")
+    )
+    bucketed = _flat_bucketed(emb)
+    index = _flat_index(bucketed)
+    batch = bucketed.filter(F.col("vec_id") % 97 == 0)
+    probes = batch.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                    for j in range(len(_PLANES))
+                ],
+            )
+        ).alias("probe"),
+    )
+    cand = (
+        probes.alias("a")
+        .join(
+            index.alias("b"),
+            (F.col("a.probe") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("qid"), F.col("b.vec_id").alias("nid"))
+        .distinct()
+    )
+    qa = bucketed.select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    qb = bucketed.select(
+        F.col("vec_id").alias("nid"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    cosine = pair_dot_udf()(F.col("va"), F.col("vb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    scored = cand.join(qa, "qid").join(qb, "nid").select(
+        "qid", "nid", cosine.alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
 def _multiprobe_recall_oracle() -> str:
     return f"""
     WITH m0 AS (

@@ -107,10 +107,12 @@ SHOWCASE = {
         "Σ bucket²."
     ),
     "sim_ann_lsh_multiprobe": (
-        "Multiprobe LSH: ONE stored signature table (checkpointed), probe "
-        "side explodes 9 buckets per query map-side, candidate join keyed "
-        "on probe=bucket, exact milli-cosine re-rank on candidates only — "
-        "recall grows without touching index size."
+        "Multiprobe LSH: ONE stored signature table (checkpointed), capped "
+        "at 64 md5-sampled members per bucket via WindowGroupLimit (r5 — "
+        "candidate volume <= 9*n*C, linear); probe side explodes 9 buckets "
+        "per query map-side, candidate join keyed on probe=bucket, exact "
+        "milli-cosine re-rank on candidates only — recall grows without "
+        "touching index size."
     ),
     "mm_phash_hamming_dedup": (
         "Perceptual-hash media dedup: Arrow kernel fingerprints payload "
