@@ -75,6 +75,10 @@ EXTENDED = [
     # global-sort rewires get bench coverage like every other family.
     "beh_rfm_segments",
     "text_pack_bins",
+    # r5: the newly capped flat-LSH consumers — per-round tracking of
+    # the quadratic fix (SCALE.md §12) and the asymmetric serving shape.
+    "sim_cosine_ann_lsh",
+    "sim_ann_batch_query",
 ]
 
 

@@ -90,6 +90,34 @@ def test_banded_lsh_megacluster_star_fallback(spark):
     assert len(pairs) <= _N_BANDS * (n_mega + len(cold))
 
 
+def test_flat_index_caps_hot_bucket_but_keeps_queries(spark):
+    """`_flat_index` must bound the STORED side of the flat-LSH join at
+    C members per bucket while every vector still probes — a hot
+    bucket degrades to ranking against the md5 sample, it never
+    disappears (the failure mode the r4 drop-only cap had)."""
+    from apache_spark_irs_form_990_spark.operators.similarity import (
+        _MAX_INDEX_PER_BUCKET,
+        _flat_bucketed,
+        _flat_index,
+    )
+
+    n_hot = _MAX_INDEX_PER_BUCKET + 40
+    corpus = spark.createDataFrame(
+        [(i, [5] * 64) for i in range(n_hot)], "vec_id long, v array<long>"
+    )
+    bucketed = _flat_bucketed(corpus)
+    index = _flat_index(bucketed)
+    # identical vectors share one bucket; the index keeps exactly C
+    assert index.count() == _MAX_INDEX_PER_BUCKET
+    assert bucketed.count() == n_hot  # probe side is never capped
+    # deterministic: same sample under a different partitioning
+    again = {
+        r.vec_id
+        for r in _flat_index(_flat_bucketed(corpus.repartition(7))).collect()
+    }
+    assert again == {r.vec_id for r in index.collect()}
+
+
 def test_multiprobe_recall_dominates_single_probe(spark):
     """The registered audit's contract: at equal (capped) index size,
     multiprobe 1-NN agreement with exact truth must be >= single-probe
