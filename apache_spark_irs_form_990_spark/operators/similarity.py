@@ -1614,7 +1614,8 @@ def sim_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket-occupancy histogram: for each occupancy level, how
     many (band, bucket) cells hold that many vectors, the candidate
     pairs those cells would emit (n_buckets * occ*(occ-1)/2), and
-    whether the hot-bucket cap drops them — the operational
+    whether the hot-bucket cap diverts them to star-link edges
+    (`banded_lsh_pairs`' r5 hot-bucket fallback) — the operational
     measurement behind `banded_lsh_pairs`' cap (SCALE.md §11): run it
     BEFORE a corpus-wide near-dup pass to see where the candidate mass
     sits and whether signature width or the cap needs retuning. One

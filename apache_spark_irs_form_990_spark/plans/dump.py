@@ -106,6 +106,19 @@ SHOWCASE = {
         "once; the pair self-join is keyed on (band, band_min), pair work "
         "Σ bucket²."
     ),
+    "sim_cosine_ann_lsh": (
+        "Flat-LSH ANN (r5 capped): Arrow matmul signature projection, "
+        "stored side sampled to 64 members/bucket (WindowGroupLimit "
+        "pre-trims per task — no task holds a full hot bucket), bucket "
+        "join probe-side-full, exact milli-cosine window top-3. "
+        "Candidates <= n*C: linear."
+    ),
+    "sim_ann_batch_query": (
+        "Asymmetric batch-probes-index ANN: ~1% query batch explodes 9 "
+        "probes map-side against the capped stored index — cost "
+        "|batch|*9*C, independent of corpus size on the probe axis; the "
+        "100 TB serving shape."
+    ),
     "sim_ann_lsh_multiprobe": (
         "Multiprobe LSH: ONE stored signature table (checkpointed), capped "
         "at 64 md5-sampled members per bucket via WindowGroupLimit (r5 — "
