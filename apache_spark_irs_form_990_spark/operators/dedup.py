@@ -765,7 +765,18 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB, first-token blocking is too coarse; block on a MinHash
     band (dedup_near_minhash) and use this as the precise re-scorer of
     its candidates — the standard two-stage cascade (cheap recall,
-    expensive precision)."""
+    expensive precision).
+
+    Per-pair cost discipline (r5 — this was the registry's slowest
+    Spark-side query at 186 s, all of it O(len_a*len_b) dynamic
+    programming on ~1 KB texts): (1) a LENGTH prefilter in the join
+    condition — |len_a - len_b| > 25 forces distance > 25, so those
+    pairs never reach the DP — and (2) the THRESHOLDED levenshtein
+    (Spark 3.5+): with threshold k the DP computes only the 2k+1-wide
+    diagonal band, O(len*k) instead of O(len^2), returning -1 when the
+    distance exceeds k. Both are pure necessary-condition/banded
+    optimizations: every kept row's distance is exact, so the result
+    (and the unchanged DuckDB oracle) is bit-identical."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     toks = F.split(F.col("text"), " ")
     near = docs.filter(F.col("doc_id") % 7 == 0).select(
@@ -779,19 +790,26 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         "blk", F.split(F.col("text"), " ").getItem(0)
     )
     a, b = corpus.alias("a"), corpus.alias("b")
+    banded_dist = F.levenshtein(
+        F.col("a.text"), F.col("b.text"), threshold=25
+    ).cast("long")
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.abs(F.length(F.col("a.text")) - F.length(F.col("b.text")))
+                <= 25
+            ),
         )
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.levenshtein(F.col("a.text"), F.col("b.text")).cast("long").alias("edit_dist"),
+            banded_dist.alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= 25)
+        .filter(F.col("edit_dist") >= 0)
     )
 
 
