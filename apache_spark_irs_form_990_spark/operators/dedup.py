@@ -1320,3 +1320,78 @@ def dedup_minhash_star_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hub_id", "doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+@register(
+    "dedup_fuzzy_cascade",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1,
+                             len(string_split(text, ' ')) - 2), ' ') AS text
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    {band_signatures_sql("corpus", "c")},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM csig a JOIN csig b
+        ON a.band = b.band AND a.band_min = b.band_min
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+    FROM cand c
+    JOIN corpus a ON a.doc_id = c.id_a
+    JOIN corpus b ON b.doc_id = c.id_b
+    WHERE levenshtein(a.text, b.text) <= 25
+    """,
+)
+def dedup_fuzzy_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-stage fuzzy-dedup CASCADE that
+    [[dedup_fuzzy_levenshtein]]'s docstring names as its 100 TB form,
+    registered (r5): recall stage = MinHash-banded candidates (the
+    shared `band_signatures` kernel — sub-quadratic, shuffles only
+    (band, band_min) keys), precision stage = exact edit distance
+    gated at <= 25 on candidates only, with the r5 cost discipline
+    (length prefilter in the join condition, THRESHOLDED banded
+    levenshtein — both pure necessary-condition optimizations, so
+    kept rows are exact and the oracle needs neither). Same injected
+    %7-truncated near-dup corpus as the blocking variant, so the two
+    recall strategies are directly comparable: first-token blocking
+    scales with block sizes (quadratic within a block); banding scales
+    with true near-dup cluster sizes (SCALE.md §11 finding 2)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0)))
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(near).localCheckpoint()
+    sig = band_signatures(corpus)
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_min") == F.col("b.band_min"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ta = corpus.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    tb = corpus.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    banded_dist = F.levenshtein(F.col("ta"), F.col("tb"), threshold=25).cast(
+        "long"
+    )
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(F.abs(F.length("ta") - F.length("tb")) <= 25)
+        .select("id_a", "id_b", banded_dist.alias("edit_dist"))
+        .filter(F.col("edit_dist") >= 0)
+    )

@@ -42,6 +42,7 @@ WHITELIST = {
     # declared result (SCALE.md §11 finding 2); megacluster path is
     # dedup_minhash_star_links ---
     "dedup_minhash_banding_md5": "value-keyed (band, band_min), 16^8 keyspace",
+    "dedup_fuzzy_cascade": "value-keyed (band, band_min); banded-DP rescore",
     "dedup_lsh_recall_audit": "value-keyed (band, band_min) on bounded slice",
     "dedup_minhash_jaccard_audit": "value-keyed (band, band_min), bounded slice",
     "pipeline_dedup_cascade": "value-keyed (band, band_min) on exact-dedup survivors",
