@@ -50,9 +50,22 @@ def connected_components(
     nodes: one column ``id``; edges: ``src``/``dst`` (one direction is
     enough — symmetrized here). Returns (id, component) with component
     = min node id reachable. Deterministic for any partitioning.
+
+    The symmetrized edge list is ``localCheckpoint``-ed BEFORE the
+    loop: every propagation round joins against it, and without the
+    materialization each round would replay the caller's entire edge
+    derivation (shingle explode, df-cap window, co-occurrence join —
+    the expensive part) O(diameter) times. Measured at sf0.1 this was
+    ~3x the whole operator's runtime (r5); it is the loop-invariant
+    half of the heavy-once/fixpoint-on-summary rule (SCALE.md §8)
+    that the per-round label checkpoint alone does not cover.
     """
-    sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint()
     )
     labels = nodes.select(F.col("id"), F.col("id").alias("component"))
     labels = labels.localCheckpoint()
