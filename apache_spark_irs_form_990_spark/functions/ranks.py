@@ -55,6 +55,20 @@ def idiv(a: Column, b: Column | int) -> Column:
     return ((a - (a % b)) / b).cast("long")
 
 
+def _resolve_partitions(spark, num_partitions: int | None) -> int:
+    """Range-partition count for `global_order`: the explicit argument,
+    else ``spark.sql.shuffle.partitions``, else — when that conf holds
+    a non-numeric value (some platforms set "auto" with adaptive
+    coalescing; OSS Spark validates at set-time but patched runtimes
+    do not) — the cluster's default parallelism (ADVICE r4)."""
+    if num_partitions is not None:
+        return int(num_partitions)
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except ValueError:
+        return int(spark.sparkContext.defaultParallelism)
+
+
 def global_order(
     df: DataFrame,
     order_cols: Sequence[Column | str],
@@ -73,16 +87,7 @@ def global_order(
     """
     running = dict(running or {})
     spark = df.sparkSession
-    if num_partitions is None:
-        try:
-            num_partitions = int(
-                spark.conf.get("spark.sql.shuffle.partitions", "32")
-            )
-        except ValueError:
-            # e.g. "auto" on platforms with adaptive coalescing —
-            # fall back to the cluster's default parallelism
-            num_partitions = spark.sparkContext.defaultParallelism
-    n = int(num_partitions)
+    n = _resolve_partitions(spark, num_partitions)
     parted = (
         df.repartitionByRange(n, *order_cols)
         .withColumn("_gpid", F.spark_partition_id())

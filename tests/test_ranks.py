@@ -113,3 +113,29 @@ def test_no_unpartitioned_window_in_helper_plan(spark):
         _frame(spark), ["key", "id"], running={"cum": F.col("val")}
     )
     assert unpartitioned_windows(df) == []
+
+
+def test_resolve_partitions_non_numeric_conf_falls_back(spark):
+    """Some platforms hold a non-numeric spark.sql.shuffle.partitions
+    (e.g. "auto" with adaptive coalescing; OSS Spark rejects it at
+    set-time, patched runtimes do not) — the resolver must fall back
+    to defaultParallelism instead of raising ValueError (ADVICE r4)."""
+    from apache_spark_irs_form_990_spark.functions.ranks import (
+        _resolve_partitions,
+    )
+
+    class _FakeConf:
+        def get(self, key, default=None):
+            return "auto"
+
+    class _FakeSpark:
+        conf = _FakeConf()
+        sparkContext = spark.sparkContext
+
+    assert _resolve_partitions(_FakeSpark(), None) == int(
+        spark.sparkContext.defaultParallelism
+    )
+    assert _resolve_partitions(_FakeSpark(), 7) == 7
+    assert _resolve_partitions(spark, None) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
