@@ -32,7 +32,9 @@ SWEEP = [
     "dedup_incremental_minhash",  # asymmetric signature probe
     "layout_zorder_stats",     # broadcast bounds + bit interleave
     "mm_phash_hamming_dedup",  # Arrow block-mean kernel + quarter banding
-    "sim_ann_lsh_multiprobe",  # probe explode + bucket join + re-rank
+    "sim_ann_lsh_multiprobe",  # probe explode + capped-index join + re-rank
+    "sim_ann_batch_query",     # r5: batch probes the capped md5-sampled index
+    "dedup_fuzzy_cascade",     # r5: banded cand + thresholded levenshtein
     "pipeline_dedup_cascade",  # window keeper + band signatures + scalars
     "text_rolling_winnow_fingerprints",  # Arrow sliding-window hash kernel
     "agg_approx_percentile_contract",    # GK sketch merge under tolerance
