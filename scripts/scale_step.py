@@ -51,7 +51,9 @@ QUERIES = [
     "dedup_near_embedding",
     "sim_cosine_ann_lsh",
     "sim_ann_lsh_multiprobe",
+    "sim_ann_batch_query",
     "pipeline_dedup_cascade",
+    "dedup_fuzzy_cascade",
     "text_pack_bins",
     "beh_rfm_segments",
     "pipeline_epoch_shuffle",
