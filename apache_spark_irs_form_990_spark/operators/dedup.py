@@ -752,7 +752,8 @@ def dedup_embedding_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM blocked a
     JOIN blocked b
       ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
-    WHERE levenshtein(a.text, b.text) <= 25
+    WHERE abs(len(a.text) - len(b.text)) <= 25
+      AND levenshtein(a.text, b.text) <= 25
     """,
 )
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1345,7 +1346,8 @@ def dedup_minhash_star_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand c
     JOIN corpus a ON a.doc_id = c.id_a
     JOIN corpus b ON b.doc_id = c.id_b
-    WHERE levenshtein(a.text, b.text) <= 25
+    WHERE abs(len(a.text) - len(b.text)) <= 25
+      AND levenshtein(a.text, b.text) <= 25
     """,
 )
 def dedup_fuzzy_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
