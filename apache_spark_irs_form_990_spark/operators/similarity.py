@@ -1595,6 +1595,56 @@ def sim_topk_label_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_flat_bucket_histogram",
+    oracle=f"""
+    WITH {_SQL_MILLI},
+    {_flat_lsh_sql("m")},
+    occs AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS occ
+      FROM bucketed GROUP BY bucket
+    )
+    SELECT occ,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(count(*) * occ * (occ - 1) AS BIGINT) AS uncapped_pairs,
+           CAST(count(*) * (occ - 1) * least(occ, {_MAX_INDEX_PER_BUCKET})
+                AS BIGINT) AS capped_pairs,
+           occ > {_MAX_INDEX_PER_BUCKET} AS over_cap
+    FROM occs GROUP BY occ
+    """,
+)
+def sim_flat_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy histogram of the FLAT 2^8-bucket index — the
+    `sim_lsh_bucket_histogram` measurement applied to the single-table
+    family the r5 cap targets (`sim_cosine_ann_lsh` /
+    `sim_ann_lsh_multiprobe` / `sim_ann_batch_query`): per occupancy
+    level, how many buckets, the ORDERED candidate pairs the uncapped
+    self-join would emit (occ*(occ-1) per bucket), and what the capped
+    md5-sampled index actually emits — exactly (occ-1)*min(occ, C)
+    per bucket: each of occ probes meets min(occ, C) stored members,
+    and the min(occ, C) sampled members each skip themselves. Run it
+    before a corpus-wide ANN pass: the over_cap rows are where the cap
+    binds, and uncapped vs capped pair mass is what it saves (SCALE.md
+    §12). One tiny aggregate over the checkpointed signature frame."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", milli_vec(F.col("embedding")).alias("v")
+    )
+    occs = _flat_bucketed(emb).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    capped = F.least(F.col("occ"), F.lit(_MAX_INDEX_PER_BUCKET))
+    return occs.groupBy("occ").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        (F.count(F.lit(1)) * F.col("occ") * (F.col("occ") - 1))
+        .cast("long")
+        .alias("uncapped_pairs"),
+        (F.count(F.lit(1)) * (F.col("occ") - 1) * capped)
+        .cast("long")
+        .alias("capped_pairs"),
+        (F.col("occ") > _MAX_INDEX_PER_BUCKET).alias("over_cap"),
+    )
+
+
+@register(
     "sim_lsh_bucket_histogram",
     oracle=f"""
     WITH {_SQL_MILLI},
