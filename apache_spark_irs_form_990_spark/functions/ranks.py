@@ -60,8 +60,15 @@ def _resolve_partitions(spark, num_partitions: int | None) -> int:
     else ``spark.sql.shuffle.partitions``, else — when that conf holds
     a non-numeric value (some platforms set "auto" with adaptive
     coalescing; OSS Spark validates at set-time but patched runtimes
-    do not) — the cluster's default parallelism (ADVICE r4)."""
+    do not) — the cluster's default parallelism (ADVICE r4). An
+    explicit ``num_partitions < 1`` is a caller bug — raised here with
+    a clear message instead of surfacing as a repartitionByRange
+    failure (ADVICE r5)."""
     if num_partitions is not None:
+        if num_partitions < 1:
+            raise ValueError(
+                f"num_partitions must be >= 1, got {num_partitions}"
+            )
         return int(num_partitions)
     try:
         return int(spark.conf.get("spark.sql.shuffle.partitions", "32"))

@@ -43,7 +43,10 @@ from apache_spark_irs_form_990_spark.tables import load
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list.
 
@@ -59,6 +62,13 @@ def connected_components(
     ~3x the whole operator's runtime (r5); it is the loop-invariant
     half of the heavy-once/fixpoint-on-summary rule (SCALE.md §8)
     that the per-round label checkpoint alone does not cover.
+
+    ``stats`` (r6, scale-step instrumentation): when a dict is passed,
+    it is filled with ``rounds`` (propagation rounds run, including
+    the fixpoint-confirming one) and ``sym_edges`` (symmetrized edge
+    count) — the two quantities whose growth across SF steps bounds
+    the loop's total cost (rounds x edges). Costs one extra count job;
+    None (the default) adds no work.
     """
     sym = (
         edges.select("src", "dst")
@@ -67,10 +77,15 @@ def connected_components(
         )
         .localCheckpoint()
     )
+    if stats is not None:
+        stats["sym_edges"] = sym.count()
+        stats["rounds"] = 0
     labels = nodes.select(F.col("id"), F.col("id").alias("component"))
     labels = labels.localCheckpoint()
     prev_sum = None
     for _ in range(max_iter):
+        if stats is not None:
+            stats["rounds"] += 1
         prop = (
             sym.join(labels, sym.src == labels.id)
             .select(F.col("dst").alias("id"), "component")
@@ -177,6 +192,19 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     component_id` — one filter, no further joins.
     """
     corpus = _three_gen_corpus(spark, sf_dir)
+    comp = connected_components(
+        corpus.select(F.col("doc_id").alias("id")), _doc_jaccard_edges(corpus)
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("component_id")
+    )
+
+
+def _doc_jaccard_edges(corpus: DataFrame) -> DataFrame:
+    """Jaccard>=0.6 shingle-overlap edges (src, dst) over a
+    (doc_id, text) corpus — `dedup_cluster_components`' edge source,
+    exposed so the scale-step sweep can measure edge growth and CC
+    round counts with the operator's own kernel (r6)."""
     shingled0 = corpus.select(
         "doc_id",
         F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
@@ -202,17 +230,11 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("shared").cast("double") / (
         F.col("sa.n") + F.col("sb.n") - F.col("shared")
     )
-    edges = (
+    return (
         overlap.join(sa, F.col("id_a") == F.col("sa.doc_id"))
         .join(sb, F.col("id_b") == F.col("sb.doc_id"))
         .filter(jac >= 0.6)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    )
-    comp = connected_components(
-        corpus.select(F.col("doc_id").alias("id")), edges
-    )
-    return comp.select(
-        F.col("id").alias("doc_id"), F.col("component").alias("component_id")
     )
 
 

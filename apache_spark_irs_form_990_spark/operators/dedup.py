@@ -739,7 +739,8 @@ def dedup_embedding_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id,
              array_to_string(list_slice(string_split(text, ' '), 1,
-                             len(string_split(text, ' ')) - 2), ' ') AS text,
+                             greatest(len(string_split(text, ' ')) - 2, 0)),
+                             ' ') AS text,
              lang
       FROM documents WHERE doc_id % 7 = 0
     ),
@@ -1331,7 +1332,8 @@ def dedup_minhash_star_links(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id,
              array_to_string(list_slice(string_split(text, ' '), 1,
-                             len(string_split(text, ' ')) - 2), ' ') AS text
+                             greatest(len(string_split(text, ' ')) - 2, 0)),
+                             ' ') AS text
       FROM documents WHERE doc_id % 7 = 0
     ),
     {band_signatures_sql("corpus", "c")},
@@ -1396,4 +1398,114 @@ def dedup_fuzzy_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.length("ta") - F.length("tb")) <= 25)
         .select("id_a", "id_b", banded_dist.alias("edit_dist"))
         .filter(F.col("edit_dist") >= 0)
+    )
+
+
+@register(
+    "dedup_fuzzy_star_rescore",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1,
+                             greatest(len(string_split(text, ' ')) - 2, 0)),
+                             ' ') AS text
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    {band_signatures_sql("corpus", "c")},
+    hubs AS (
+      SELECT band, band_min, min(doc_id) AS hub_id
+      FROM csig GROUP BY band, band_min
+    ),
+    star AS (
+      SELECT DISTINCT h.hub_id, s.doc_id
+      FROM csig s
+      JOIN hubs h ON s.band = h.band AND s.band_min = h.band_min
+      WHERE s.doc_id <> h.hub_id
+    ),
+    confirmed AS (
+      SELECT st.doc_id,
+             min(st.hub_id) AS min_hub,
+             count(*) AS n_dup_hubs
+      FROM star st
+      JOIN corpus m ON m.doc_id = st.doc_id
+      JOIN corpus h ON h.doc_id = st.hub_id
+      WHERE abs(len(m.text) - len(h.text)) <= 25
+        AND levenshtein(m.text, h.text) <= 25
+      GROUP BY st.doc_id
+    )
+    SELECT c.doc_id,
+           coalesce(cf.min_hub, c.doc_id) AS keeper_id,
+           CAST(coalesce(cf.n_dup_hubs, 0) AS BIGINT) AS n_dup_hubs
+    FROM corpus c
+    LEFT JOIN confirmed cf ON cf.doc_id = c.doc_id
+    """,
+)
+def dedup_fuzzy_star_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEGACLUSTER-SAFE fuzzy-dedup cascade (r6, VERDICT r5 task 1)
+    — [[dedup_fuzzy_cascade]] recomposed so the expensive precision
+    stage runs on STAR-LINK hub edges instead of pairwise banded
+    candidates. The cascade's registered pairwise form rescores every
+    candidate pair, which is inherently k^2 in duplicate-cluster size
+    (SCALE_STEP_r05.json measured 3.38 s -> 50.76 s across the 10x
+    sf0.1 -> sf1 step as candidates grew 43k -> 1.77M); here each doc
+    rescores only against its buckets' HUBS ([[dedup_minhash_star_links]]
+    topology: hub = bucket-min doc_id), so total DP work is bounded by
+    bands x n regardless of cluster size — O(occ), not O(occ^2).
+
+    Semantics: for a true near-dup cluster every member shares a band
+    minimum with the cluster's minimum doc — all members link to (and
+    edit-distance-confirm against) the same hub, so keep-min
+    SURVIVORSHIP is unchanged vs the pairwise form (the star spans the
+    same component; SCALE.md §12's argument, now executable). Output
+    is the per-document golden-record election the pipeline actually
+    consumes: (doc_id, keeper_id = min confirmed hub else self,
+    n_dup_hubs), one row per corpus doc — singletons keep themselves
+    with n_dup_hubs = 0. Same %7-truncated injected corpus and the
+    same |len delta| <= 25 prefilter + thresholded banded-DP
+    levenshtein(.., 25) cost discipline as the pairwise cascade, so
+    the two registered forms are directly comparable in the
+    scale-step sweep."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0)))
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(near).localCheckpoint()
+    sig = band_signatures(corpus)
+    hubs = sig.groupBy("band", "band_min").agg(F.min("doc_id").alias("hub_id"))
+    star = (
+        sig.join(hubs, ["band", "band_min"])
+        .filter(F.col("doc_id") != F.col("hub_id"))
+        .select("hub_id", "doc_id")
+        .distinct()
+    )
+    tm = corpus.select("doc_id", F.col("text").alias("t_m"))
+    th = corpus.select(
+        F.col("doc_id").alias("hub_id"), F.col("text").alias("t_h")
+    )
+    banded_dist = F.levenshtein(F.col("t_m"), F.col("t_h"), threshold=25)
+    confirmed = (
+        star.join(tm, "doc_id")
+        .join(th, "hub_id")
+        .filter(F.abs(F.length("t_m") - F.length("t_h")) <= 25)
+        .filter(banded_dist >= 0)
+        .groupBy("doc_id")
+        .agg(
+            F.min("hub_id").alias("min_hub"),
+            F.count(F.lit(1)).alias("n_dup_hubs"),
+        )
+    )
+    return (
+        corpus.select("doc_id")
+        .join(confirmed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("min_hub", F.col("doc_id")).alias("keeper_id"),
+            F.coalesce("n_dup_hubs", F.lit(0)).cast("long").alias("n_dup_hubs"),
+        )
     )

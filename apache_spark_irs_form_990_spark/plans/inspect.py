@@ -111,16 +111,46 @@ def unguarded_bucket_joins(df: DataFrame) -> list[str]:
             continue
         if not _BUCKET_KEY_EQ.search(cond.get().toString()):
             continue
-        guarded = False
-        for sub in _iter_logical_nodes(node):
-            if sub.getClass().getSimpleName() == "Filter":
-                fs = sub.condition().toString()
-                if "_occ#" in fs or "_bucket_seq#" in fs:
-                    guarded = True
-                    break
-        if not guarded:
+        if not _join_input_guarded(node):
             hits.append(node.simpleString(160))
     return hits
+
+
+def _join_input_guarded(join_node) -> bool:
+    """True iff a guard Filter (on ``_occ`` / ``_bucket_seq``) sits in
+    one of THIS join's direct input subtrees — children only, NOT the
+    join's own subquery expressions (r6, ADVICE r5: the r5 search ran
+    `_iter_logical_nodes` on the join node itself, which also swept
+    subquery plans that feed no join input).
+
+    Scoping limitation, documented deliberately: the guard is required
+    to be in an input subtree, not proven to DOMINATE the joined
+    bucket stream. The capped kernels thread their guard through a
+    broadcast restriction join (`banded_lsh_pairs`: Filter(_occ) lives
+    UNDER the `banded JOIN cold_keys` bucket-keyed join that feeds the
+    pair join), so any rule that refuses to descend past nested
+    bucket-keyed joins flags the guard mechanism itself; proving the
+    Filter constrains the specific key attribute would need transitive
+    equality/attribute-lineage propagation across joins, which the
+    py4j plan surface does not support robustly. A query unioning an
+    unrelated capped frame into a join input could therefore still
+    pass — the whitelist review in tests/test_bucket_join_lint.py is
+    the human backstop for that shape."""
+
+    def side_guarded(node) -> bool:
+        if node.getClass().getSimpleName() == "Filter":
+            fs = node.condition().toString()
+            if "_occ#" in fs or "_bucket_seq#" in fs:
+                return True
+        children = node.children()
+        return any(
+            side_guarded(children.apply(i)) for i in range(children.size())
+        )
+
+    children = join_node.children()
+    return any(
+        side_guarded(children.apply(i)) for i in range(children.size())
+    )
 
 
 def count_occurrences(df: DataFrame, op: str) -> int:

@@ -934,3 +934,112 @@ def stream_statestore_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.createDataFrame(rows, schema=schema)
+
+
+def _stream_ann_oracle() -> str:
+    from apache_spark_irs_form_990_spark.operators.similarity import (
+        _batch_query_oracle,
+    )
+
+    return _batch_query_oracle()
+
+
+@register("stream_sim_ann_static_index", oracle=_stream_ann_oracle())
+def stream_sim_ann_static_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN ingest — the embedding twin of
+    [[stream_dedup_near_static_index]] (r6, VERDICT r5 task 4): new
+    vectors arrive as micro-batches, each is BUCKETED MAP-SIDE
+    (`_bucket_udf` + `sq_norm` are pure projections — no aggregation,
+    so they run unmodified on an unbounded stream), multiprobe-exploded
+    (own bucket + 8 one-bit flips), and joined against the STATIC
+    capped `_flat_index` via a stream-static join. The join itself is
+    STATELESS — each (query, index-member) candidate appears exactly
+    once (an index member has one bucket; the 9 probe values are
+    distinct), so the stream emits exact-cosine-scored candidates in
+    append mode with zero state store; the serving layer's top-3
+    re-rank runs as a batch window on the drained result.
+
+    Backfill equivalence: the streamed probe of the 2-micro-batch
+    replay equals [[sim_ann_batch_query]]'s batch join exactly — the
+    oracle IS the batch query's oracle (SCALE.md §6). At 100 TB the
+    static side is the persisted bucket-partitioned index
+    ([[sim_ann_index_persist_probe]] proves that round trip) and this
+    query is the live scorer in front of it; per-micro-batch cost is
+    |batch| * 9 * C regardless of corpus size."""
+    from apache_spark_irs_form_990_spark.functions.vectors import (
+        milli_vec,
+        pair_dot_udf,
+        sq_norm,
+    )
+    from apache_spark_irs_form_990_spark.operators.similarity import (
+        _PLANES,
+        _bucket_udf,
+        _flat_bucketed,
+        _flat_index,
+    )
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", milli_vec(F.col("embedding")).alias("v")
+    )
+    bucketed = _flat_bucketed(emb)
+    index = _flat_index(bucketed).localCheckpoint()
+    batch = emb.filter(F.col("vec_id") % 97 == 0)
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark990_annstream_{next(_COUNTER)}"
+    )
+    in_dir = _write_batches(
+        spark,
+        root,
+        [
+            batch.filter(F.col("vec_id") % 194 == 0),
+            batch.filter(F.col("vec_id") % 194 != 0),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    # map-side bucketing + norm: pure projections, stream-safe
+    qstream = stream.select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("va"),
+        _bucket_udf(_PLANES)(F.col("v")).getItem(0).alias("bucket"),
+        sq_norm(F.col("v")).alias("na"),
+    )
+    probes = qstream.select(
+        "qid",
+        "va",
+        "na",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                    for j in range(len(_PLANES))
+                ],
+            )
+        ).alias("probe"),
+    )
+    idx = index.select(
+        F.col("vec_id").alias("nid"),
+        F.col("v").alias("vb"),
+        F.col("bucket"),
+        F.col("n").alias("nb"),
+    )
+    cosine = pair_dot_udf()(F.col("va"), F.col("vb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    scored = probes.join(
+        idx,
+        (F.col("probe") == F.col("bucket")) & (F.col("qid") != F.col("nid")),
+    ).select("qid", "nid", cosine.alias("cosine"))
+    out = run_to_completion(scored, "append")
+    shutil.rmtree(root, ignore_errors=True)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

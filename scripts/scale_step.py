@@ -29,7 +29,23 @@ r5 additions:
   max-task-rows profile of the distributed rank itself, vs the
   whitelisted single-task form whose one window task holds ALL rows.
 
-Usage: python scripts/scale_step.py   (writes SCALE_STEP_r05.json)
+r6 additions (VERDICT r5 tasks 1, 2):
+- `dedup_fuzzy_star_rescore` next to `dedup_fuzzy_cascade`: the
+  megacluster-safe hub-rescored cascade vs the pairwise one whose r5
+  sweep hit 50.8 s at sf1 — the "done" evidence for the r5 verdict's
+  one weak item is this pair of rows.
+- The CLUSTERING family (`dedup_semantic_cluster`,
+  `dedup_cluster_components`, `dedup_cluster_size_histogram`,
+  `graph_kcore_peel`): runtimes per step PLUS the iterative loop's own
+  growth axes measured with the operators' kernels — symmetrized edge
+  counts and connected-components rounds-to-converge (rounds x edges
+  bounds total loop cost; diameter growth is a distinct risk from edge
+  growth). lineitem is now synthesized at sf1 (all keys shifted per
+  copy => 10 disjoint subgraph copies) for the kcore rows.
+- `sim_ann_index_persist_probe`: the persisted-index round trip next
+  to the in-query `sim_ann_batch_query` form.
+
+Usage: python scripts/scale_step.py   (writes SCALE_STEP_r06.json)
 """
 
 from __future__ import annotations
@@ -45,7 +61,7 @@ sys.path.insert(0, REPO_ROOT)
 from pyspark.sql import functions as F  # noqa: E402
 
 SCALE_ROOT = "/tmp/spark990_scale"
-_SYNTH_VERSION = 2  # bump when synthesize_sf1's generated content changes
+_SYNTH_VERSION = 3  # bump when synthesize_sf1's generated content changes
 QUERIES = [
     "dedup_minhash_banding_md5",
     "dedup_near_embedding",
@@ -54,6 +70,12 @@ QUERIES = [
     "sim_ann_batch_query",
     "pipeline_dedup_cascade",
     "dedup_fuzzy_cascade",
+    "dedup_fuzzy_star_rescore",
+    "sim_ann_index_persist_probe",
+    "dedup_semantic_cluster",
+    "dedup_cluster_components",
+    "dedup_cluster_size_histogram",
+    "graph_kcore_peel",
     "text_pack_bins",
     "beh_rfm_segments",
     "pipeline_epoch_shuffle",
@@ -70,13 +92,15 @@ def synthesize_sf1(spark, base: str = "/root/testdata/sf0.1", copies: int = 10) 
     docs = spark.read.parquet(os.path.join(base, "documents.parquet"))
     embs = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
     orders = spark.read.parquet(os.path.join(base, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(base, "lineitem.parquet"))
 
-    doc_parts, emb_parts, ord_parts = [], [], []
+    doc_parts, emb_parts, ord_parts, li_parts = [], [], [], []
     for k in range(copies):
         if k == 0:
             doc_parts.append(docs)
             emb_parts.append(embs)
             ord_parts.append(orders)
+            li_parts.append(lineitem)
             continue
         def mutate(kk: int):
             return lambda w, i: F.when(
@@ -111,6 +135,21 @@ def synthesize_sf1(spark, base: str = "/root/testdata/sf0.1", copies: int = 10) 
                 *[c for c in orders.columns if c not in ("o_orderkey", "o_custkey")],
             )
         )
+        # every key shifted => each copy is a DISJOINT co-purchase
+        # subgraph: edges grow exactly 10x, component structure per
+        # copy unchanged — the clean per-copy scaling for graph rows
+        li_parts.append(
+            lineitem.select(
+                (F.col("l_orderkey") + k * 100_000_000).alias("l_orderkey"),
+                (F.col("l_partkey") + k * 10_000_000).alias("l_partkey"),
+                (F.col("l_suppkey") + k * 10_000_000).alias("l_suppkey"),
+                *[
+                    c
+                    for c in lineitem.columns
+                    if c not in ("l_orderkey", "l_partkey", "l_suppkey")
+                ],
+            )
+        )
 
     def union_write(parts, name):
         d = parts[0]
@@ -123,6 +162,7 @@ def synthesize_sf1(spark, base: str = "/root/testdata/sf0.1", copies: int = 10) 
     union_write(doc_parts, "documents")
     union_write(emb_parts, "embeddings")
     union_write(ord_parts, "orders")
+    union_write(li_parts, "lineitem")
     with open(marker, "w") as f:
         f.write("ok\n")
     return out
@@ -136,11 +176,14 @@ def global_order_task_profile(spark, sf_dir: str) -> dict:
     rows per task; the whitelisted single-task form would hold ALL
     rows in ONE task. Near-flat max_task_rows / total across SF steps
     is the claim the r4 rewires shipped on — this measures it."""
+    from apache_spark_irs_form_990_spark.functions.ranks import (
+        _resolve_partitions,
+    )
     from apache_spark_irs_form_990_spark.tables import load
 
     docs = load(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit("epoch7|"), F.col("doc_id").cast("string")))
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n = _resolve_partitions(spark, None)
     parted = (
         docs.select("doc_id", key.alias("_ekey"))
         .repartitionByRange(n, "_ekey", "doc_id")
@@ -162,6 +205,53 @@ def global_order_task_profile(spark, sf_dir: str) -> dict:
         "global_order_n_tasks": int(prof.n_tasks),
         "single_task_form_rows": int(prof.total_rows),
     }
+
+
+def clustering_profile(spark, sf_dir: str) -> dict:
+    """Edge counts and CC rounds-to-converge for the two
+    connected-components consumers, measured with the operators' OWN
+    kernels (instrumented via connected_components' stats hook), plus
+    the kcore co-purchase edge count — the growth axes of the last
+    heavy family with no committed scale measurement (VERDICT r5
+    task 2). Rounds x edges bounds the loop's total join work; rounds
+    track graph DIAMETER, which can grow even when edges grow
+    linearly (truncation-chain clusters are paths, not cliques)."""
+    from apache_spark_irs_form_990_spark.operators.components import (
+        _doc_jaccard_edges,
+        _semantic_corpus,
+        _semantic_edges,
+        _three_gen_corpus,
+        connected_components,
+    )
+    from apache_spark_irs_form_990_spark.queries.graph_ext import (
+        copurchase_edges,
+    )
+
+    out: dict = {}
+    corpus = _three_gen_corpus(spark, sf_dir)
+    st: dict = {}
+    connected_components(
+        corpus.select(F.col("doc_id").alias("id")),
+        _doc_jaccard_edges(corpus),
+        stats=st,
+    ).write.format("noop").mode("overwrite").save()
+    out["cc_doc_sym_edges"] = st["sym_edges"]
+    out["cc_doc_rounds"] = st["rounds"]
+
+    sem = _semantic_corpus(spark, sf_dir)
+    st = {}
+    connected_components(
+        sem.select(F.col("vec_id").alias("id")),
+        _semantic_edges(spark, sf_dir),
+        stats=st,
+    ).write.format("noop").mode("overwrite").save()
+    out["cc_sem_sym_edges"] = st["sym_edges"]
+    out["cc_sem_rounds"] = st["rounds"]
+
+    out["kcore_copurchase_edges"] = (
+        copurchase_edges(spark, sf_dir, support=2).count()
+    )
+    return out
 
 
 def measure(spark, sf_dir: str) -> dict:
@@ -246,6 +336,7 @@ def measure(spark, sf_dir: str) -> dict:
     )
 
     out.update(global_order_task_profile(spark, sf_dir))
+    out.update(clustering_profile(spark, sf_dir))
 
     for name in QUERIES:
         fn = qs[name]
@@ -270,7 +361,7 @@ def main() -> None:
         measure(spark, sf1),
     ]
     result = {"queries": QUERIES, "steps": rows}
-    path = os.path.join(REPO_ROOT, "SCALE_STEP_r05.json")
+    path = os.path.join(REPO_ROOT, "SCALE_STEP_r06.json")
     with open(path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1))

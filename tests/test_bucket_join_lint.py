@@ -51,6 +51,11 @@ WHITELIST = {
     "dedup_incremental_minhash": "asymmetric batch-probes-index join",
     # --- star topology: build side is one hub row per bucket ---
     "dedup_minhash_star_links": "hub join: one row per bucket on build side",
+    "dedup_fuzzy_star_rescore": "hub join: one row per bucket on build side",
+    # --- persisted capped index: the _bucket_seq cap ran in the BUILD
+    # job before the parquet write, so the probe join's plan cannot
+    # show the guard Filter; probe side is the tiny ~1% batch ---
+    "sim_ann_index_persist_probe": "probes persisted capped index; asymmetric batch probe",
     # --- value-keyed minhash band hash (R concatenated minhashes):
     # keyspace is the full hash range, occupancy tracks cluster size ---
     "dedup_near_minhash": "value-keyed band-hash bucket, full hash-range keyspace",
