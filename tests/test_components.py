@@ -174,3 +174,34 @@ def test_band_signature_kernels_identical(spark):
     a = sorted(tuple(r) for r in band_signatures(docs).collect())
     b = sorted(tuple(r) for r in band_signatures_stateless(docs).collect())
     assert a == b and len(a) > 0
+
+
+def test_fuzzy_star_rescore_recovers_planted_duplicates(spark):
+    """The hub-rescored fuzzy cascade must actually dedup: every
+    injected near-dup (doc_id = orig + 1e6, orig % 7 == 0) shares its
+    cluster's band minima with the original, so the overwhelming
+    majority elect the original as keeper (a different hub or a
+    banding miss is allowed for a few — LSH recall is probabilistic),
+    and NO doc ever elects a keeper larger than itself (hub = bucket
+    minimum, so keep-min survivorship is monotone by construction)."""
+    from pyspark.sql import functions as F
+
+    from apache_spark_irs_form_990_spark.operators.dedup import (
+        dedup_fuzzy_star_rescore,
+    )
+    from tests.conftest import SF_DIR
+
+    out = dedup_fuzzy_star_rescore(spark, SF_DIR).cache()
+    try:
+        planted = out.filter(F.col("doc_id") >= 1000000).collect()
+        assert len(planted) > 0
+        hits = sum(
+            1 for r in planted if r.keeper_id == r.doc_id - 1000000
+        )
+        assert hits >= 0.8 * len(planted), (
+            f"only {hits}/{len(planted)} planted near-dups elected "
+            f"their original as keeper"
+        )
+        assert out.filter(F.col("keeper_id") > F.col("doc_id")).count() == 0
+    finally:
+        out.unpersist()

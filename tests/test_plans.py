@@ -439,3 +439,23 @@ def test_bloom_runtime_filter_reaches_fact_scan(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_persisted_index_probe_broadcasts_and_prunes(spark):
+    """sim_ann_index_persist_probe's serving contract in the plan: the
+    exploded probe batch BROADCASTS (BuildLeft on the probe=bucket
+    join — the index, which is corpus-sized, must never be the build
+    side), and the persisted bucket-partitioned index scan is pruned
+    to the probed buckets via dynamic partition pruning (the
+    SubqueryAdaptiveBroadcast dynamicpruning subquery on the scan)."""
+    plan = physical_plan(QUERIES["sim_ann_index_persist_probe"](spark, SF_DIR))
+    probe_joins = [
+        ln
+        for ln in plan.splitlines()
+        if "BroadcastHashJoin" in ln and "probe" in ln and "bucket" in ln
+    ]
+    assert probe_joins, f"no broadcast join on probe = bucket:\n{plan}"
+    assert "BuildLeft" in probe_joins[0], probe_joins[0]
+    assert "dynamicpruning" in plan, (
+        f"index scan not dynamically pruned to probed buckets:\n{plan}"
+    )

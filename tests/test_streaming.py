@@ -200,3 +200,26 @@ def test_stream_near_dup_probe_matches_batch_probe(spark):
         tuple(r) for r in dedup_incremental_minhash(spark, SF_DIR).collect()
     )
     assert streamed == batch and len(streamed) > 0
+
+
+def test_stream_ann_probe_matches_batch_query(spark):
+    """Backfill equivalence for the streaming ANN scorer: the
+    2-micro-batch streamed probe of the static capped index must
+    produce exactly `sim_ann_batch_query`'s batch join result —
+    bit-identical cosines included (both sides run the same integer
+    milli dot product and the same IEEE division)."""
+    from apache_spark_irs_form_990_spark.operators.similarity import (
+        sim_ann_batch_query,
+    )
+    from apache_spark_irs_form_990_spark.streaming.stream_queries import (
+        stream_sim_ann_static_index,
+    )
+    from tests.conftest import SF_DIR
+
+    streamed = sorted(
+        tuple(r) for r in stream_sim_ann_static_index(spark, SF_DIR).collect()
+    )
+    batch = sorted(
+        tuple(r) for r in sim_ann_batch_query(spark, SF_DIR).collect()
+    )
+    assert streamed == batch and len(streamed) > 0
