@@ -1509,3 +1509,172 @@ def dedup_fuzzy_star_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_dup_hubs", F.lit(0)).cast("long").alias("n_dup_hubs"),
         )
     )
+
+
+@register(
+    "dedup_star_vs_pairwise_audit",
+    oracle=f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1,
+                             greatest(len(string_split(text, ' ')) - 2, 0)),
+                             ' ') AS text
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    {band_signatures_sql("corpus", "c")},
+    sig AS MATERIALIZED (SELECT * FROM csig),
+    hubs AS (
+      SELECT band, band_min, min(doc_id) AS hub_id
+      FROM sig GROUP BY band, band_min
+    ),
+    star AS (
+      SELECT DISTINCT h.hub_id, s.doc_id
+      FROM sig s
+      JOIN hubs h ON s.band = h.band AND s.band_min = h.band_min
+      WHERE s.doc_id <> h.hub_id
+    ),
+    star_keep AS (
+      SELECT st.doc_id, min(st.hub_id) AS keeper_id
+      FROM star st
+      JOIN corpus m ON m.doc_id = st.doc_id
+      JOIN corpus h ON h.doc_id = st.hub_id
+      WHERE abs(len(m.text) - len(h.text)) <= 25
+        AND levenshtein(m.text, h.text) <= 25
+      GROUP BY st.doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.band_min = b.band_min
+       AND a.doc_id < b.doc_id
+    ),
+    pair_edges AS MATERIALIZED (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN corpus a ON a.doc_id = c.id_a
+      JOIN corpus b ON b.doc_id = c.id_b
+      WHERE abs(len(a.text) - len(b.text)) <= 25
+        AND levenshtein(a.text, b.text) <= 25
+    ),
+    pair_keep AS (
+      SELECT id_b AS doc_id, min(id_a) AS keeper_id
+      FROM pair_edges GROUP BY id_b
+    ),
+    elected AS (
+      SELECT c.doc_id,
+             coalesce(s.keeper_id, c.doc_id) AS star_keeper,
+             coalesce(p.keeper_id, c.doc_id) AS pair_keeper
+      FROM corpus c
+      LEFT JOIN star_keep s ON s.doc_id = c.doc_id
+      LEFT JOIN pair_keep p ON p.doc_id = c.doc_id
+    )
+    SELECT count(*) AS n_docs,
+           CAST(sum(CASE WHEN star_keeper < doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_star_dups,
+           CAST(sum(CASE WHEN pair_keeper < doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pair_dups,
+           CAST(sum(CASE WHEN star_keeper = pair_keeper THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           CAST(sum(CASE WHEN star_keeper = pair_keeper THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS agree_rate
+    FROM elected
+    """,
+)
+def dedup_star_vs_pairwise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHAT DOES THE STAR SHORTCUT COST? — the audit that closes the
+    loop on [[dedup_fuzzy_star_rescore]] the way the recall-audit
+    family does for every other approximation in the registry: both
+    cascades run on the SAME banded signatures, each elects a
+    keep-min keeper per doc (star: min edit-confirmed hub; pairwise:
+    min edit-confirmed smaller partner — the one-hop keep-min rule on
+    each edge set), and the single output row reports duplicate
+    counts per strategy plus the per-doc keeper agreement rate. The
+    two disagree only when a cluster member confirms against some
+    smaller partner but NOT against its buckets' hubs (metric
+    non-transitivity at the edit-distance gate) — rare on truncation
+    near-dups, and this query is the standing measurement of exactly
+    how rare. At 100 TB the pairwise side is the one that blows up
+    (O(occ²) DP rescores), so run this audit on a hash-bucketed
+    sample to justify the O(occ) star plan, then deploy the star
+    form — the same sample-then-trust protocol as
+    `dedup_lsh_recall_audit`."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0)))
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(near).localCheckpoint()
+    sig = band_signatures(corpus).localCheckpoint()
+    tm = corpus.select("doc_id", F.col("text").alias("t_m"))
+    th = corpus.select(
+        F.col("doc_id").alias("hub_id"), F.col("text").alias("t_h")
+    )
+    hubs = sig.groupBy("band", "band_min").agg(F.min("doc_id").alias("hub_id"))
+    star = (
+        sig.join(hubs, ["band", "band_min"])
+        .filter(F.col("doc_id") != F.col("hub_id"))
+        .select("hub_id", "doc_id")
+        .distinct()
+    )
+    star_keep = (
+        star.join(tm, "doc_id")
+        .join(th, "hub_id")
+        .filter(F.abs(F.length("t_m") - F.length("t_h")) <= 25)
+        .filter(F.levenshtein(F.col("t_m"), F.col("t_h"), threshold=25) >= 0)
+        .groupBy("doc_id")
+        .agg(F.min("hub_id").alias("star_min"))
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_min") == F.col("b.band_min"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ta = corpus.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    tb = corpus.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    pair_keep = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(F.abs(F.length("ta") - F.length("tb")) <= 25)
+        .filter(F.levenshtein(F.col("ta"), F.col("tb"), threshold=25) >= 0)
+        .groupBy(F.col("id_b").alias("doc_id"))
+        .agg(F.min("id_a").alias("pair_min"))
+    )
+    elected = (
+        corpus.select("doc_id")
+        .join(star_keep, "doc_id", "left")
+        .join(pair_keep, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("star_min", F.col("doc_id")).alias("star_keeper"),
+            F.coalesce("pair_min", F.col("doc_id")).alias("pair_keeper"),
+        )
+    )
+    return elected.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("star_keeper") < F.col("doc_id")).cast("long")).alias(
+            "n_star_dups"
+        ),
+        F.sum((F.col("pair_keeper") < F.col("doc_id")).cast("long")).alias(
+            "n_pair_dups"
+        ),
+        F.sum((F.col("star_keeper") == F.col("pair_keeper")).cast("long")).alias(
+            "n_agree"
+        ),
+        (
+            F.sum(
+                (F.col("star_keeper") == F.col("pair_keeper")).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("agree_rate"),
+    )

@@ -79,6 +79,13 @@ EXTENDED = [
     # the quadratic fix (SCALE.md §12) and the asymmetric serving shape.
     "sim_cosine_ann_lsh",
     "sim_ann_batch_query",
+    # r6: the megacluster-safe fuzzy cascade (hub-rescored form of
+    # dedup_fuzzy_cascade), the persisted-index ANN round trip, and
+    # the streaming ANN scorer — per-round tracking of the round's
+    # three serving-shape additions.
+    "dedup_fuzzy_star_rescore",
+    "sim_ann_index_persist_probe",
+    "stream_sim_ann_static_index",
 ]
 
 

@@ -43,6 +43,7 @@ WHITELIST = {
     # dedup_minhash_star_links ---
     "dedup_minhash_banding_md5": "value-keyed (band, band_min), 16^8 keyspace",
     "dedup_fuzzy_cascade": "value-keyed (band, band_min); banded-DP rescore",
+    "dedup_star_vs_pairwise_audit": "audit: value-keyed (band, band_min); sample at scale",
     "dedup_lsh_recall_audit": "value-keyed (band, band_min) on bounded slice",
     "dedup_minhash_jaccard_audit": "value-keyed (band, band_min), bounded slice",
     "pipeline_dedup_cascade": "value-keyed (band, band_min) on exact-dedup survivors",

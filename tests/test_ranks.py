@@ -139,3 +139,76 @@ def test_resolve_partitions_non_numeric_conf_falls_back(spark):
     assert _resolve_partitions(spark, None) == int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+
+
+def test_global_order_constant_key_skew(spark):
+    """WORST-CASE sort-key skew: the primary key is ONE constant value
+    for every row, so the range partitioner sees a single key group
+    and spreads rows only via the unique tiebreak column the contract
+    demands. Asserts (a) max-task rows stays ~n/P (no single task
+    holds the frame — the failure mode of a naive range partition on
+    the primary key alone), (b) ranks are exact vs the single-task
+    window, (c) the result is partition-invariant (VERDICT r5 task 6)."""
+    n, parts = 4096, 16
+    df = spark.range(n).repartition(7).select(
+        "id", F.lit(0).alias("key"), (F.col("id") % 5).alias("val")
+    )
+    parted = (
+        df.repartitionByRange(parts, "key", "id")
+        .withColumn("_gpid", F.spark_partition_id())
+    )
+    prof = (
+        parted.groupBy("_gpid")
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .agg(F.max("rows").alias("mx"), F.count(F.lit(1)).alias("nt"))
+        .collect()[0]
+    )
+    # range sampling is approximate: allow 4x the ideal share, but the
+    # single-task collapse (mx == n) must be impossible
+    assert prof.mx <= 4 * (n // parts), (
+        f"constant-key skew collapsed the range partition: max task "
+        f"holds {prof.mx} of {n} rows across {prof.nt} tasks"
+    )
+    got = global_order(
+        df, ["key", "id"], running={"cum": F.col("val")}, rn_col="rn",
+        num_partitions=parts,
+    )
+    w = Window.orderBy("key", "id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("key", "id")).cast("long")
+    ).withColumn("cum", F.sum("val").over(w).cast("long"))
+    assert got.select("id", "rn", "cum").exceptAll(
+        want.select("id", "rn", "cum")
+    ).count() == 0
+    assert want.select("id", "rn", "cum").exceptAll(
+        got.select("id", "rn", "cum")
+    ).count() == 0
+    base = {(r.id, r.rn, r.cum) for r in got.collect()}
+    for p in (1, 50):
+        again = {
+            (r.id, r.rn, r.cum)
+            for r in global_order(
+                df.repartition(p),
+                ["key", "id"],
+                running={"cum": F.col("val")},
+                rn_col="rn",
+                num_partitions=parts,
+            ).collect()
+        }
+        assert again == base, f"skewed ranks changed under repartition({p})"
+
+
+def test_resolve_partitions_rejects_nonpositive(spark):
+    """An explicit num_partitions < 1 is a caller bug — raise a clear
+    ValueError instead of the opaque repartitionByRange failure
+    (ADVICE r5)."""
+    from apache_spark_irs_form_990_spark.functions.ranks import (
+        _resolve_partitions,
+    )
+
+    with pytest.raises(ValueError, match="num_partitions"):
+        _resolve_partitions(spark, 0)
+    with pytest.raises(ValueError, match="num_partitions"):
+        _resolve_partitions(spark, -3)
