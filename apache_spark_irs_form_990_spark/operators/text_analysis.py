@@ -866,8 +866,15 @@ _RK_POWS = [pow(_RK_B, _RK_W - 1 - j, _RK_M) for j in range(_RK_W)]
 def _winnow_oracle() -> str:
     pw = "[" + ", ".join(str(p) for p in _RK_POWS) + "]"
     W, M, K = _RK_W, _RK_M, _WINNOW_W
+    # The coefficient vector is HOISTED into a CTE column (r6): as an
+    # inline literal inside the per-position lambda, DuckDB rebuilds
+    # the 16-element list for every (i, j) evaluation — ~80M list
+    # constructions at sf0.1, 48 s; referencing it as a column is
+    # 4.3 s for identical rows (the same class of fix as the kcore
+    # MATERIALIZED hints: oracle-side pathology, not hash semantics).
     return f"""
-    WITH codes AS (
+    WITH coef AS (SELECT {pw} AS pows),
+    codes AS (
       SELECT doc_id, len(text) AS n,
              [CAST(ord(substr(text, i, 1)) AS BIGINT)
               FOR i IN generate_series(1, len(text))] AS c
@@ -876,9 +883,10 @@ def _winnow_oracle() -> str:
     hs AS (
       SELECT doc_id, n - {W - 1} AS nh,
              [list_sum(list_transform(range(1, {W + 1}),
-                       j -> c[i + j - 1] * ({pw})[j])) % {M}
+                       j -> c[i + j - 1] * pows[j])) % {M}
               FOR i IN generate_series(1, n - {W - 1})] AS h
-      FROM codes
+      FROM (SELECT doc_id, n, c, (SELECT pows FROM coef) AS pows
+            FROM codes)
     ),
     sel AS (
       SELECT doc_id,

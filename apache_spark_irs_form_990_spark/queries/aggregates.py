@@ -138,16 +138,33 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     outside 5%, the hash check fails, which is precisely the property
     worth guarding. (The exact count here is the verification yardstick;
     production callers read the estimate alone and skip the Expand.)
-    """
+
+    The two aggregates run as SEPARATE groupBys joined on the 3-row
+    group frame (r6): combining count(DISTINCT x) with a sketch
+    aggregate in ONE agg makes Catalyst's distinct rewrite route the
+    sketch through the per-(group, value) pre-aggregation — one full
+    HLL++ buffer (rsd 0.01 -> 2^14 registers) per DISTINCT VALUE
+    group, ~150k sketches at sf0.1 for a 3-sketch answer: 7.3 s vs
+    1.2 s split, and the gap scales with distinct cardinality. Rule:
+    never fuse distinct and sketch aggregates over the same input;
+    two aggregations of a shared scan + a broadcast join of group-
+    cardinality frames is the scale-safe plan."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("n_exact"),
+    ex = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_exact")
+    )
+    ap = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("n_approx")
+    )
+    return ex.join(ap, "l_returnflag").select(
+        "l_returnflag",
+        "n_exact",
         (
             F.abs(
-                F.approx_count_distinct("l_orderkey", 0.01).cast("double")
-                - F.countDistinct("l_orderkey").cast("double")
+                F.col("n_approx").cast("double")
+                - F.col("n_exact").cast("double")
             )
-            / F.countDistinct("l_orderkey").cast("double")
+            / F.col("n_exact").cast("double")
             <= 0.05
         ).alias("approx_within_5pct"),
     )

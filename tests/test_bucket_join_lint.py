@@ -53,6 +53,7 @@ WHITELIST = {
     # --- star topology: build side is one hub row per bucket ---
     "dedup_minhash_star_links": "hub join: one row per bucket on build side",
     "dedup_fuzzy_star_rescore": "hub join: one row per bucket on build side",
+    "dedup_fuzzy_star_components": "hub join: one row per bucket on build side",
     # --- persisted capped index: the _bucket_seq cap ran in the BUILD
     # job before the parquet write, so the probe join's plan cannot
     # show the guard Filter; probe side is the tiny ~1% batch ---
