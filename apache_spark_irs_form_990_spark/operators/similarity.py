@@ -2006,3 +2006,185 @@ def sim_pq_adc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("match_rate"),
         )
     )
+
+
+def _pq_lloyd_oracle() -> str:
+    S, D, K, CAP = _PQ_SUBS, _PQ_DIMS, _PQ_K, _PQ_SLICE
+    return f"""
+    WITH m0 AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    mm AS MATERIALIZED (SELECT * FROM m0 WHERE vec_id < {CAP}),
+    anchors AS (
+      SELECT vec_id, v, row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid
+      FROM mm QUALIFY cid <= {K}
+    ),
+    cb0 AS MATERIALIZED (
+      SELECT s.s, a.cid, list_slice(a.v, s.s * {D} + 1, s.s * {D} + {D}) AS c
+      FROM anchors a,
+           LATERAL (SELECT unnest(generate_series(0, {S - 1})) AS s) s
+    ),
+    d0 AS (
+      SELECT m.vec_id, cb.s, cb.cid,
+             list_sum(list_transform(range(1, {D + 1}),
+               d -> (m.v[cb.s * {D} + d] - cb.c[d])
+                    * (m.v[cb.s * {D} + d] - cb.c[d]))) AS sse
+      FROM mm m, cb0 cb
+    ),
+    codes0 AS MATERIALIZED (
+      SELECT vec_id, s, cid, sse FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                    ORDER BY sse, cid) AS rn
+        FROM d0
+      ) WHERE rn = 1
+    ),
+    -- Lloyd update: per (s, cid, dim) exact integer sums over the
+    -- assigned sub-vectors, TRUNC-division (both engines' % is the
+    -- C-style trunc remainder, so (sum - sum % n) / n is exact and
+    -- portable even for negative sums)
+    dimsums AS (
+      SELECT c0.s, c0.cid, dd.d,
+             sum(m.v[c0.s * {D} + dd.d]) AS sm,
+             count(*) AS n
+      FROM codes0 c0
+      JOIN mm m ON m.vec_id = c0.vec_id,
+           LATERAL (SELECT unnest(generate_series(1, {D})) AS d) dd
+      GROUP BY c0.s, c0.cid, dd.d
+    ),
+    cb1 AS MATERIALIZED (
+      SELECT cb0.s, cb0.cid,
+             coalesce(u.c, cb0.c) AS c
+      FROM cb0
+      LEFT JOIN (
+        SELECT s, cid,
+               list((sm - sm % n) // n ORDER BY d) AS c
+        FROM dimsums GROUP BY s, cid
+      ) u ON u.s = cb0.s AND u.cid = cb0.cid
+    ),
+    d1 AS (
+      SELECT m.vec_id, cb.s, cb.cid,
+             list_sum(list_transform(range(1, {D + 1}),
+               d -> (m.v[cb.s * {D} + d] - cb.c[d])
+                    * (m.v[cb.s * {D} + d] - cb.c[d]))) AS sse
+      FROM mm m, cb1 cb
+    ),
+    codes1 AS (
+      SELECT vec_id, s, sse FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                    ORDER BY sse, cid) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    )
+    SELECT (SELECT count(*) FROM mm) AS n_vecs,
+           (SELECT CAST(sum(sse) AS BIGINT) FROM codes0) AS sse_anchor,
+           (SELECT CAST(sum(sse) AS BIGINT) FROM codes1) AS sse_lloyd1,
+           CAST((SELECT sum(sse) FROM codes1) AS DOUBLE)
+             / (SELECT sum(sse) FROM codes0) AS sse_ratio
+    """
+
+
+@register("sim_pq_lloyd_step_audit", oracle=_pq_lloyd_oracle())
+def sim_pq_lloyd_step_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE DETERMINISTIC LLOYD STEP for the PQ codebook — what
+    [[sim_pq_adc_recall_audit]]'s "train before trusting" note looks
+    like as an executable, exactly-oracled iteration: assign every
+    sub-vector to its nearest anchor centroid (the same exact-integer
+    argmin), recompute each centroid as the TRUNC-AVERAGE of its
+    assigned sub-vectors (exact and engine-portable:
+    (sum - sum % n) / n — both engines' % is the C-style trunc
+    remainder, so no float ever enters the update), re-assign, and
+    report total SSE before/after. k-means' monotone-improvement
+    property makes the contract self-checking: sse_lloyd1 <
+    sse_anchor on any non-degenerate input, and the ratio is the
+    measured value of one training sweep (empty cells keep their old
+    centroid, the standard Lloyd convention). The full training loop
+    is this step iterated — at scale each sweep is one broadcast
+    crossjoin + one groupBy, embarrassingly parallel over vectors —
+    and the audit protocol is: train until the ratio flattens, then
+    re-run the ADC recall audit on the final codebook."""
+    S, D, K, CAP = _PQ_SUBS, _PQ_DIMS, _PQ_K, _PQ_SLICE
+    mm = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < CAP)
+        .select("vec_id", milli_vec(F.col("embedding")).alias("v"))
+        .localCheckpoint()
+    )
+    anchor_rows = (
+        mm.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(K)
+        .collect()
+    )
+    cb0 = spark.createDataFrame(
+        [
+            (s, cid, [int(x) for x in row.v[s * D : s * D + D]])
+            for cid, row in enumerate(anchor_rows, start=1)
+            for s in range(S)
+        ],
+        schema="s int, cid int, c array<bigint>",
+    )
+    sub = F.slice(F.col("v"), F.col("s") * D + 1, D)
+    sse = F.aggregate(
+        F.zip_with(sub, F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_arg = Window.partitionBy("vec_id", "s").orderBy("sse", "cid")
+
+    def assign(codebook: DataFrame) -> DataFrame:
+        return (
+            mm.crossJoin(F.broadcast(codebook))
+            .select("vec_id", "s", "cid", sse.alias("sse"))
+            .withColumn("rn", F.row_number().over(w_arg))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    codes0 = assign(cb0).localCheckpoint()
+    dimsums = (
+        codes0.join(mm, "vec_id")
+        .select("s", "cid", F.posexplode(sub).alias("dm1", "val"))
+        .groupBy("s", "cid", "dm1")
+        .agg(F.sum("val").alias("sm"), F.count(F.lit(1)).alias("n"))
+    )
+    trunc_avg = ((F.col("sm") - F.col("sm") % F.col("n")) / F.col("n")).cast(
+        "long"
+    )
+    updated = (
+        dimsums.select("s", "cid", "dm1", trunc_avg.alias("cv"))
+        .groupBy("s", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dm1"), F.col("cv")))
+                ),
+                lambda x: x.getField("cv"),
+            ).alias("c_new")
+        )
+    )
+    cb1 = (
+        cb0.join(updated, ["s", "cid"], "left")
+        .select("s", "cid", F.coalesce("c_new", "c").alias("c"))
+        .localCheckpoint()
+    )
+    codes1 = assign(cb1)
+    t0 = codes0.agg(
+        F.sum("sse").cast("long").alias("sse_anchor"),
+    )
+    t1 = codes1.agg(F.sum("sse").cast("long").alias("sse_lloyd1"))
+    nv = mm.agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        nv.crossJoin(F.broadcast(t0))
+        .crossJoin(F.broadcast(t1))
+        .select(
+            "n_vecs",
+            "sse_anchor",
+            "sse_lloyd1",
+            (
+                F.col("sse_lloyd1").cast("double") / F.col("sse_anchor")
+            ).alias("sse_ratio"),
+        )
+    )

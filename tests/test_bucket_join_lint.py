@@ -53,7 +53,10 @@ WHITELIST = {
     # --- star topology: build side is one hub row per bucket ---
     "dedup_minhash_star_links": "hub join: one row per bucket on build side",
     "dedup_fuzzy_star_rescore": "hub join: one row per bucket on build side",
-    "dedup_fuzzy_star_components": "hub join: one row per bucket on build side",
+    # (dedup_fuzzy_star_components needs no entry: it returns the
+    # CC loop's localCheckpoint'ed labels, whose truncated lineage
+    # carries no bucket join — the hub-join guard is exercised inside
+    # the edge derivation, covered by dedup_fuzzy_star_rescore's plan)
     # --- persisted capped index: the _bucket_seq cap ran in the BUILD
     # job before the parquet write, so the probe join's plan cannot
     # show the guard Filter; probe side is the tiny ~1% batch ---
