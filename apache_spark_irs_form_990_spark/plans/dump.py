@@ -133,6 +133,20 @@ SHOWCASE = {
         "(band, key), popcount confirm on candidates — payload bytes never "
         "leave the scan."
     ),
+    "sim_ann_index_persist_probe": (
+        "Persisted-index ANN serving (r6): the capped index round-trips "
+        "through a bucket-partitioned parquet sink; the probe batch "
+        "BROADCASTS (BuildLeft) and DYNAMIC PARTITION PRUNING "
+        "(SubqueryAdaptiveBroadcast) restricts the index scan to probed "
+        "bucket directories — a probe of B buckets reads B directories."
+    ),
+    "dedup_fuzzy_star_rescore": (
+        "Megacluster-safe fuzzy dedup (r6): band signatures -> hub join "
+        "(one row per bucket on the build side) -> thresholded banded-DP "
+        "levenshtein on member-hub edges only -> left-join survivorship "
+        "election. DP work bounded by bands*n, independent of "
+        "duplicate-cluster size."
+    ),
     "pipeline_epoch_shuffle": (
         "Distributed global rank (r4 rewire): RangePartitioning on the md5 "
         "epoch key, per-partition row_number keyed on the captured "
