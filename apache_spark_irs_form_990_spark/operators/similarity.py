@@ -2188,3 +2188,240 @@ def sim_pq_lloyd_step_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sse_ratio"),
         )
     )
+
+
+def _ivfpq_oracle() -> str:
+    S, D, K, CAP = _PQ_SUBS, _PQ_DIMS, _PQ_K, _PQ_SLICE
+    return f"""
+    WITH m0 AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    mm AS MATERIALIZED (SELECT * FROM m0 WHERE vec_id < {CAP}),
+    cents AS (SELECT vec_id AS ccid, v AS cv FROM mm WHERE vec_id < 8),
+    q AS (SELECT v AS qv FROM mm WHERE vec_id = 0),
+    assign_pairs AS (
+      SELECT m.vec_id, c.ccid, m.v, c.cv,
+             CAST(list_sum(list_transform(range(1, 65), i -> m.v[i] * c.cv[i]))
+                  AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(m.v, x -> x * x)) AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(c.cv, x -> x * x)) AS DOUBLE)))
+               AS cos_c
+      FROM mm m, cents c
+    ),
+    resid AS MATERIALIZED (
+      SELECT vec_id, ccid AS cell, v, cv,
+             list_transform(range(1, 65), i -> v[i] - cv[i]) AS r
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos_c DESC, ccid) AS rn
+        FROM assign_pairs
+      ) WHERE rn = 1
+    ),
+    anchors AS (
+      SELECT vec_id, r, row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid
+      FROM resid QUALIFY cid <= {K}
+    ),
+    codebook AS MATERIALIZED (
+      SELECT s.s, a.cid, list_slice(a.r, s.s * {D} + 1, s.s * {D} + {D}) AS c
+      FROM anchors a,
+           LATERAL (SELECT unnest(generate_series(0, {S - 1})) AS s) s
+    ),
+    dists AS (
+      SELECT m.vec_id, cb.s, cb.cid,
+             list_sum(list_transform(range(1, {D + 1}),
+               d -> (m.r[cb.s * {D} + d] - cb.c[d])
+                    * (m.r[cb.s * {D} + d] - cb.c[d]))) AS sse
+      FROM resid m, codebook cb
+    ),
+    codes AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                    ORDER BY sse, cid) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    recon AS MATERIALIZED (
+      SELECT co.vec_id, flatten(list(cb.c ORDER BY co.s)) AS rr
+      FROM codes co
+      JOIN codebook cb ON cb.s = co.s AND cb.cid = co.cid
+      GROUP BY co.vec_id
+    ),
+    recon_v AS (
+      SELECT re.vec_id, re.cell, re.v,
+             list_transform(range(1, 65), i -> re.cv[i] + r.rr[i]) AS rv
+      FROM recon r JOIN resid re ON r.vec_id = re.vec_id
+    ),
+    probe AS (
+      SELECT ccid AS cell FROM (
+        SELECT c.ccid,
+               row_number() OVER (ORDER BY
+                 CAST(list_sum(list_transform(range(1, 65), i -> cv[i] * qv[i]))
+                      AS DOUBLE)
+                 / (sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE))
+                    * sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)))
+                 DESC, c.ccid) AS rn
+        FROM cents c, q
+      ) WHERE rn <= 2
+    )
+    SELECT rv0.vec_id, rv0.cell,
+           CAST(list_sum(list_transform(range(1, 65), i -> rv[i] * qv[i]))
+                AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(rv, x -> x * x)) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)))
+             AS adc_cosine,
+           CAST(list_sum(list_transform(range(1, 65), i -> rv0.v[i] * qv[i]))
+                AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(rv0.v, x -> x * x)) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)))
+             AS exact_cosine
+    FROM recon_v rv0
+    JOIN probe ON rv0.cell = probe.cell, q
+    WHERE rv0.vec_id <> 0
+    ORDER BY adc_cosine DESC, rv0.vec_id
+    LIMIT 10
+    """
+
+
+@register("sim_cosine_ann_ivfpq", oracle=_ivfpq_oracle())
+def sim_cosine_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the composed serving shape that
+    ties the ANN ladder together: the inverted file bounds who you
+    COMPARE against ([[sim_cosine_ann_ivf]]'s cells, nprobe=2), and
+    product quantization bounds what you STORE
+    ([[sim_pq_adc_recall_audit]]'s 8x8 sub-space codes) — but coding
+    the RESIDUAL v - centroid(cell) instead of the raw vector, the
+    classic IVFADC refinement: residuals concentrate near zero once
+    the coarse quantizer explains cell-level structure, so the same
+    16-entry codebook spends its codes on a tighter distribution.
+    Candidates are scored asymmetrically (exact query vs reconstructed
+    centroid + decoded residual), and each hit reports BOTH the ADC
+    cosine and the true cosine, so the re-rank gap the code
+    approximation costs is visible inline rather than only in a
+    separate audit.
+
+    All quantization arithmetic is exact int64 (residual subtraction,
+    SSE argmin with (sse, cid) tie-break, centroid re-addition); the
+    doubles appear only in the final cosine divisions, identical in
+    the DuckDB twin. The codebook is the 16 md5-ordered anchor
+    RESIDUALS (deterministic-draw device shared with the PQ audits;
+    train with [[sim_pq_lloyd_step_audit]]'s sweep before trusting at
+    scale). Scale shape: assignment and encoding are one broadcast
+    crossjoin each (embarrassingly parallel over vectors, the IVF-PQ
+    build everyone ships); the probe touches only nprobe/k of the
+    corpus and scores against 8-byte codes, not raw vectors. Bounded
+    slice (vec_id < 300) keeps the all-pairs oracle cheap, matching
+    the other PQ audits."""
+    S, D, K, CAP = _PQ_SUBS, _PQ_DIMS, _PQ_K, _PQ_SLICE
+    mm = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < CAP)
+        .select("vec_id", milli_vec(F.col("embedding")).alias("v"))
+        .localCheckpoint()
+    )
+    cents = mm.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("ccid"), F.col("v").alias("cv")
+    )
+    q = mm.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+
+    def _cos(a, b):
+        return dot(a, b).cast("double") / (
+            F.sqrt(sq_norm(a).cast("double")) * F.sqrt(sq_norm(b).cast("double"))
+        )
+
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("ccid")
+    )
+    resid = (
+        mm.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "ccid", "v", "cv",
+            _cos(F.col("v"), F.col("cv")).alias("cos_c"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("ccid").alias("cell"),
+            "v",
+            "cv",
+            F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x - y).alias("r"),
+        )
+        .localCheckpoint()
+    )
+    anchor_rows = (
+        resid.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(K)
+        .collect()
+    )
+    codebook = spark.createDataFrame(
+        [
+            (s, cid, [int(x) for x in row.r[s * D : s * D + D]])
+            for cid, row in enumerate(anchor_rows, start=1)
+            for s in range(S)
+        ],
+        schema="s int, cid int, c array<bigint>",
+    )
+    sub = F.slice(F.col("r"), F.col("s") * D + 1, D)
+    sse = F.aggregate(
+        F.zip_with(sub, F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_arg = Window.partitionBy("vec_id", "s").orderBy("sse", "cid")
+    codes = (
+        resid.crossJoin(F.broadcast(codebook))
+        .select("vec_id", "s", "cid", sse.alias("sse"))
+        .withColumn("rn", F.row_number().over(w_arg))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "cid")
+    )
+    recon = (
+        codes.join(F.broadcast(codebook), ["s", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("s"), F.col("c")))
+                    ),
+                    lambda x: x.getField("c"),
+                )
+            ).alias("rr")
+        )
+    )
+    recon_v = recon.join(
+        resid.select("vec_id", "cell", "v", "cv"), "vec_id"
+    ).select(
+        "vec_id",
+        "cell",
+        "v",
+        F.zip_with(F.col("cv"), F.col("rr"), lambda x, y: x + y).alias("rv"),
+    )
+    w_probe = Window.partitionBy().orderBy(
+        _cos(F.col("cv"), F.col("qv")).desc(), F.col("ccid")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select(F.col("ccid").alias("probe_cell"))
+    )
+    return (
+        recon_v.join(F.broadcast(probe), F.col("cell") == F.col("probe_cell"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            "cell",
+            _cos(F.col("rv"), F.col("qv")).alias("adc_cosine"),
+            _cos(F.col("v"), F.col("qv")).alias("exact_cosine"),
+        )
+        .orderBy(F.col("adc_cosine").desc(), "vec_id")
+        .limit(10)
+    )
