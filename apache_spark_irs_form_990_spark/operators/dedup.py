@@ -1678,3 +1678,305 @@ def dedup_star_vs_pairwise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("agree_rate"),
     )
+
+
+_SEMDEDUP_K = 32  # coarse cells; k scales with n at corpus scale
+_SEMDEDUP_CAP = 64  # per-cell survivor-candidate index cap (house C)
+_SEMDEDUP_TAU = 0.95
+
+
+def _semdedup_oracle() -> str:
+    K, C = _SEMDEDUP_K, _SEMDEDUP_CAP
+    return f"""
+    WITH {_SQL_MILLI_EMB},
+    m AS (SELECT * FROM m0),
+    corpus AS MATERIALIZED (
+      {emb_milli_corpus_sql((60,))}
+    ),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM m WHERE vec_id < {K}),
+    assign_pairs AS (
+      SELECT c0.vec_id, c.cid, c0.v,
+             CAST(list_sum(list_transform(range(1, 65),
+                    i -> c0.v[i] * c.cv[i])) AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(c0.v, x -> x * x))
+                          AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(c.cv, x -> x * x))
+                            AS DOUBLE))) AS cent_cos
+      FROM corpus c0, cents c
+    ),
+    ranked AS MATERIALIZED (
+      SELECT vec_id, cell, v, cent_cos,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY cent_cos, vec_id) AS rn
+      FROM (
+        SELECT vec_id, cid AS cell, v, cent_cos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cent_cos DESC, cid) AS arn
+        FROM assign_pairs
+      ) WHERE arn = 1
+    ),
+    drops AS (
+      SELECT DISTINCT a.vec_id
+      FROM ranked a JOIN ranked b
+        ON a.cell = b.cell AND b.rn < a.rn AND b.rn <= {C}
+      WHERE {SQL_COS_AB} >= {_SEMDEDUP_TAU}
+    )
+    SELECT r.cell,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+           CAST(count(*) FILTER (WHERE r.vec_id >= 1000000) AS BIGINT)
+             AS n_injected,
+           CAST(count(d.vec_id) FILTER (WHERE r.vec_id >= 1000000) AS BIGINT)
+             AS n_injected_dropped
+    FROM ranked r LEFT JOIN drops d ON r.vec_id = d.vec_id
+    GROUP BY r.cell
+    ORDER BY r.cell
+    """
+
+
+@register("dedup_semantic_ivf_cells", oracle=_semdedup_oracle())
+def dedup_semantic_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup with IVF-CELL blocking (Abbas et
+    al. 2023, arXiv:2303.09540): cluster the embedding corpus into k
+    coarse cells, then look for near-duplicates (cosine >= 0.95) only
+    WITHIN a cell — the blocking key is the cluster assignment, the
+    alternative candidate generator to [[dedup_near_embedding]]'s
+    banded LSH. Per the paper's keep rule, within a duplicate
+    relationship the vector with the LOWEST centroid similarity
+    survives (it carries the most non-redundant signal for training);
+    here that is a deterministic priority rank per cell (cent_cos
+    ascending, vec_id tiebreak), and a vector is dropped iff some
+    higher-priority member of its own cell is 0.95-close — the greedy
+    one-pass form of the paper's per-cluster pruning, identically
+    mirrored in SQL.
+
+    The comparison side is CAPPED at the top-64 priority members per
+    cell (the `_flat_index` house pattern, planned as a per-cell
+    WindowGroupLimit): each vector scores against <= 64 stored
+    candidates, so total work is |corpus| x C — linear — instead of
+    the within-cell occ^2 the raw paper form costs. SemDeDup's own
+    scale contract (k proportional to n keeps occupancy bounded)
+    stacks on top: at 100 TB, k ~ n/avg_occ cells, assignment is one
+    broadcast-codebook pass, and no shuffle ever carries a payload
+    bigger than (cell, rank) per vector. k=32 here enacts that
+    contract at fixture scale (occupancy ~75 vs cap 64), so the
+    measured recall limiter is the METHOD's true one — planted pairs
+    whose two sides argmax into different cells (~35% at sf0.1), not
+    the cap. Same injected corpus as `dedup_near_embedding` (every
+    5th vector re-embedded truncated, cosine ~0.97), so the drop rule
+    genuinely fires; the per-cell report makes planted-duplicate
+    recovery auditable inline (220 drops / 400 planted pairs at
+    sf0.1, the cell-split price a production run tunes with nprobe>1
+    assignment or soft assignment to the 2 nearest cells)."""
+    K, C = _SEMDEDUP_K, _SEMDEDUP_CAP
+    corpus = emb_milli_corpus(spark, sf_dir, keeps=(60,))
+    cents = corpus.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    cent_cos = dot(F.col("v"), F.col("cv")).cast("double") / (
+        F.sqrt(sq_norm(F.col("v")).cast("double"))
+        * F.sqrt(sq_norm(F.col("cv")).cast("double"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_cos").desc(), F.col("cid")
+    )
+    w_rank = Window.partitionBy("cell").orderBy("cent_cos", "vec_id")
+    ranked = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", "v", cent_cos.alias("cent_cos"))
+        .withColumn("arn", F.row_number().over(w_assign))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"), "v", "cent_cos")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("nrm", sq_norm(F.col("v")))
+        .localCheckpoint()
+    )
+    a = ranked.select(
+        F.col("vec_id"), F.col("cell"), F.col("rn"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = ranked.filter(F.col("rn") <= C).select(
+        F.col("cell").alias("b_cell"), F.col("rn").alias("b_rn"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    pair_cos = pair_dot_udf()(F.col("va"), F.col("vb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    drops = (
+        a.join(b, (F.col("cell") == F.col("b_cell")) & (F.col("b_rn") < F.col("rn")))
+        .filter(pair_cos >= _SEMDEDUP_TAU)
+        .select("vec_id")
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    injected = F.col("vec_id") >= 1000000
+    return (
+        ranked.join(drops, "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count("dropped").alias("n_dropped"),
+            F.count(F.when(injected, 1)).alias("n_injected"),
+            F.count(F.when(injected & F.col("dropped").isNotNull(), 1)).alias(
+                "n_injected_dropped"
+            ),
+        )
+        .orderBy("cell")
+    )
+
+
+_SUBSTR_K = 20  # exact-substring gram width (tokens)
+
+
+def _substring_coverage_oracle() -> str:
+    K = _SUBSTR_K
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1,
+                             greatest(len(string_split(text, ' ')) - 2, 0)),
+                             ' ') AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    sizes AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+    grams AS MATERIALIZED (
+      SELECT doc_id, s.i,
+             md5(array_to_string(list_slice(t, s.i, s.i + {K - 1}), ' ')) AS g
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, len(t) - {K - 1}))
+                    AS i) s
+    ),
+    dup_pos AS MATERIALIZED (
+      SELECT doc_id, i FROM (
+        SELECT doc_id, i, count(*) OVER (PARTITION BY g) AS occ FROM grams
+      ) WHERE occ >= 2
+    ),
+    swept AS (
+      SELECT doc_id, i, i + {K - 1} AS e,
+             CASE WHEN max(i + {K - 1}) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= i
+                  THEN 0 ELSE 1 END AS brk
+      FROM dup_pos
+    ),
+    islands AS (
+      SELECT doc_id, i, e,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM swept
+    ),
+    isl_span AS (
+      SELECT doc_id, isl, count(*) AS n_pos, max(e) - min(i) + 1 AS ilen
+      FROM islands GROUP BY doc_id, isl
+    ),
+    cov AS (
+      SELECT doc_id, CAST(sum(n_pos) AS BIGINT) AS n_dup_grams,
+             CAST(sum(ilen) AS BIGINT) AS covered_tokens
+      FROM isl_span GROUP BY doc_id
+    )
+    SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           COALESCE(c.n_dup_grams, 0) AS n_dup_grams,
+           COALESCE(c.covered_tokens, 0) AS covered_tokens,
+           CAST(COALESCE(c.covered_tokens, 0) AS DOUBLE) / s.n_tokens
+             AS coverage
+    FROM sizes s LEFT JOIN cov c ON s.doc_id = c.doc_id
+    ORDER BY s.doc_id
+    """
+
+
+@register("dedup_substring_coverage", oracle=_substring_coverage_oracle())
+def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage per document — the
+    distributed form of Lee et al. 2022's "Deduplicating Training
+    Data Makes Language Models Better" (arXiv:2107.06499) exact
+    substring criterion: a token position is DUPLICATED if some
+    K-token window containing its start occurs verbatim anywhere else
+    in the corpus (K=20 here; the paper's 50-token threshold over a
+    suffix array, re-expressed as overlapping K-gram fingerprints —
+    the approximation every distributed pipeline ships, since a
+    corpus-wide suffix array doesn't shard).
+
+    Plan shape is the whole point: there is NO pair join anywhere.
+    Gram md5s are minted map-side; "occurs elsewhere" is one
+    count-over-window on the gram digest partition (the
+    `dedup_near_jaccard` posting-list device); per-doc coverage is
+    the `win_interval_merge` sweep (running-max break flag + running
+    island sum) over each doc's duplicated windows, so overlapping
+    grams aren't double-counted — covered_tokens is the exact union
+    length of [i, i+K-1] intervals. Every stage is linear in corpus
+    tokens and shuffles only (digest) or (doc_id, position) pairs,
+    never text: the 100 TB contract. Same injected corpus as the
+    fuzzy family (every 5th doc re-appears truncated by 2 tokens), so
+    originals and their twins show ~full coverage while the untouched
+    corpus floors at 0; short docs (< K tokens) have no windows and
+    report coverage 0 by construction."""
+    K = _SUBSTR_K
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    t0 = F.split(F.col("text"), " ")
+    trunc = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.slice(t0, 1, F.greatest(F.size(t0) - 2, F.lit(0))), " "
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(trunc)
+    toks = corpus.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    sizes = toks.select(
+        "doc_id", F.size("t").cast("long").alias("n_tokens")
+    )
+    starts = F.when(
+        F.size("t") >= K, F.sequence(F.lit(1), F.size("t") - (K - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(starts).alias("i"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "i",
+        F.md5(F.array_join(F.slice(F.col("t"), F.col("i"), K), " ")).alias("g"),
+    )
+    dup_pos = (
+        grams.withColumn("occ", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .filter(F.col("occ") >= 2)
+        .select("doc_id", "i")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    prev_max_e = F.max(F.col("i") + (K - 1)).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = dup_pos.select(
+        "doc_id",
+        "i",
+        (F.col("i") + (K - 1)).alias("e"),
+        F.when(prev_max_e >= F.col("i"), 0).otherwise(1).alias("brk"),
+    )
+    islands = swept.withColumn(
+        "isl",
+        F.sum("brk").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    isl_span = islands.groupBy("doc_id", "isl").agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        (F.max("e") - F.min("i") + 1).alias("ilen"),
+    )
+    cov = isl_span.groupBy("doc_id").agg(
+        F.sum("n_pos").cast("long").alias("n_dup_grams"),
+        F.sum("ilen").cast("long").alias("covered_tokens"),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        sizes.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_grams", zero).alias("n_dup_grams"),
+            F.coalesce("covered_tokens", zero).alias("covered_tokens"),
+            (
+                F.coalesce("covered_tokens", zero).cast("double")
+                / F.col("n_tokens")
+            ).alias("coverage"),
+        )
+        .orderBy("doc_id")
+    )

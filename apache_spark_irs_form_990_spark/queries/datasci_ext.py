@@ -1248,3 +1248,73 @@ def ml_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("q"),
     )
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle="""
+    WITH keyed AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             CAST(round(ln((CAST(concat('0x',
+                    substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))
+                    AS BIGINT) + 1) / 65536.0) * 1000000000) AS BIGINT)
+               AS lnu_nano
+      FROM orders
+    )
+    SELECT o_orderkey, price_cents,
+           CAST(lnu_nano AS DOUBLE) / price_cents AS es_key
+    FROM keyed
+    ORDER BY es_key DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling without replacement (Efraimidis &
+    Spirakis 2006, "Weighted random sampling with a reservoir"): each
+    row draws a deterministic uniform u from md5 of its key and is
+    ranked by u^(1/w) — the top-k under that key IS an exact weighted
+    sample without replacement (here w = order value in exact cents,
+    k = 100, so high-value orders are proportionally favored). The
+    rank is computed in log space, ln(u)/w, which orders identically
+    and never overflows.
+
+    Oracle-stability around the one transcendental: u is drawn from a
+    16-BIT hash domain, u = (h16+1)/65536 — an exact dyadic double —
+    so ln() is evaluated on only 65,536 distinct inputs, and
+    tests/test_weighted_sample.py checks Spark and DuckDB agree on the
+    nano-nat integerization over that ENTIRE domain (the value-domain
+    device the micro-nat family uses, made exhaustive); es_key is then
+    an IEEE division of two exact integers, identical cross-engine.
+
+    Scale shape: the key mint is one map-side expression (no shuffle,
+    no RNG state — reruns and stragglers redraw identical keys, the
+    reproducibility property ad-hoc rand() sampling lacks), and the
+    global top-k plans as TakeOrderedAndProject: per-partition k-row
+    reservoirs merged at the driver — O(k) memory per task, which is
+    precisely the distributed form of the paper's k-heap. Adding data
+    never perturbs previously-drawn keys, so the sample composes with
+    incremental ingest."""
+    u16 = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        + 1
+    )
+    lnu_nano = F.round(F.log(u16 / F.lit(65536.0)) * 1000000000).cast("long")
+    keyed = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        cents("o_totalprice").alias("price_cents"),
+        lnu_nano.alias("lnu_nano"),
+    )
+    return (
+        keyed.select(
+            "o_orderkey",
+            "price_cents",
+            (F.col("lnu_nano").cast("double") / F.col("price_cents")).alias(
+                "es_key"
+            ),
+        )
+        .orderBy(F.col("es_key").desc(), "o_orderkey")
+        .limit(100)
+    )
