@@ -86,6 +86,12 @@ EXTENDED = [
     "dedup_fuzzy_star_rescore",
     "sim_ann_index_persist_probe",
     "stream_sim_ann_static_index",
+    # r6 late additions: the two new linear-by-construction dedup
+    # kernels (SemDeDup cell blocking; exact-substring coverage) and
+    # the weighted reservoir sample (map-side mint + TakeOrdered).
+    "dedup_semantic_ivf_cells",
+    "dedup_substring_coverage",
+    "sample_weighted_reservoir",
 ]
 
 

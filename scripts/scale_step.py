@@ -44,6 +44,11 @@ r6 additions (VERDICT r5 tasks 1, 2):
   copy => 10 disjoint subgraph copies) for the kcore rows.
 - `sim_ann_index_persist_probe`: the persisted-index round trip next
   to the in-query `sim_ann_batch_query` form.
+- The three late-r6 ops: `dedup_semantic_ivf_cells` (|corpus| x C
+  capped cell join — expected ~linear), `dedup_substring_coverage`
+  (no pair join at all — expected ~linear in tokens), and
+  `sample_weighted_reservoir` (map-side mint + TakeOrdered — expected
+  near-flat).
 
 Usage: python scripts/scale_step.py   (writes SCALE_STEP_r06.json)
 """
@@ -80,6 +85,9 @@ QUERIES = [
     "beh_rfm_segments",
     "pipeline_epoch_shuffle",
     "ml_rank_biased_overlap",
+    "dedup_semantic_ivf_cells",
+    "dedup_substring_coverage",
+    "sample_weighted_reservoir",
 ]
 
 

@@ -38,6 +38,9 @@ SWEEP = [
     "pipeline_dedup_cascade",  # window keeper + band signatures + scalars
     "text_rolling_winnow_fingerprints",  # Arrow sliding-window hash kernel
     "agg_approx_percentile_contract",    # GK sketch merge under tolerance
+    "dedup_semantic_ivf_cells",  # r6: cell argmax + capped priority join
+    "dedup_substring_coverage",  # r6: gram-count window + island sweep
+    "sample_weighted_reservoir",  # r6: ln-key top-k boundary under merge
 ]
 
 
