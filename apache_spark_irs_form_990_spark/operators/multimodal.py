@@ -791,3 +791,144 @@ def mm_token_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(tokens) * 1000 div count(*)").alias("avg_tokens_milli"),
         )
     )
+
+
+_CLIP_DIMS = 64  # hashed bag-of-words projection width (= embedding dims)
+_CLIP_TAU = 0.15  # keep threshold (p90 of the fixture's alignment dist)
+
+
+def _clip_score_oracle() -> str:
+    D, TAU = _CLIP_DIMS, _CLIP_TAU
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tvec AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(token), 1, 2)) AS BIGINT) % {D}
+               AS d,
+             CAST(sum(CASE WHEN substr(md5(token), 3, 1) < '8'
+                      THEN 1 ELSE -1 END) AS BIGINT) AS td
+      FROM toks GROUP BY doc_id, lang, d
+    ),
+    mv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT t.doc_id, t.lang,
+             CAST(sum(t.td * m.v[t.d + 1]) AS BIGINT) AS dotp,
+             CAST(sum(t.td * t.td) AS BIGINT) AS tn2
+      FROM tvec t JOIN mv m ON t.doc_id = m.vec_id
+      GROUP BY t.doc_id, t.lang
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang,
+             CAST(round(CAST(d.dotp AS DOUBLE)
+                  / (sqrt(CAST(d.tn2 AS DOUBLE))
+                     * sqrt(CAST(n.vn2 AS DOUBLE))) * 1000000) AS BIGINT)
+               AS align_micro
+      FROM dots d
+      JOIN (SELECT vec_id,
+                   CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT)
+                     AS vn2
+            FROM mv) n ON d.doc_id = n.vec_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) FILTER (WHERE align_micro >= {int(TAU * 1e6)})
+                AS BIGINT) AS n_keep,
+           CAST(sum(align_micro) AS DOUBLE) / (1000000.0 * count(*))
+             AS mean_align
+    FROM scored GROUP BY lang ORDER BY lang
+    """
+
+
+@register("mm_clip_score_filter", oracle=_clip_score_oracle())
+def mm_clip_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score alignment filtering — the DataComp / LAION gate
+    (Schuhmann et al. 2021; Gadre et al. 2023): a caption-like text is
+    kept only if it AGREES with its paired modality embedding, scored
+    as the cosine between a text-derived vector and the stored
+    embedding, thresholded, and accounted per language. Documents pair
+    with embeddings on doc_id = vec_id (the captioned subset); the
+    text side is a deterministic 64-dim hashed bag-of-words projection
+    (token -> md5 -> dimension + sign, the hashing-trick twin of
+    `ml_feature_hash_bucket`) standing in for the text tower, since no
+    model weights exist in this sandbox — the SPARK-SIDE shape (explode
+    -> hash -> sparse-by-dim sum -> dot against a dense stored vector)
+    is exactly what a real CLIP text/image scorer feeds.
+
+    All arithmetic before the final division is exact integers (sign
+    sums, milli-embedding products); each pair's cosine is integerized
+    to micro units before the per-lang mean, so the report is
+    order-independent (the `sim_label_contrast` device). Scale shape:
+    the sparse text vector never materializes as an array — it stays
+    (doc, dim, weight) rows, so the dot is one hash-agg over
+    |tokens| rows joined against the embedding scan; no crossjoin, no
+    window, and the only shuffles are keyed on doc_id. The keep
+    threshold 0.15 is the fixture distribution's p90 — the report
+    shows both sides of the gate rather than silently dropping."""
+    D = _CLIP_DIMS
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+    )
+    h = F.md5(F.col("token"))
+    tvec = (
+        toks.select(
+            "doc_id",
+            "lang",
+            (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % D).alias("d"),
+            F.when(F.substring(h, 3, 1) < "8", 1).otherwise(-1).alias("s"),
+        )
+        .groupBy("doc_id", "lang", "d")
+        .agg(F.sum("s").cast("long").alias("td"))
+    )
+    mv = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("v"),
+    )
+    dots = (
+        tvec.join(mv, tvec.doc_id == mv.vec_id)
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("td") * F.element_at("v", F.col("d").cast("int") + 1))
+            .cast("long")
+            .alias("dotp"),
+            F.sum(F.col("td") * F.col("td")).cast("long").alias("tn2"),
+        )
+    )
+    norms = mv.select(
+        "vec_id",
+        F.aggregate(
+            F.transform("v", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("vn2"),
+    )
+    align = F.col("dotp").cast("double") / (
+        F.sqrt(F.col("tn2").cast("double")) * F.sqrt(F.col("vn2").cast("double"))
+    )
+    scored = dots.join(norms, dots.doc_id == norms.vec_id).select(
+        "lang", F.round(align * 1000000).cast("long").alias("align_micro")
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count(
+                F.when(F.col("align_micro") >= int(_CLIP_TAU * 1e6), 1)
+            ).alias("n_keep"),
+            (
+                F.sum("align_micro").cast("double")
+                / (F.lit(1000000.0) * F.count(F.lit(1)))
+            ).alias("mean_align"),
+        )
+        .orderBy("lang")
+    )

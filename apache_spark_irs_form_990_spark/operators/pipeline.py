@@ -303,3 +303,127 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.stage", "s.n_docs", "s.n_removed")
+
+
+def _dsir_oracle() -> str:
+    return """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    src AS MATERIALIZED (
+      SELECT token, CAST(count(*) AS BIGINT) AS cs FROM toks GROUP BY token
+    ),
+    tgt AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS ct FROM toks
+      WHERE lang = 'en' GROUP BY token
+    ),
+    tot AS (
+      SELECT (SELECT count(*) FROM toks WHERE lang = 'en') AS nt,
+             (SELECT count(*) FROM toks) AS ns,
+             (SELECT count(*) FROM src) AS vocab
+    ),
+    lr AS (
+      SELECT s.token,
+             CAST(round(ln(COALESCE(t.ct, 0) + 1) * 1000000) AS BIGINT)
+             - CAST(round(ln(s.cs + 1) * 1000000) AS BIGINT) AS lr_micro
+      FROM src s LEFT JOIN tgt t ON s.token = t.token
+    ),
+    doc_scores AS (
+      SELECT k.doc_id, any_value(k.lang) AS lang,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(l.lr_micro) AS BIGINT)
+             + CAST(count(*) AS BIGINT)
+               * (CAST(round(ln(tot.ns + tot.vocab) * 1000000) AS BIGINT)
+                  - CAST(round(ln(tot.nt + tot.vocab) * 1000000) AS BIGINT))
+               AS logweight_micro
+      FROM toks k JOIN lr l ON k.token = l.token, tot
+      GROUP BY k.doc_id, tot.ns, tot.nt, tot.vocab
+    )
+    SELECT doc_id, lang, n_tokens, logweight_micro
+    FROM doc_scores
+    ORDER BY logweight_micro DESC, doc_id
+    LIMIT 25
+    """
+
+
+@register("pipeline_dsir_weights", oracle=_dsir_oracle())
+def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): score every raw document by how much more
+    likely a TARGET-domain unigram LM finds it than the SOURCE (raw
+    corpus) LM, log w(x) = sum over tokens of ln p_tgt - ln p_src with
+    add-1 smoothing; the top-weighted docs are the ones to resample
+    into a pretraining mix (here target = the 'en' slice standing in
+    for "high-quality domain", source = the whole corpus; output = the
+    top-25 with their exact log-weights, the ranking a weighted
+    sampler like [[sample_weighted_reservoir]] would consume).
+
+    Every transcendental is confined to ln of INTEGERS (counts + 1,
+    totals + vocab), integerized to micro-nats before any sum — so a
+    doc's log-weight is an exact BIGINT: sum of per-token table
+    lookups plus n_tokens times a constant-folded normalizer term
+    (ln(Ns+V) - ln(Nt+V)), and the top-25 ordering is deterministic
+    integer comparison. tests/test_weighted_sample.py checks Spark and
+    DuckDB agree on round(ln(k)*1e6) across the fixture's full integer
+    count domain. Scale shape: two hash-aggs over the token stream
+    build the LMs (the heavy one, `src`, is reused by `lr` — one
+    shuffle on the token key), scoring is one more token-keyed join +
+    doc-keyed agg, and the normalizer scalars ride a broadcast 1-row
+    crossjoin; nothing is ever quadratic and no vector/array
+    materializes. The paper's hashed-ngram variant drops in by
+    replacing `token` with the md5-bucket expression of
+    `ml_feature_hash_bucket`."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    ).localCheckpoint()
+
+    def ln_micro(col):
+        return F.round(F.log(col) * 1000000).cast("long")
+
+    src = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cs"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    lr = src.join(tgt, "token", "left").select(
+        "token",
+        (
+            ln_micro(F.coalesce(F.col("ct"), F.lit(0)) + 1)
+            - ln_micro(F.col("cs") + 1)
+        ).alias("lr_micro"),
+    )
+    tot = (
+        toks.agg(
+            F.count(F.when(F.col("lang") == "en", 1)).alias("nt"),
+            F.count(F.lit(1)).alias("ns"),
+            F.count_distinct(F.col("token")).alias("vocab"),
+        )
+        .select(
+            (
+                ln_micro(F.col("ns") + F.col("vocab"))
+                - ln_micro(F.col("nt") + F.col("vocab"))
+            ).alias("norm_micro")
+        )
+    )
+    return (
+        toks.join(lr, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_micro").cast("long").alias("sum_lr"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            (F.col("sum_lr") + F.col("n_tokens") * F.col("norm_micro")).alias(
+                "logweight_micro"
+            ),
+        )
+        .orderBy(F.col("logweight_micro").desc(), "doc_id")
+        .limit(25)
+    )

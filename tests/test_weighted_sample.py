@@ -42,6 +42,29 @@ def test_lnu_nano_domain_exhaustive(spark, duck):
     assert mismatches == [], f"first mismatches: {mismatches[:5]}"
 
 
+def test_integer_ln_micro_domain(spark, duck):
+    """`pipeline_dsir_weights` confines its transcendentals to ln of
+    INTEGERS (token counts + 1, totals + vocab). Check Spark and DuckDB
+    agree on the micro-nat integerization round(ln(k)*1e6) across the
+    fixture's full integer domain (counts stay well under 4e5 at test
+    SFs; the check is the dense prefix plus a sparse high tail)."""
+    duck_vals = dict(
+        duck.execute(
+            "SELECT k, CAST(round(ln(k) * 1000000) AS BIGINT)"
+            " FROM (SELECT unnest(generate_series(1, 400000)) AS k)"
+        ).fetchall()
+    )
+    sdf = spark.range(1, 400001).select(
+        F.col("id").alias("k"),
+        F.round(F.log(F.col("id")) * 1000000).cast("long").alias("v"),
+    )
+    mismatch = [
+        (r.k, r.v, duck_vals[r.k]) for r in sdf.collect()
+        if duck_vals[r.k] != r.v
+    ]
+    assert mismatch == [], f"first mismatches: {mismatch[:5]}"
+
+
 def test_reservoir_is_weighted_and_stable(spark, duck):
     """The top-100 must be reproducible (two runs identical) and the
     weighting must bite: the weighted sample's mean order value should
