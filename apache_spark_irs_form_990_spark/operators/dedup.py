@@ -575,7 +575,7 @@ def _near_embedding_oracle() -> str:
     return f"""
     WITH {_SQL_MILLI_EMB},
     m AS (SELECT * FROM m0),
-    corpus AS (
+    corpus AS MATERIALIZED (
       {emb_milli_corpus_sql((60,))}
     ),
     {banded_lsh_pairs_sql("corpus")},
@@ -634,7 +634,7 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_SQL_MILLI_EMB},
     m AS (SELECT * FROM m0 WHERE vec_id < 300),
-    corpus AS (
+    corpus AS MATERIALIZED (
       {emb_milli_corpus_sql((60,))}
     ),
     pairs AS (
@@ -672,7 +672,7 @@ def dedup_near_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_SQL_MILLI_EMB},
     m AS (SELECT * FROM m0 WHERE vec_id < 300),
-    corpus AS (
+    corpus AS MATERIALIZED (
       {emb_milli_corpus_sql((60,))}
     ),
     {banded_lsh_pairs_sql("corpus")},
@@ -748,13 +748,14 @@ def dedup_embedding_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text, lang, string_split(text, ' ')[1] AS blk
       FROM corpus
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
-    FROM blocked a
-    JOIN blocked b
-      ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
-    WHERE abs(len(a.text) - len(b.text)) <= 25
-      AND levenshtein(a.text, b.text) <= 25
+    SELECT id_a, id_b, edit_dist FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+      FROM blocked a
+      JOIN blocked b
+        ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE abs(len(a.text) - len(b.text)) <= 25
+    ) WHERE edit_dist <= 25
     """,
 )
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -333,8 +333,13 @@ def banded_signature_sql(src: str) -> str:
         + f" AS INT) AS bucket FROM {src}, planes"
         for b in range(_N_BANDS)
     )
+    # MATERIALIZED: `banded` costs 64 list_sums per vector to build
+    # and every consumer references it 2-3x; DuckDB's default CTE
+    # inlining re-evaluates the whole projection per reference (the
+    # graph_kcore_peel lesson, SCALE.md §13) — the hint makes the
+    # oracle half of the differential measure queries, not re-inlining
     return f"""planes AS (SELECT {plane_cols}),
-    banded AS (
+    banded AS MATERIALIZED (
       {band_selects}
     )"""
 
@@ -356,7 +361,7 @@ def banded_lsh_pairs_sql(src: str) -> str:
             WHERE _occ <= {_MAX_BUCKET_OCCUPANCY}) k
       USING (band, bucket)
     ),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT id_a, id_b FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM cold a JOIN cold b
@@ -1104,16 +1109,26 @@ def sim_label_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb0 = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", milli_vec(F.col("embedding")).alias("v")
     )
-    emb = emb0.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id").limit(1024)
+    emb = (
+        emb0.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(1024)
+        .withColumn("n", sq_norm(F.col("v")))
+        .localCheckpoint()  # both pair sides reuse the sampled frame
+    )
     a = emb.select(
-        F.col("vec_id").alias("ida"), F.col("label").alias("la"), F.col("v").alias("va")
+        F.col("vec_id").alias("ida"), F.col("label").alias("la"),
+        F.col("v").alias("va"), F.col("n").alias("na"),
     )
     b = emb.select(
-        F.col("vec_id").alias("idb"), F.col("label").alias("lb"), F.col("v").alias("vb")
+        F.col("vec_id").alias("idb"), F.col("label").alias("lb"),
+        F.col("v").alias("vb"), F.col("n").alias("nb"),
     )
-    cos = dot(F.col("va"), F.col("vb")).cast("double") / (
-        F.sqrt(sq_norm(F.col("va")).cast("double"))
-        * F.sqrt(sq_norm(F.col("vb")).cast("double"))
+    # norms are computed once per VECTOR above, and the 0.5M pair dots
+    # run through the Arrow einsum kernel instead of an interpreted
+    # per-pair Catalyst aggregate (r6 perf split: 13 s -> sub-second
+    # engine half; same exact integers, oracle unchanged)
+    cos = pair_dot_udf()(F.col("va"), F.col("vb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
     pairs = a.join(b, F.col("ida") < F.col("idb")).select(
         (F.col("la") == F.col("lb")).alias("same_label"),

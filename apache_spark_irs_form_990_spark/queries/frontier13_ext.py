@@ -192,17 +192,23 @@ def agg_hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stats_bootstrap_hash_ci",
     oracle=f"""
-    WITH reps AS (SELECT r FROM range(0, 100) AS t(r)),
-    drawn AS (
-      SELECT reps.r,
-             CASE WHEN substr(md5(CAST(reps.r AS VARCHAR) || '|'
-                              || CAST(o_orderkey AS VARCHAR)), 1, 2) < '5e'
-                  THEN 0
-                  WHEN substr(md5(CAST(reps.r AS VARCHAR) || '|'
-                              || CAST(o_orderkey AS VARCHAR)), 1, 2) < 'bc'
-                  THEN 1 ELSE 2 END AS w,
+    WITH blocks AS (SELECT b FROM range(0, 7) AS t(b)),
+    hashed AS (
+      SELECT blocks.b,
+             md5(CAST(blocks.b AS VARCHAR) || '|'
+                 || CAST(o_orderkey AS VARCHAR)) AS hx,
              {sql_cents('o_totalprice')} AS xc
-      FROM orders, reps
+      FROM orders, blocks
+    ),
+    drawn AS (
+      SELECT b * 16 + s.i AS r,
+             CASE WHEN substr(hx, 2 * s.i + 1, 2) < '5e' THEN 0
+                  WHEN substr(hx, 2 * s.i + 1, 2) < 'bc' THEN 1 ELSE 2
+             END AS w,
+             xc
+      FROM hashed,
+           LATERAL (SELECT unnest(generate_series(0, 15)) AS i) s
+      WHERE b * 16 + s.i < 100
     ),
     means AS (
       SELECT r,
@@ -224,39 +230,55 @@ def stats_bootstrap_hash_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Poisson(1) multinomial the classical bootstrap converges to —
     so the 100 replicates are identical on any engine, partitioning,
     or rerun (`rand()` bootstraps are none of these). Weights come
-    from LEXICOGRAPHIC comparison of the hex digest prefix (both
+    from LEXICOGRAPHIC comparison of a 2-hex-char digest slice (both
     engines emit lowercase hex, so '<' agrees; thresholds 94/256 and
-    188/256 give P(0)≈P(1)≈0.37, P(2)≈0.27, mean 1). Each replicate
-    mean is exact-integer Σwx/Σw; the CI is exact percentiles over
-    the 100-row replicate table. Cost: a ×100 row explosion into one
+    188/256 give P(0)≈P(1)≈0.37, P(2)≈0.27, mean 1). One md5 yields
+    SIXTEEN independent byte draws, so replicate r reads byte r%16 of
+    md5(r//16 ‖ key) — 7 digests per row instead of 100 (the r6 perf
+    split found the per-replicate digest was 80% of this query's
+    engine cost; the statistical contract is unchanged since every
+    digest byte is uniform). Each replicate mean is exact-integer
+    Σwx/Σw; the CI is exact percentiles over the 100-row replicate
+    table. Cost: a ×7 digest pass and a ×100 weight explosion into one
     hash aggregate — at 100 TB the same query runs on a 1/1000 hash
     sample ([[sample_hash_deterministic]]) with replicates unchanged."""
     o = load(spark, sf_dir, "orders")
-    drawn = o.select(
-        F.explode(F.sequence(F.lit(0), F.lit(99))).alias("r"),
+    hashed = o.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("b"),
         F.col("o_orderkey"),
         cents("o_totalprice").alias("xc"),
     ).select(
-        "r",
+        "b",
         "xc",
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("r").cast("string"),
-                    F.lit("|"),
-                    F.col("o_orderkey").cast("string"),
-                )
-            ),
-            1,
-            2,
-        ).alias("h2"),
-    ).select(
-        "r",
-        "xc",
-        F.when(F.col("h2") < "5e", 0)
-        .when(F.col("h2") < "bc", 1)
-        .otherwise(2)
-        .alias("w"),
+        F.md5(
+            F.concat(
+                F.col("b").cast("string"),
+                F.lit("|"),
+                F.col("o_orderkey").cast("string"),
+            )
+        ).alias("hx"),
+    )
+    drawn = (
+        hashed.select(
+            "b",
+            "xc",
+            "hx",
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("i"),
+        )
+        .filter(F.col("b") * 16 + F.col("i") < 100)
+        .select(
+            (F.col("b") * 16 + F.col("i")).alias("r"),
+            "xc",
+            F.substring(F.col("hx"), F.col("i") * 2 + 1, F.lit(2)).alias("h2"),
+        )
+        .select(
+            "r",
+            "xc",
+            F.when(F.col("h2") < "5e", 0)
+            .when(F.col("h2") < "bc", 1)
+            .otherwise(2)
+            .alias("w"),
+        )
     )
     means = drawn.groupBy("r").agg(
         (
