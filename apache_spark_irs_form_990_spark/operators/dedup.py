@@ -1981,3 +1981,183 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_BLOOM_M = 65536  # bitset width (16-bit addressable)
+_BLOOM_K = 3  # hash functions per fingerprint
+
+
+def _bloom_prefilter_oracle() -> str:
+    M, K = _BLOOM_M, _BLOOM_K
+    return f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+               AS fingerprint
+      FROM documents
+    ),
+    corp AS MATERIALIZED (
+      SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 10 >= 3
+    ),
+    batch AS MATERIALIZED (
+      SELECT doc_id, fingerprint FROM fp WHERE doc_id % 10 < 3
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, fingerprint
+      FROM fp WHERE doc_id % 10 >= 3 AND doc_id % 9 = 0
+    ),
+    bits AS MATERIALIZED (
+      SELECT DISTINCT CAST(concat('0x',
+               substr(md5(CAST(s.j AS VARCHAR) || '|' || fingerprint), 1, 4))
+               AS BIGINT) % {M} AS bloom_bit
+      FROM corp, LATERAL (SELECT unnest(generate_series(0, {K - 1})) AS j) s
+    ),
+    probe AS (
+      SELECT b.doc_id, b.fingerprint,
+             count(*) FILTER (WHERE bits.bloom_bit IS NULL) AS misses
+      FROM (SELECT doc_id, fingerprint,
+                   CAST(concat('0x', substr(md5(CAST(s.j AS VARCHAR) || '|'
+                        || fingerprint), 1, 4)) AS BIGINT) % {M} AS pb
+            FROM batch,
+                 LATERAL (SELECT unnest(generate_series(0, {K - 1})) AS j) s
+           ) b
+      LEFT JOIN bits ON b.pb = bits.bloom_bit
+      GROUP BY b.doc_id, b.fingerprint
+    ),
+    judged AS (
+      SELECT p.doc_id, p.misses = 0 AS flagged,
+             EXISTS (SELECT 1 FROM corp c
+                     WHERE c.fingerprint = p.fingerprint) AS is_dup
+      FROM probe p
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(count(*) FILTER (WHERE flagged) AS BIGINT) AS n_flagged,
+           CAST(count(*) FILTER (WHERE is_dup) AS BIGINT) AS n_true_dups,
+           CAST(count(*) FILTER (WHERE flagged AND NOT is_dup) AS BIGINT)
+             AS n_false_pos,
+           CAST(count(*) FILTER (WHERE is_dup AND NOT flagged) AS BIGINT)
+             AS n_missed,
+           CAST(count(*) FILTER (WHERE flagged AND NOT is_dup) AS DOUBLE)
+             / (count(*) - count(*) FILTER (WHERE is_dup)) AS fp_rate,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set,
+           CAST((SELECT count(*) FROM bits) AS DOUBLE) / {M} AS fill_ratio
+    FROM judged
+    """
+
+
+@register("dedup_bloom_prefilter_audit", oracle=_bloom_prefilter_oracle())
+def dedup_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter-fronted incremental dedup, with the filter's whole
+    contract measured in one row: `pipeline_incremental_dedup`'s
+    docstring notes its digest anti-join "is exactly what a
+    Bloom-filter-fronted incremental dedup degrades to on filter
+    miss" — this query BUILDS that front. The existing corpus's
+    normalized fingerprints set k=3 md5-derived bits in an m=2^16
+    bitset; a nightly batch (fresh docs + a recrawled slice under new
+    ids, so true duplicates exist) probes it, and a batch doc passes
+    the prefilter only when ALL its bits are set. The report carries
+    the two numbers that justify the filter at 100 TB — n_missed
+    (MUST be 0: a Bloom filter has no false negatives, asserted
+    cross-engine rather than assumed) and fp_rate (the fraction of
+    genuinely-new docs that still pay the exact anti-join, ~fill³) —
+    plus bits_set/fill_ratio, the capacity gauges that say when to
+    widen m.
+
+    Scale shape: the build is one DISTINCT over m-bounded ints — a
+    fixed-size broadcastable bitset (at 100 TB you'd mint it with
+    `bloom_filter_agg`/DataSketches into literal bits; the (bit) row
+    form here keeps the arithmetic exactly mirrorable in SQL), and
+    the probe joins batch-minted bits against that broadcast — the
+    corpus itself is never shuffled per batch, which is the entire
+    point of fronting [[pipeline_incremental_dedup]]'s anti-join.
+    Spark's own runtime form of this idea is exercised by
+    [[join_bloom_runtime_filter]]; this operator is the explicit,
+    persistable variant a nightly pipeline owns. Probability check:
+    intra-doc bit collisions are handled (a doc is flagged iff no
+    drawn bit is missing, not iff 3 bits matched)."""
+    M, K = _BLOOM_M, _BLOOM_K
+    fp = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        ).alias("fingerprint"),
+    )
+    corp = (
+        fp.filter(F.col("doc_id") % 10 >= 3).select("fingerprint").distinct()
+    )
+    batch = (
+        fp.filter(F.col("doc_id") % 10 < 3)
+        .unionByName(
+            fp.filter(
+                (F.col("doc_id") % 10 >= 3) & (F.col("doc_id") % 9 == 0)
+            ).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "fingerprint"
+            )
+        )
+    )
+
+    def bloom_bit(j_col, fp_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(j_col.cast("string"), F.lit("|"), fp_col)),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % M
+        )
+
+    j = F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("j")
+    bits = (
+        corp.select("fingerprint", j)
+        .select(bloom_bit(F.col("j"), F.col("fingerprint")).alias("bloom_bit"))
+        .distinct()
+    )
+    probe = (
+        batch.select("doc_id", "fingerprint", j)
+        .select(
+            "doc_id",
+            "fingerprint",
+            bloom_bit(F.col("j"), F.col("fingerprint")).alias("pb"),
+        )
+        .join(F.broadcast(bits), F.col("pb") == F.col("bloom_bit"), "left")
+        .groupBy("doc_id", "fingerprint")
+        .agg(
+            F.count(F.when(F.col("bloom_bit").isNull(), 1)).alias("misses")
+        )
+    )
+    judged = probe.join(
+        corp.withColumn("in_corpus", F.lit(1)), "fingerprint", "left"
+    ).select(
+        (F.col("misses") == 0).alias("flagged"),
+        F.col("in_corpus").isNotNull().alias("is_dup"),
+    )
+    n_bits = bits.agg(
+        F.count(F.lit(1)).alias("bits_set"),
+        (F.count(F.lit(1)).cast("double") / M).alias("fill_ratio"),
+    )
+    return (
+        judged.agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.count(F.when(F.col("flagged"), 1)).alias("n_flagged"),
+            F.count(F.when(F.col("is_dup"), 1)).alias("n_true_dups"),
+            F.count(F.when(F.col("flagged") & ~F.col("is_dup"), 1)).alias(
+                "n_false_pos"
+            ),
+            F.count(F.when(F.col("is_dup") & ~F.col("flagged"), 1)).alias(
+                "n_missed"
+            ),
+            (
+                F.count(F.when(F.col("flagged") & ~F.col("is_dup"), 1)).cast(
+                    "double"
+                )
+                / (
+                    F.count(F.lit(1))
+                    - F.count(F.when(F.col("is_dup"), 1))
+                )
+            ).alias("fp_rate"),
+        )
+        .crossJoin(F.broadcast(n_bits))
+    )
