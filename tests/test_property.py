@@ -430,3 +430,67 @@ def test_entropy_identity_bounds(spark, counts):
     )
     assert abs(out - model) < 1e-9
     assert -1e-12 <= out <= math.log(len(agg)) + 1e-9
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # doc id
+            st.integers(min_value=1, max_value=60),     # dup-gram start pos
+        ),
+        min_size=0,
+        max_size=50,
+        unique=True,
+    ),
+    k=st.integers(min_value=1, max_value=20),            # gram width
+)
+@settings(**SETTINGS)
+def test_interval_union_sweep_bruteforce(spark, docs, k):
+    """The island sweep `dedup_substring_coverage` uses for its exact
+    interval-union length (running-max break flag + island numbering +
+    per-island max(e)-min(i)+1) must equal the brute-force union of
+    [i, i+k-1] token ranges — including overlapping, nested, and
+    adjacent windows, which hypothesis generates freely."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    expected = {}
+    grams = {}
+    for d, i in docs:
+        expected.setdefault(d, set()).update(range(i, i + k))
+        grams[d] = grams.get(d, 0) + 1
+    if not docs:
+        return
+    sdf = spark.createDataFrame(
+        [(d, i) for d, i in docs], schema="doc_id int, i int"
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    prev_max_e = F.max(F.col("i") + (k - 1)).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = sdf.select(
+        "doc_id",
+        "i",
+        (F.col("i") + (k - 1)).alias("e"),
+        F.when(prev_max_e >= F.col("i"), 0).otherwise(1).alias("brk"),
+    )
+    islands = swept.withColumn(
+        "isl",
+        F.sum("brk").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    got = {
+        r.doc_id: (r.covered, r.n_pos)
+        for r in islands.groupBy("doc_id", "isl")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            (F.max("e") - F.min("i") + 1).alias("ilen"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("ilen").alias("covered"), F.sum("n_pos").alias("n_pos")
+        )
+        .collect()
+    }
+    assert got == {
+        d: (len(expected[d]), grams[d]) for d in expected
+    }, f"k={k} docs={docs}"
