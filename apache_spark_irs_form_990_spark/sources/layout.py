@@ -330,3 +330,83 @@ def layout_partition_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("n_target_files"),
         )
     )
+
+
+def _zval(cx, cy):
+    """16-bit Morton interleave of two 8-bit coordinate Columns."""
+    z = None
+    for i in range(8):
+        tx = F.shiftleft(F.shiftright(cx, i).bitwiseAND(F.lit(1)), 2 * i)
+        ty = F.shiftleft(F.shiftright(cy, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        z = tx + ty if z is None else z + tx + ty
+    return z
+
+
+@register(
+    "layout_zorder_prune_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    WHERE o_custkey <= 300
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1996-01-01'
+    """,
+)
+def layout_zorder_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-order layout EXECUTED, not narrated: [[layout_zorder_stats]]
+    audits the Morton-cell geometry and its docstring prescribes the
+    production write — this query performs it (compute zval, range-
+    partition into 64 z-runs, sort within, write parquet), reads the
+    clustered table back as an independent scan, and answers a 2-D
+    RECTANGLE query (customer range x one year) against it. The oracle
+    is plain SQL over the original `orders`, so the round trip is
+    proven lossless; the pruning payoff is asserted separately in
+    tests/test_plans.py — each z-sorted file covers a contiguous zval
+    run = a small rectangle in (customer, day) space, so parquet
+    row-group min/max stats on the RAW columns skip most files for a
+    predicate on EITHER or BOTH dimensions, where a single-key sort
+    localizes only its own key.
+
+    The write is `repartitionByRange(64, zval)` + `sortWithinPartitions`
+    — exactly the layout job OPTIMIZE ZORDER runs in Delta/Iceberg; at
+    100 TB it is a nightly one-pass shuffle whose cost every
+    subsequent selective scan amortizes (the persisted-index argument
+    of [[sim_ann_index_persist_probe]], applied to table layout)."""
+    o = load(spark, sf_dir, "orders")
+    bounds = F.broadcast(
+        o.agg(
+            F.min("o_custkey").alias("mn_c"),
+            F.max("o_custkey").alias("mx_c"),
+            F.min("o_orderdate").alias("mn_d"),
+            F.max("o_orderdate").alias("mx_d"),
+        )
+    )
+    cx = F.expr("((o_custkey - mn_c) * 255) div (mx_c - mn_c)")
+    cy = F.expr("(datediff(o_orderdate, mn_d) * 255) div datediff(mx_d, mn_d)")
+    clustered = o.crossJoin(bounds).select(
+        o["*"], _zval(cx, cy).cast("long").alias("zval")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark990_zorder_orders_{_sf_tag(sf_dir)}"
+    )
+    clustered.repartitionByRange(64, "zval").sortWithinPartitions(
+        "zval"
+    ).write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(
+            (F.col("o_custkey") <= 300)
+            & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+            F.count_distinct(F.col("o_custkey")).alias("n_customers"),
+        )
+    )

@@ -459,3 +459,56 @@ def test_persisted_index_probe_broadcasts_and_prunes(spark):
     assert "dynamicpruning" in plan, (
         f"index scan not dynamically pruned to probed buckets:\n{plan}"
     )
+
+
+def test_zorder_roundtrip_scan_skips_row_groups(spark):
+    """layout_zorder_prune_roundtrip's payoff in the metrics: after the
+    z-ordered write, a 2-D rectangle predicate on the RAW columns
+    must let parquet row-group min/max stats skip most of the table —
+    the clustered scan's numOutputRows (rows surviving row-group
+    pruning, before the residual Filter) stays well under half the
+    table, where an unclustered layout would surface nearly all rows.
+    Also checks both dimensions reach the scan as PushedFilters."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    # run the registered query once: performs the clustered write
+    QUERIES["layout_zorder_prune_roundtrip"](spark, SF_DIR).collect()
+    tag = os.path.basename(SF_DIR.rstrip("/")).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark990_zorder_orders_{tag}")
+    rect = (
+        (F.col("o_custkey") <= 300)
+        & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    probe = spark.read.parquet(path).filter(rect).select("o_orderkey")
+    assert_pushed_filter(probe, "o_custkey")
+    assert_pushed_filter(probe, "o_orderdate")
+    probe.collect()
+    total = spark.read.parquet(path).count()
+
+    def _scan_output_rows(plan):
+        found = []
+        stack = [plan]
+        while stack:
+            node = stack.pop()
+            if "Scan parquet" in node.nodeName() or "FileScan" in node.nodeName():
+                m = node.metrics()
+                if m.contains("numOutputRows"):
+                    found.append(m.apply("numOutputRows").value())
+            for i in range(node.children().length()):
+                stack.append(node.children().apply(i))
+            # AQE wraps the real plan
+            if node.nodeName() == "AdaptiveSparkPlan":
+                stack.append(node.executedPlan())
+        return found
+
+    rows = _scan_output_rows(probe._jdf.queryExecution().executedPlan())
+    assert rows, "no parquet scan metrics found"
+    scanned = max(rows)
+    assert scanned < 0.5 * total, (
+        f"z-ordered scan surfaced {scanned} of {total} rows - "
+        "row-group stats did not prune"
+    )
