@@ -1113,7 +1113,10 @@ def sim_label_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb0.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(1024)
         .withColumn("n", sq_norm(F.col("v")))
-        .localCheckpoint()  # both pair sides reuse the sampled frame
+        # NOT checkpointed: the TakeOrderedAndProject sampling shape
+        # must stay visible in the plan (tests/test_plans.py); the
+        # duplicate 1024-row sample scan costs ~1s, the Arrow dots
+        # and hoisted norms are where the r6 win came from
     )
     a = emb.select(
         F.col("vec_id").alias("ida"), F.col("label").alias("la"),
