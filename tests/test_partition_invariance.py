@@ -41,6 +41,10 @@ SWEEP = [
     "dedup_semantic_ivf_cells",  # r6: cell argmax + capped priority join
     "dedup_substring_coverage",  # r6: gram-count window + island sweep
     "sample_weighted_reservoir",  # r6: ln-key top-k boundary under merge
+    "mm_clip_score_filter",      # r6: micro-int cosine mean per lang
+    "pipeline_dsir_weights",     # r6: integer-ln LM sums, top-25 cut
+    "dedup_bloom_prefilter_audit",  # r6: broadcast bitset probe counts
+    "layout_zorder_prune_roundtrip",  # r6: range-partitioned write+scan
 ]
 
 
