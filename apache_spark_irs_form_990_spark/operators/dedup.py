@@ -2161,3 +2161,135 @@ def dedup_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(n_bits))
     )
+
+
+def _semdedup_cap_audit_oracle() -> str:
+    K, C = _SEMDEDUP_K, _SEMDEDUP_CAP
+    return f"""
+    WITH {_SQL_MILLI_EMB},
+    m AS (SELECT * FROM m0),
+    corpus AS MATERIALIZED (
+      {emb_milli_corpus_sql((60,))}
+    ),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM m WHERE vec_id < {K}),
+    assign_pairs AS (
+      SELECT c0.vec_id, c.cid, c0.v,
+             CAST(list_sum(list_transform(range(1, 65),
+                    i -> c0.v[i] * c.cv[i])) AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(c0.v, x -> x * x))
+                          AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(c.cv, x -> x * x))
+                            AS DOUBLE))) AS cent_cos
+      FROM corpus c0, cents c
+    ),
+    ranked AS MATERIALIZED (
+      SELECT vec_id, cell, v, cent_cos,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY cent_cos, vec_id) AS rn
+      FROM (
+        SELECT vec_id, cid AS cell, v, cent_cos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cent_cos DESC, cid) AS arn
+        FROM assign_pairs
+      ) WHERE arn = 1
+    ),
+    close_pairs AS MATERIALIZED (
+      SELECT a.vec_id, b.rn AS b_rn
+      FROM ranked a JOIN ranked b
+        ON a.cell = b.cell AND b.rn < a.rn
+      WHERE {SQL_COS_AB} >= {_SEMDEDUP_TAU}
+    ),
+    drops_u AS (SELECT DISTINCT vec_id FROM close_pairs),
+    drops_c AS (SELECT DISTINCT vec_id FROM close_pairs WHERE b_rn <= {C})
+    SELECT CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(c.vec_id) AS BIGINT) AS n_dropped_capped,
+           CAST(count(u.vec_id) AS BIGINT) AS n_dropped_uncapped,
+           CAST(count(*) FILTER (WHERE (c.vec_id IS NULL)
+                                     = (u.vec_id IS NULL)) AS BIGINT)
+             AS n_agree,
+           CAST(count(*) FILTER (WHERE (c.vec_id IS NULL)
+                                     = (u.vec_id IS NULL)) AS DOUBLE)
+             / count(*) AS agree_rate
+    FROM ranked r
+    LEFT JOIN drops_c c ON r.vec_id = c.vec_id
+    LEFT JOIN drops_u u ON r.vec_id = u.vec_id
+    """
+
+
+@register("dedup_semdedup_cap_audit", oracle=_semdedup_cap_audit_oracle())
+def dedup_semdedup_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What [[dedup_semantic_ivf_cells]]'s top-C comparison cap costs —
+    the house recall-audit move applied to the round's one remaining
+    un-audited approximation: the same assignment + priority ranking,
+    with the drop decision computed BOTH ways (capped: a higher-
+    priority 0.95-neighbor within the cell's top-64 index; uncapped:
+    any higher-priority 0.95-neighbor in the cell) and per-vector
+    agreement reported in one row. The uncapped side is the occ²
+    ground truth and exists ONLY in this audit — at 100 TB it runs on
+    a sampled cell subset, never the corpus, exactly like the
+    `*_exact` audit twins of the LSH family; the capped side is the
+    registered operator's rule verbatim. One within-cell pair join
+    feeds both rules (the cap is a predicate on the stored side's
+    rank, so the audit costs one join, not two)."""
+    K, C = _SEMDEDUP_K, _SEMDEDUP_CAP
+    corpus = emb_milli_corpus(spark, sf_dir, keeps=(60,))
+    cents = corpus.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    cent_cos = dot(F.col("v"), F.col("cv")).cast("double") / (
+        F.sqrt(sq_norm(F.col("v")).cast("double"))
+        * F.sqrt(sq_norm(F.col("cv")).cast("double"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_cos").desc(), F.col("cid")
+    )
+    w_rank = Window.partitionBy("cell").orderBy("cent_cos", "vec_id")
+    ranked = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", "v", cent_cos.alias("cent_cos"))
+        .withColumn("arn", F.row_number().over(w_assign))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"), "v", "cent_cos")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("nrm", sq_norm(F.col("v")))
+        .localCheckpoint()
+    )
+    a = ranked.select(
+        "vec_id", "cell", "rn",
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = ranked.select(
+        F.col("cell").alias("b_cell"), F.col("rn").alias("b_rn"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    pair_cos = pair_dot_udf()(F.col("va"), F.col("vb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    close = (
+        a.join(b, (F.col("cell") == F.col("b_cell")) & (F.col("b_rn") < F.col("rn")))
+        .filter(pair_cos >= _SEMDEDUP_TAU)
+        .select("vec_id", "b_rn")
+        .localCheckpoint()
+    )
+    drops_u = close.select("vec_id").distinct().withColumn("du", F.lit(1))
+    drops_c = (
+        close.filter(F.col("b_rn") <= C)
+        .select("vec_id")
+        .distinct()
+        .withColumn("dc", F.lit(1))
+    )
+    agree = F.col("dc").isNull() == F.col("du").isNull()
+    return (
+        ranked.select("vec_id")
+        .join(drops_c, "vec_id", "left")
+        .join(drops_u, "vec_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count("dc").alias("n_dropped_capped"),
+            F.count("du").alias("n_dropped_uncapped"),
+            F.count(F.when(agree, 1)).alias("n_agree"),
+            (
+                F.count(F.when(agree, 1)).cast("double") / F.count(F.lit(1))
+            ).alias("agree_rate"),
+        )
+    )
