@@ -494,3 +494,61 @@ def test_interval_union_sweep_bruteforce(spark, docs, k):
     assert got == {
         d: (len(expected[d]), grams[d]) for d in expected
     }, f"k={k} docs={docs}"
+
+
+def test_zorder_interleave_bijective(spark):
+    """The 16-bit Morton interleave in sources/layout.py must be a
+    BIJECTION from (cx, cy) in [0,255]^2 onto [0, 65535] with the
+    documented bit layout (cx on even bits, cy on odd) — one wrong
+    shift would silently degrade z-locality without failing any
+    result-level oracle (the rectangle query is layout-independent).
+    Checked exhaustively over the whole domain."""
+    from pyspark.sql import functions as F
+
+    from apache_spark_irs_form_990_spark.sources.layout import _zval
+
+    grid = (
+        spark.range(0, 65536)
+        .select(
+            (F.col("id") % 256).cast("int").alias("cx"),
+            (F.col("id") / 256).cast("int").alias("cy"),
+        )
+        .select(
+            "cx", "cy", _zval(F.col("cx"), F.col("cy")).cast("long").alias("z")
+        )
+    )
+    agg = grid.agg(
+        F.count_distinct("z").alias("nz"),
+        F.min("z").alias("mn"),
+        F.max("z").alias("mx"),
+        # de-interleave: even bits -> cx, odd bits -> cy, must match
+        F.count(
+            F.when(
+                sum(
+                    F.shiftleft(
+                        F.shiftright(F.col("z"), 2 * i).bitwiseAND(F.lit(1)), i
+                    )
+                    for i in range(8)
+                )
+                != F.col("cx"),
+                1,
+            )
+        ).alias("bad_cx"),
+        F.count(
+            F.when(
+                sum(
+                    F.shiftleft(
+                        F.shiftright(F.col("z"), 2 * i + 1).bitwiseAND(
+                            F.lit(1)
+                        ),
+                        i,
+                    )
+                    for i in range(8)
+                )
+                != F.col("cy"),
+                1,
+            )
+        ).alias("bad_cy"),
+    ).collect()[0]
+    assert agg.nz == 65536 and agg.mn == 0 and agg.mx == 65535
+    assert agg.bad_cx == 0 and agg.bad_cy == 0
