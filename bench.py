@@ -92,6 +92,10 @@ EXTENDED = [
     "dedup_semantic_ivf_cells",
     "dedup_substring_coverage",
     "sample_weighted_reservoir",
+    "mm_clip_score_filter",
+    "pipeline_dsir_weights",
+    "dedup_bloom_prefilter_audit",
+    "layout_zorder_prune_roundtrip",
 ]
 
 
