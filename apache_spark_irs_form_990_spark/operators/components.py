@@ -83,6 +83,7 @@ def connected_components(
     labels = nodes.select(F.col("id"), F.col("id").alias("component"))
     labels = labels.localCheckpoint()
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         if stats is not None:
             stats["rounds"] += 1
@@ -99,8 +100,20 @@ def connected_components(
         # convergence: sum of labels is strictly decreasing until fixpoint
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Silent unconverged labels are a correctness bug, not a perf
+        # knob: every caller's oracle is a full transitive closure, so
+        # a label chain longer than max_iter would hash-mismatch (or
+        # worse, quietly misgroup in production). Fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds; graph diameter exceeds the budget — "
+            f"raise max_iter (or switch to the pointer-doubling variant "
+            f"for high-diameter graphs)"
+        )
     return labels
 
 
@@ -126,13 +139,13 @@ _SQL_CORPUS = """
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id,
-             array_to_string(list_slice(string_split(text, ' '), 1,
-                             len(string_split(text, ' ')) - 2), ' ') AS text
+             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
+                             greatest(len(string_split(text, ' ')) - 2, 0)), ' '), '') AS text
       FROM documents WHERE doc_id % 5 = 0
       UNION ALL
       SELECT doc_id + 2000000 AS doc_id,
-             array_to_string(list_slice(string_split(text, ' '), 1,
-                             len(string_split(text, ' ')) - 4), ' ') AS text
+             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
+                             greatest(len(string_split(text, ' ')) - 4, 0)), ' '), '') AS text
       FROM documents WHERE doc_id % 5 = 0
 """
 
@@ -142,12 +155,14 @@ _SQL_CORPUS = """
     oracle=f"""
     WITH RECURSIVE corpus AS ({_SQL_CORPUS}),
     shingled0 AS (
-      SELECT doc_id,
-             unnest(list_distinct([
-               array_to_string(list_slice(t, i, i + 2), ' ')
-               FOR i IN generate_series(1, len(t) - 2)
-             ])) AS shingle
-      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_distinct([
+                 array_to_string(list_slice(t, i, i + 2), ' ')
+                 FOR i IN generate_series(1, len(t) - 2)
+               ])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+      )
     ),
     shingled AS (
       SELECT doc_id, shingle FROM (
@@ -205,10 +220,15 @@ def _doc_jaccard_edges(corpus: DataFrame) -> DataFrame:
     (doc_id, text) corpus — `dedup_cluster_components`' edge source,
     exposed so the scale-step sweep can measure edge growth and CC
     round counts with the operator's own kernel (r6)."""
+    # distinct per (doc_id, shingle), not just per row: a duplicated
+    # doc_id row would otherwise double both sizes.n and the overlap
+    # multiplicity, driving the Jaccard denominator n_a + n_b - shared
+    # to 0 (found by tests/test_edge_corpus.py). Jaccard is defined on
+    # the doc's shingle SET — union over its rows.
     shingled0 = corpus.select(
         "doc_id",
         F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
-    )
+    ).distinct()
     w_df = Window.partitionBy("shingle")
     shingled = (
         shingled0.withColumn("df", F.count("*").over(w_df))
@@ -392,9 +412,9 @@ def _star_components_oracle() -> str:
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id,
-             array_to_string(list_slice(string_split(text, ' '), 1,
+             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
                              greatest(len(string_split(text, ' ')) - 2, 0)),
-                             ' ') AS text
+                             ' '), '') AS text
       FROM documents WHERE doc_id % 7 = 0
     ),
     {band_signatures_sql("corpus", "c")},

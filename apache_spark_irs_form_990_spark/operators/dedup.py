@@ -185,17 +185,19 @@ def band_signatures_sql(src: str, pfx: str) -> str:
       UNION ALL
       -- near-duplicate: same doc with the last 2 words dropped
       SELECT doc_id + 1000000 AS doc_id,
-             array_to_string(list_slice(string_split(text, ' '), 1,
-                             len(string_split(text, ' ')) - 2), ' ') AS text
+             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
+                             greatest(len(string_split(text, ' ')) - 2, 0)), ' '), '') AS text
       FROM documents WHERE doc_id % 5 = 0
     ),
     shingled0 AS (
-      SELECT doc_id,
-             unnest(list_distinct([
-               array_to_string(list_slice(t, i, i + 2), ' ')
-               FOR i IN generate_series(1, len(t) - 2)
-             ])) AS shingle
-      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_distinct([
+                 array_to_string(list_slice(t, i, i + 2), ' ')
+                 FOR i IN generate_series(1, len(t) - 2)
+               ])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+      )
     ),
     shingled AS (
       SELECT doc_id, shingle FROM (
@@ -242,12 +244,16 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     corpus = docs.unionByName(near)
+    # distinct per (doc_id, shingle): under a duplicated doc_id row the
+    # per-row array_distinct is not enough — multiplicity inflates both
+    # sizes.n and shared, corrupting (or zeroing the denominator of)
+    # the Jaccard. Set semantics = union of the doc's rows' shingles.
     shingled0 = (
         corpus.select(
             "doc_id",
             F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
         )
-    )
+    ).distinct()
     w_df = Window.partitionBy("shingle")
     shingled = (
         shingled0.withColumn("df", F.count("*").over(w_df))
@@ -308,8 +314,8 @@ def _minhash_oracle() -> str:
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id,
-             array_to_string(list_slice(string_split(text, ' '), 1,
-                             len(string_split(text, ' ')) - 2), ' ') AS text
+             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
+                             greatest(len(string_split(text, ' ')) - 2, 0)), ' '), '') AS text
       FROM documents WHERE doc_id % 5 = 0
     ),
     shingled AS (
@@ -738,9 +744,9 @@ def dedup_embedding_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text, lang FROM documents
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id,
-             array_to_string(list_slice(string_split(text, ' '), 1,
+             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
                              greatest(len(string_split(text, ' ')) - 2, 0)),
-                             ' ') AS text,
+                             ' '), '') AS text,
              lang
       FROM documents WHERE doc_id % 7 = 0
     ),
@@ -906,8 +912,8 @@ def dedup_paragraph_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id,
-             array_to_string(list_slice(string_split(text, ' '), 1,
-                             len(string_split(text, ' ')) - 2), ' ') AS text
+             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
+                             greatest(len(string_split(text, ' ')) - 2, 0)), ' '), '') AS text
       FROM documents WHERE doc_id % 5 = 0
     ),
     shingled AS (
@@ -993,8 +999,8 @@ def dedup_minhash_banding_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH corpus AS (SELECT doc_id, text FROM documents),
     batch AS (
       SELECT doc_id + 5000000 AS doc_id,
-             array_to_string(list_slice(string_split(text, ' '), 1,
-                             len(string_split(text, ' ')) - 2), ' ') AS text
+             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
+                             greatest(len(string_split(text, ' ')) - 2, 0)), ' '), '') AS text
       FROM documents WHERE doc_id % 10 = 0
     ),
     cs AS (
@@ -1138,8 +1144,8 @@ def _minhash_jaccard_audit_oracle() -> str:
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id,
-             array_to_string(list_slice(string_split(text, ' '), 1,
-                             len(string_split(text, ' ')) - 2), ' ')
+             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
+                             greatest(len(string_split(text, ' ')) - 2, 0)), ' '), '')
       FROM documents WHERE doc_id % 5 = 0
     ),
     {band_signatures_sql("corpus", "a")},
@@ -1256,8 +1262,8 @@ def dedup_minhash_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id,
-             array_to_string(list_slice(string_split(text, ' '), 1,
-                             len(string_split(text, ' ')) - 2), ' ') AS text
+             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
+                             greatest(len(string_split(text, ' ')) - 2, 0)), ' '), '') AS text
       FROM documents WHERE doc_id % 5 = 0
     ),
     shingled AS (
@@ -1332,9 +1338,9 @@ def dedup_minhash_star_links(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id,
-             array_to_string(list_slice(string_split(text, ' '), 1,
+             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
                              greatest(len(string_split(text, ' ')) - 2, 0)),
-                             ' ') AS text
+                             ' '), '') AS text
       FROM documents WHERE doc_id % 7 = 0
     ),
     {band_signatures_sql("corpus", "c")},
@@ -1409,9 +1415,9 @@ def dedup_fuzzy_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id,
-             array_to_string(list_slice(string_split(text, ' '), 1,
+             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
                              greatest(len(string_split(text, ' ')) - 2, 0)),
-                             ' ') AS text
+                             ' '), '') AS text
       FROM documents WHERE doc_id % 7 = 0
     ),
     {band_signatures_sql("corpus", "c")},
@@ -1519,9 +1525,9 @@ def dedup_fuzzy_star_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id,
-             array_to_string(list_slice(string_split(text, ' '), 1,
+             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
                              greatest(len(string_split(text, ' ')) - 2, 0)),
-                             ' ') AS text
+                             ' '), '') AS text
       FROM documents WHERE doc_id % 7 = 0
     ),
     {band_signatures_sql("corpus", "c")},
@@ -1836,9 +1842,9 @@ def _substring_coverage_oracle() -> str:
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id,
-             array_to_string(list_slice(string_split(text, ' '), 1,
+             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
                              greatest(len(string_split(text, ' ')) - 2, 0)),
-                             ' ') AS text
+                             ' '), '') AS text
       FROM documents WHERE doc_id % 5 = 0
     ),
     toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),

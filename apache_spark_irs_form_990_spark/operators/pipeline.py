@@ -187,8 +187,8 @@ def _cascade_oracle() -> str:
       SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 4 = 0
       UNION ALL
       SELECT doc_id + 1000000,
-             array_to_string(list_slice(string_split(text, ' '), 1,
-                             len(string_split(text, ' ')) - 2), ' ')
+             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
+                             greatest(len(string_split(text, ' ')) - 2, 0)), ' '), '')
       FROM documents WHERE doc_id % 5 = 0
     ),
     fps AS (

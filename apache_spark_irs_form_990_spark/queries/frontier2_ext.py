@@ -33,8 +33,8 @@ from apache_spark_irs_form_990_spark.tables import load, register_views
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id,
-             array_to_string(list_slice(string_split(text, ' '), 1,
-                             len(string_split(text, ' ')) - 2), ' ') AS text
+             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
+                             greatest(len(string_split(text, ' ')) - 2, 0)), ' '), '') AS text
       FROM documents WHERE doc_id % 5 = 0
     ),
     shingled AS (

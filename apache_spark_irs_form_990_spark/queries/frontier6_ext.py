@@ -194,12 +194,14 @@ def udf_scalar_iter_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE corpus AS ({_SQL_CORPUS}),
     shingled0 AS (
-      SELECT doc_id,
-             unnest(list_distinct([
-               array_to_string(list_slice(t, i, i + 2), ' ')
-               FOR i IN generate_series(1, len(t) - 2)
-             ])) AS shingle
-      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_distinct([
+                 array_to_string(list_slice(t, i, i + 2), ' ')
+                 FOR i IN generate_series(1, len(t) - 2)
+               ])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+      )
     ),
     -- mirrors dedup_cluster_components' document-frequency cap (r3)
     shingled AS (

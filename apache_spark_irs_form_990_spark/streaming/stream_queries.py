@@ -744,8 +744,8 @@ def stream_outer_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH corpus AS (SELECT doc_id, text FROM documents),
     batch AS (
       SELECT doc_id + 5000000 AS doc_id,
-             array_to_string(list_slice(string_split(text, ' '), 1,
-                             len(string_split(text, ' ')) - 2), ' ') AS text
+             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
+                             greatest(len(string_split(text, ' ')) - 2, 0)), ' '), '') AS text
       FROM documents WHERE doc_id % 10 = 0
     ),
     cs AS (
@@ -846,7 +846,17 @@ def stream_dedup_near_static_index(spark: SparkSession, sf_dir: str) -> DataFram
         .parquet(in_dir)
     )
     csig = band_signatures(docs).localCheckpoint().alias("c")
-    bsig = band_signatures_stateless(stream).alias("b")
+    # Stateful dedup on (doc_id, band): the stateless banding is
+    # per-ROW, so a duplicated doc_id row (identical text) would emit
+    # its signature twice and double n_shared_bands, breaking the
+    # backfill-equivalence contract with the batch twin whose
+    # groupBy(doc_id) collapses duplicates (tests/test_edge_corpus.py).
+    # State is one row per (doc, band) — signatures, never documents.
+    bsig = (
+        band_signatures_stateless(stream)
+        .dropDuplicates(["doc_id", "band"])
+        .alias("b")
+    )
     agg = (
         bsig.join(
             csig,
