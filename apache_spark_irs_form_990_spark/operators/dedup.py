@@ -771,10 +771,12 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializing cross-block pairs. Within blocks, exact
     levenshtein (identical definition in both engines) gates at <=25.
 
-    At 100 TB, first-token blocking is too coarse; block on a MinHash
-    band (dedup_near_minhash) and use this as the precise re-scorer of
-    its candidates — the standard two-stage cascade (cheap recall,
-    expensive precision).
+    At 100 TB, first-token blocking is too coarse AND any pairwise
+    rescore is k^2 in duplicate-cluster size: the at-scale plan is
+    [[dedup_fuzzy_star_rescore]] (MinHash-banded recall, edit-distance
+    precision against bucket HUBS only — bands x n bounded), with
+    [[dedup_fuzzy_cascade]] as the pairwise sample-scale truth that
+    [[dedup_star_vs_pairwise_audit]] prices the star election against.
 
     Per-pair cost discipline (r5 — this was the registry's slowest
     Spark-side query at 186 s, all of it O(len_a*len_b) dynamic
@@ -1360,9 +1362,20 @@ def dedup_minhash_star_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_fuzzy_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The two-stage fuzzy-dedup CASCADE that
-    [[dedup_fuzzy_levenshtein]]'s docstring names as its 100 TB form,
-    registered (r5): recall stage = MinHash-banded candidates (the
+    """The PAIRWISE two-stage fuzzy-dedup cascade — the SAMPLE-SCALE
+    TRUTH side of [[dedup_star_vs_pairwise_audit]], NOT the at-scale
+    plan. Its precision stage rescores every banded candidate pair,
+    which is inherently k^2 in duplicate-cluster size: its own
+    scale-step records 65.3 s at sf1 (~21x for the 10x step,
+    candidates 43k -> 1.77M, SCALE_STEP_r06.json). The registered
+    100 TB plan is [[dedup_fuzzy_star_rescore]] (hub edges bound DP
+    work at bands x n — 10.9 s on the same sf1 step), with
+    [[dedup_fuzzy_star_components]] recovering full transitive
+    clusters over the same O(occ) edges. Run THIS form only on a
+    bounded sample to price the star election's recall, exactly as
+    the audit does (sample-then-trust protocol in its docstring).
+
+    Mechanics (r5): recall stage = MinHash-banded candidates (the
     shared `band_signatures` kernel — sub-quadratic, shuffles only
     (band, band_min) keys), precision stage = exact edit distance
     gated at <= 25 on candidates only, with the r5 cost discipline

@@ -18,6 +18,8 @@ float32 sum order differs between engines; integer sums cannot.
 
 from __future__ import annotations
 
+import itertools
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -34,6 +36,8 @@ from apache_spark_irs_form_990_spark.registry import register
 from apache_spark_irs_form_990_spark.tables import load
 
 _QUERY_VEC_ID = 0  # deterministic fixed query: vec_id 0's embedding
+
+_INDEX_NONCE = itertools.count()  # per-invocation persisted-index paths
 
 
 @register(
@@ -1736,9 +1740,15 @@ def sim_ann_index_persist_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", milli_vec(F.col("embedding")).alias("v")
     )
     bucketed = _flat_bucketed(emb)
+    # per-invocation nonce (pid + counter) in the index path: with a
+    # path keyed only by sf_dir, a later overwrite could yank files
+    # out from under an earlier invocation's still-lazy result
+    # DataFrame (stale-file reads). Each invocation gets its own
+    # directory; the fixture-scale leak is a few MB in tempdir.
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    nonce = f"{os.getpid()}_{next(_INDEX_NONCE)}"
     index_dir = os.path.join(
-        tempfile.gettempdir(), f"spark990_ann_index_{tag}"
+        tempfile.gettempdir(), f"spark990_ann_index_{tag}_{nonce}"
     )
     # build phase: the nightly index job
     _flat_index(bucketed).write.mode("overwrite").partitionBy(

@@ -384,8 +384,15 @@ def layout_zorder_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
             F.max("o_orderdate").alias("mx_d"),
         )
     )
-    cx = F.expr("((o_custkey - mn_c) * 255) div (mx_c - mn_c)")
-    cy = F.expr("(datediff(o_orderdate, mn_d) * 255) div datediff(mx_d, mn_d)")
+    # greatest(..., 1) divisor guard: on a degenerate fixture where a
+    # dimension is constant the raw divisor is 0 -> NULL zvals -> the
+    # layout silently degenerates to one partition range; clamping
+    # makes a constant dimension degrade to a 1-D sort instead.
+    cx = F.expr("((o_custkey - mn_c) * 255) div greatest(mx_c - mn_c, 1)")
+    cy = F.expr(
+        "(datediff(o_orderdate, mn_d) * 255)"
+        " div greatest(datediff(mx_d, mn_d), 1)"
+    )
     clustered = o.crossJoin(bounds).select(
         o["*"], _zval(cx, cy).cast("long").alias("zval")
     )
