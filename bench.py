@@ -96,6 +96,12 @@ EXTENDED = [
     "pipeline_dsir_weights",
     "dedup_bloom_prefilter_audit",
     "layout_zorder_prune_roundtrip",
+    # r7: the trained-PQ pair (6-round Lloyd loop + trained-codebook
+    # ADC recall) and the SemDeDup nprobe=2 recall knob — per-round
+    # tracking of the round's depth additions.
+    "sim_pq_train_loop_audit",
+    "sim_pq_trained_adc_audit",
+    "dedup_semantic_ivf_nprobe2",
 ]
 
 

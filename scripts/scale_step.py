@@ -91,6 +91,13 @@ QUERIES = [
     "mm_clip_score_filter",
     "pipeline_dsir_weights",
     "dedup_bloom_prefilter_audit",
+    # r7: the PQ/IVFPQ family (the crossjoin-with-codebook assign step
+    # grows with K x n and gets measured like everything else) and the
+    # SemDeDup soft-assignment pair
+    "sim_cosine_ann_ivfpq",
+    "sim_pq_adc_recall_audit",
+    "sim_pq_trained_adc_audit",
+    "dedup_semantic_ivf_nprobe2",
 ]
 
 

@@ -45,6 +45,10 @@ SWEEP = [
     "pipeline_dsir_weights",     # r6: integer-ln LM sums, top-25 cut
     "dedup_bloom_prefilter_audit",  # r6: broadcast bitset probe counts
     "layout_zorder_prune_roundtrip",  # r6: range-partitioned write+scan
+    "sim_pq_train_loop_audit",   # r7: iterated trunc-avg updates per round
+    "sim_pq_trained_adc_audit",  # r7: trained codebook + ADC-vs-exact NN
+    "dedup_semantic_ivf_nprobe2",  # r7: 2-cell probe + capped priority join
+    "dedup_semdedup_nprobe_audit",  # r7: pair recall under dual policy
 ]
 
 
