@@ -63,3 +63,20 @@ SQL_COS_AB = """CAST(list_sum(list_transform(range(1, 65),
                            i -> a.v[i] * b.v[i])) AS DOUBLE)
              / (sqrt(CAST(list_sum(list_transform(a.v, x -> x * x)) AS DOUBLE))
                 * sqrt(CAST(list_sum(list_transform(b.v, x -> x * x)) AS DOUBLE)))"""
+
+
+# The zero-norm convention (r7): real corpora contain zero embeddings
+# (failed encoder outputs) and near-zero embeddings that QUANTIZE to
+# the zero milli-int vector; a cosine against either divides by zero —
+# a job-killing SparkArithmeticException under ANSI mode, found by
+# tests/test_edge_embeddings.py. Convention: the milli embedding
+# corpus excludes zero-norm vectors at construction (they have no
+# direction, so no cosine relation is defined for them), identically
+# on both engines.
+SQL_NONZERO_V = "list_sum(list_transform(v, x -> x * x)) > 0"
+
+
+def nonzero_milli(df, col: str = "v"):
+    """Apply the zero-norm convention to a frame carrying a milli-int
+    vector column: keep rows whose quantized squared norm is > 0."""
+    return df.filter(sq_norm(F.col(col)) > 0)

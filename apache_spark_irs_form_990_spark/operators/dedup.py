@@ -570,10 +570,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_MILLI_EMB = """m0 AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-      FROM embeddings
+      SELECT vec_id, v FROM (
+        SELECT vec_id,
+                    list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings
+      ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     )"""
 
 

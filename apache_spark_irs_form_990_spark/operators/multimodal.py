@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from apache_spark_irs_form_990_spark.functions.vectors import nonzero_milli
 from apache_spark_irs_form_990_spark.registry import register
 from apache_spark_irs_form_990_spark.tables import load
 
@@ -813,10 +814,12 @@ def _clip_score_oracle() -> str:
       FROM toks GROUP BY doc_id, lang, d
     ),
     mv AS MATERIALIZED (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-      FROM embeddings
+      SELECT vec_id, v FROM (
+        SELECT vec_id,
+                    list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings
+      ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     dots AS (
       SELECT t.doc_id, t.lang,
@@ -893,7 +896,7 @@ def mm_clip_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
         ).alias("v"),
-    )
+    ).transform(nonzero_milli)
     dots = (
         tvec.join(mv, tvec.doc_id == mv.vec_id)
         .groupBy("doc_id", "lang")

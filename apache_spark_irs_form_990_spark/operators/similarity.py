@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from apache_spark_irs_form_990_spark.functions.vectors import (
+    SQL_NONZERO_V,
+    nonzero_milli,
     SQL_COS_AB,
     dot,
     milli_vec,
@@ -44,10 +46,12 @@ _INDEX_NONCE = itertools.count()  # per-invocation persisted-index paths
     "sim_cosine_topk",
     oracle=f"""
     WITH m AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-      FROM embeddings
+      SELECT vec_id, v FROM (
+        SELECT vec_id,
+                    list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings
+      ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     q AS (SELECT v AS qv FROM m WHERE vec_id = {_QUERY_VEC_ID})
     SELECT vec_id,
@@ -70,7 +74,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", milli_vec(F.col("embedding")).alias("v")
-    )
+    ).transform(nonzero_milli)
     q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("v").alias("qv")
     )
@@ -91,10 +95,12 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_cosine_topk_per_label",
     oracle=f"""
     WITH m AS (
-      SELECT vec_id, label,
-             list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-      FROM embeddings
+      SELECT vec_id, label, v FROM (
+        SELECT vec_id, label,
+                    list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings
+      ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     q AS (SELECT v AS qv FROM m WHERE vec_id = {_QUERY_VEC_ID})
     SELECT * FROM (
@@ -121,7 +127,7 @@ def sim_cosine_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     label pre-shuffle)."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", milli_vec(F.col("embedding")).alias("v")
-    )
+    ).transform(nonzero_milli)
     q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("v").alias("qv")
     )
@@ -395,7 +401,13 @@ def emb_milli_corpus(
     ~0.97 at keep=60 — the deterministic analogue of dedup.py's
     truncated-text duplicates, identically mirrored in SQL by
     `emb_milli_corpus_sql`). ``cap`` bounds the base slice
-    (vec_id < cap, pushed to the scan) for the exact audit twins."""
+    (vec_id < cap, pushed to the scan) for the exact audit twins.
+
+    Zero-norm convention (r7): the whole UNION is filtered to
+    quantized norm > 0 — the base can contain zero/underflow
+    embeddings and tail-zeroing can turn a nonzero base vector into a
+    zero generation; either would divide a downstream cosine by zero
+    (tests/test_edge_embeddings.py)."""
     emb = load(spark, sf_dir, "embeddings")
     if cap is not None:
         emb = emb.filter(F.col("vec_id") < cap)
@@ -410,12 +422,13 @@ def emb_milli_corpus(
             F.transform(F.col("v"), zero_tail(keep)).alias("v"),
         )
         out = out.unionByName(gen)
-    return out
+    return nonzero_milli(out)
 
 
 def emb_milli_corpus_sql(keeps: tuple[int, ...] = ()) -> str:
     """CTE body text for the DuckDB twin of `emb_milli_corpus`
-    (selects from a CTE `m(vec_id, v)` that callers must define)."""
+    (selects from a CTE `m(vec_id, v)` that callers must define;
+    the union is wrapped with the zero-norm convention filter)."""
     parts = ["SELECT vec_id, v FROM m"]
     for k, keep in enumerate(keeps):
         parts.append(
@@ -425,14 +438,21 @@ def emb_milli_corpus_sql(keeps: tuple[int, ...] = ()) -> str:
             f" ELSE CAST(0 AS BIGINT) END) AS v\n"
             f"      FROM m WHERE vec_id % 5 = 0"
         )
-    return "\n      UNION ALL ".join(parts)
+    union = "\n      UNION ALL ".join(parts)
+    return (
+        "SELECT vec_id, v FROM (\n      "
+        + union
+        + f"\n      ) WHERE {SQL_NONZERO_V}"
+    )
 
 
 _SQL_MILLI = """m AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-      FROM embeddings
+      SELECT vec_id, v FROM (
+        SELECT vec_id,
+                    list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings
+      ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     )"""
 
 def _flat_bucketed(emb: DataFrame) -> DataFrame:
@@ -558,7 +578,7 @@ def sim_cosine_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", milli_vec(F.col("embedding")).alias("v")
-    )
+    ).transform(nonzero_milli)
     bucketed = _flat_bucketed(emb)
     a = bucketed.alias("a")
     b = _flat_index(bucketed).alias("b")
@@ -658,7 +678,7 @@ def sim_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     to score — no unbucketed self-join anywhere."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", milli_vec(F.col("embedding")).alias("v")
-    )
+    ).transform(nonzero_milli)
     emb_n = emb.withColumn("n", sq_norm(F.col("v")))
     scored = _scored_sym_pairs(emb_n, banded_lsh_pairs(emb))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
@@ -675,10 +695,12 @@ def sim_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_nearest_neighbor_exact",
     oracle="""
     WITH q AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-      FROM embeddings WHERE vec_id < 300
+      SELECT vec_id, v FROM (
+        SELECT vec_id,
+                    list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings WHERE vec_id < 300
+      ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -706,7 +728,7 @@ def sim_nearest_neighbor_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the bucketed one."""
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
         "vec_id", milli_vec(F.col("embedding")).alias("v")
-    )
+    ).transform(nonzero_milli)
     emb = emb.withColumn("n", sq_norm(F.col("v")))
     a, b = emb.alias("a"), emb.alias("b")
     cosine = dot(F.col("a.v"), F.col("b.v")).cast("double") / (
@@ -730,10 +752,12 @@ def sim_nearest_neighbor_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _nn_recall_oracle() -> str:
     return f"""
     WITH m0 AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-      FROM embeddings
+      SELECT vec_id, v FROM (
+        SELECT vec_id,
+                    list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings
+      ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     m AS (SELECT * FROM m0 WHERE vec_id < 300),
     {banded_lsh_pairs_sql("m")},
@@ -785,7 +809,7 @@ def sim_nn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     before trusting the bucketed pass on the corpus."""
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
         "vec_id", milli_vec(F.col("embedding")).alias("v")
-    )
+    ).transform(nonzero_milli)
     emb_n = emb.withColumn("n", sq_norm(F.col("v")))
 
     def rank1(scored: DataFrame) -> DataFrame:
@@ -824,10 +848,12 @@ def sim_nn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_cosine_ann_ivf",
     oracle="""
     WITH m AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-      FROM embeddings
+      SELECT vec_id, v FROM (
+        SELECT vec_id,
+                    list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings
+      ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     cents AS (SELECT vec_id AS cid, v AS cv FROM m WHERE vec_id < 8),
     q AS (SELECT v AS qv FROM m WHERE vec_id = 0),
@@ -894,7 +920,7 @@ def sim_cosine_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operator reports each hit's cell so recall is auditable."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", milli_vec(F.col("embedding")).alias("v")
-    )
+    ).transform(nonzero_milli)
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
@@ -939,10 +965,12 @@ def sim_cosine_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ivf_recall_audit",
     oracle="""
     WITH m AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-      FROM embeddings
+      SELECT vec_id, v FROM (
+        SELECT vec_id,
+                    list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings
+      ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     cents AS (SELECT vec_id AS cid, v AS cv FROM m WHERE vec_id < 8),
     q AS (SELECT v AS qv FROM m WHERE vec_id = 0),
@@ -1070,10 +1098,12 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_label_contrast",
     oracle="""
     WITH m0 AS (
-      SELECT vec_id, label,
-             list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-      FROM embeddings
+      SELECT vec_id, label, v FROM (
+        SELECT vec_id, label,
+                    list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings
+      ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     m AS (
       SELECT vec_id, label, v FROM m0
@@ -1112,7 +1142,7 @@ def sim_label_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
     round 2 registered the unbounded all-pairs form instead."""
     emb0 = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", milli_vec(F.col("embedding")).alias("v")
-    )
+    ).transform(nonzero_milli)
     emb = (
         emb0.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(1024)
@@ -1218,7 +1248,7 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", milli_vec(F.col("embedding")).alias("v")
-    )
+    ).transform(nonzero_milli)
     bucketed = _flat_bucketed(emb)
     index = _flat_index(bucketed)
     probes = bucketed.select(
@@ -1315,7 +1345,7 @@ def sim_ann_batch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin via the shared `_flat_lsh_sql` CTE."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", milli_vec(F.col("embedding")).alias("v")
-    )
+    ).transform(nonzero_milli)
     bucketed = _flat_bucketed(emb)
     index = _flat_index(bucketed)
     batch = bucketed.filter(F.col("vec_id") % 97 == 0)
@@ -1364,10 +1394,12 @@ def sim_ann_batch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _multiprobe_recall_oracle() -> str:
     return f"""
     WITH m0 AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-      FROM embeddings
+      SELECT vec_id, v FROM (
+        SELECT vec_id,
+                    list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings
+      ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     mm AS (SELECT * FROM m0 WHERE vec_id < 300),
     {_flat_lsh_sql("mm")},
@@ -1454,7 +1486,7 @@ def sim_multiprobe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit family (nn / ivf / lsh / embedding recall audits)."""
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
         "vec_id", milli_vec(F.col("embedding")).alias("v")
-    )
+    ).transform(nonzero_milli)
     bucketed = _flat_bucketed(emb)
     index = _flat_index(bucketed)
     cand_single = (
@@ -1553,10 +1585,12 @@ def sim_multiprobe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_topk_label_diversified",
     oracle=f"""
     WITH m AS (
-      SELECT vec_id, label,
-             list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-      FROM embeddings
+      SELECT vec_id, label, v FROM (
+        SELECT vec_id, label,
+                    list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings
+      ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     q AS (SELECT v AS qv FROM m WHERE vec_id = {_QUERY_VEC_ID}),
     scored AS (
@@ -1596,7 +1630,7 @@ def sim_topk_label_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tiny) survivor set — no global sort of the corpus anywhere."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", milli_vec(F.col("embedding")).alias("v")
-    )
+    ).transform(nonzero_milli)
     q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("v").alias("qv")
     )
@@ -1649,7 +1683,7 @@ def sim_flat_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     §12). One tiny aggregate over the checkpointed signature frame."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", milli_vec(F.col("embedding")).alias("v")
-    )
+    ).transform(nonzero_milli)
     occs = _flat_bucketed(emb).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("occ")
     )
@@ -1696,7 +1730,7 @@ def sim_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the halving division is exact in both engines)."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", milli_vec(F.col("embedding")).alias("v")
-    )
+    ).transform(nonzero_milli)
     occs = (
         banded_signature_table(emb)
         .groupBy("band", "bucket")
@@ -1738,7 +1772,7 @@ def sim_ann_index_persist_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", milli_vec(F.col("embedding")).alias("v")
-    )
+    ).transform(nonzero_milli)
     bucketed = _flat_bucketed(emb)
     # per-invocation nonce (pid + counter) in the index path: with a
     # path keyed only by sf_dir, a later overwrite could yank files
@@ -1806,10 +1840,12 @@ def _pq_adc_oracle() -> str:
     S, D, K, CAP = _PQ_SUBS, _PQ_DIMS, _PQ_K, _PQ_SLICE
     return f"""
     WITH m0 AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-      FROM embeddings
+      SELECT vec_id, v FROM (
+        SELECT vec_id,
+                    list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings
+      ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     mm AS MATERIALIZED (SELECT * FROM m0 WHERE vec_id < {CAP}),
     anchors AS (
@@ -1926,6 +1962,7 @@ def sim_pq_adc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < CAP)
         .select("vec_id", milli_vec(F.col("embedding")).alias("v"))
+        .transform(nonzero_milli)
         .localCheckpoint()
     )
     anchor_rows = (
@@ -2041,10 +2078,12 @@ def _pq_lloyd_oracle() -> str:
     S, D, K, CAP = _PQ_SUBS, _PQ_DIMS, _PQ_K, _PQ_SLICE
     return f"""
     WITH m0 AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-      FROM embeddings
+      SELECT vec_id, v FROM (
+        SELECT vec_id,
+                    list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings
+      ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     mm AS MATERIALIZED (SELECT * FROM m0 WHERE vec_id < {CAP}),
     anchors AS (
@@ -2141,6 +2180,7 @@ def sim_pq_lloyd_step_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < CAP)
         .select("vec_id", milli_vec(F.col("embedding")).alias("v"))
+        .transform(nonzero_milli)
         .localCheckpoint()
     )
     anchor_rows = (
@@ -2224,10 +2264,12 @@ def _ivfpq_oracle() -> str:
     S, D, K, CAP = _PQ_SUBS, _PQ_DIMS, _PQ_K, _PQ_SLICE
     return f"""
     WITH m0 AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-      FROM embeddings
+      SELECT vec_id, v FROM (
+        SELECT vec_id,
+                    list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings
+      ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     mm AS MATERIALIZED (SELECT * FROM m0 WHERE vec_id < {CAP}),
     cents AS (SELECT vec_id AS ccid, v AS cv FROM mm WHERE vec_id < 8),
@@ -2350,6 +2392,7 @@ def sim_cosine_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < CAP)
         .select("vec_id", milli_vec(F.col("embedding")).alias("v"))
+        .transform(nonzero_milli)
         .localCheckpoint()
     )
     cents = mm.filter(F.col("vec_id") < 8).select(
@@ -2508,10 +2551,12 @@ def _pq_chain_prefix_sql(rounds: int) -> str:
     S, D, K, CAP = _PQ_SUBS, _PQ_DIMS, _PQ_K, _PQ_SLICE
     head = f"""
     WITH m0 AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-      FROM embeddings
+      SELECT vec_id, v FROM (
+        SELECT vec_id,
+                    list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings
+      ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     mm AS MATERIALIZED (SELECT * FROM m0 WHERE vec_id < {CAP}),
     anchors AS (
@@ -2612,6 +2657,7 @@ def _pq_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < _PQ_SLICE)
         .select("vec_id", milli_vec(F.col("embedding")).alias("v"))
+        .transform(nonzero_milli)
         .localCheckpoint()
     )
 

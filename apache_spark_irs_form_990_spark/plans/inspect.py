@@ -99,7 +99,7 @@ def unguarded_bucket_joins(df: DataFrame) -> list[str]:
 
     global _BUCKET_KEY_EQ
     if _BUCKET_KEY_EQ is None:
-        name = r"(?:bucket|band_min|probe)#\d+"
+        name = r"(?:bucket|band_min|probe)#\d+L?"  # L = long-typed attr
         _BUCKET_KEY_EQ = re.compile(f"{name} = {name}")
     plan = df._jdf.queryExecution().optimizedPlan()
     hits = []
@@ -109,45 +109,91 @@ def unguarded_bucket_joins(df: DataFrame) -> list[str]:
         cond = node.condition()
         if not cond.isDefined():
             continue
-        if not _BUCKET_KEY_EQ.search(cond.get().toString()):
+        cond_str = cond.get().toString()
+        if not _BUCKET_KEY_EQ.search(cond_str):
             continue
-        if not _join_input_guarded(node):
+        if not _join_input_guarded(node, cond_str):
             hits.append(node.simpleString(160))
     return hits
 
 
-def _join_input_guarded(join_node) -> bool:
+def _join_input_guarded(join_node, cond_str: str = "") -> bool:
     """True iff a guard Filter (on ``_occ`` / ``_bucket_seq``) sits in
     one of THIS join's direct input subtrees — children only, NOT the
     join's own subquery expressions (r6, ADVICE r5: the r5 search ran
     `_iter_logical_nodes` on the join node itself, which also swept
     subquery plans that feed no join input).
 
-    Scoping limitation, documented deliberately: the guard is required
-    to be in an input subtree, not proven to DOMINATE the joined
-    bucket stream. The capped kernels thread their guard through a
-    broadcast restriction join (`banded_lsh_pairs`: Filter(_occ) lives
-    UNDER the `banded JOIN cold_keys` bucket-keyed join that feeds the
-    pair join), so any rule that refuses to descend past nested
-    bucket-keyed joins flags the guard mechanism itself; proving the
-    Filter constrains the specific key attribute would need transitive
-    equality/attribute-lineage propagation across joins, which the
-    py4j plan surface does not support robustly. A query unioning an
-    unrelated capped frame into a join input could therefore still
-    pass — the whitelist review in tests/test_bucket_join_lint.py is
-    the human backstop for that shape."""
+    r7 strengthening (ADVICE r6): a guard Filter only counts if the
+    joined bucket-key ATTRIBUTE ID (``bucket#N`` / ``band_min#N`` /
+    ``probe#N`` parsed from the join condition) appears in the guard
+    filter subtree's OUTPUT — directly, or through the EQUALITY
+    CLASSES of the bucket-ish join conditions inside this join's
+    inputs (a union-find over ``key#a = key#b`` pairs: the capped
+    kernels thread their guard through a `banded ⋈ cold_keys`
+    restriction join, so the guard's aggregated bucket id is a
+    different exprId that the restriction join equates to the probe
+    stream's). This proves the guard sits on (a stream equated to)
+    the joined key's producer, so an unrelated capped frame unioned
+    into the input no longer vouches for an unguarded bucket join.
+
+    Remaining limitation, documented deliberately: id-equivalence
+    shows the guard is on the key-producing stream, not that it
+    dominates ALL rows of that stream; the whitelist review in
+    tests/test_bucket_join_lint.py remains the human backstop."""
+    import re
+
+    _key = r"(?:bucket|band_min|probe)"
+    key_ids = set(re.findall(rf"{_key}#(\d+)", cond_str or ""))
+
+    # Union-find over bucket-ish equality pairs from every Join
+    # condition in this join's input subtrees.
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: str, b: str) -> None:
+        parent[find(a)] = find(b)
+
+    def collect_eqs(node) -> None:
+        if node.getClass().getSimpleName() == "Join":
+            cond = node.condition()
+            if cond.isDefined():
+                for a, b in re.findall(
+                    rf"{_key}#(\d+)L? = {_key}#(\d+)L?",
+                    cond.get().toString(),
+                ):
+                    union(a, b)
+        children = node.children()
+        for i in range(children.size()):
+            collect_eqs(children.apply(i))
+
+    children = join_node.children()
+    for i in range(children.size()):
+        collect_eqs(children.apply(i))
+
+    def outputs_key(node) -> bool:
+        if not key_ids:
+            return True  # no parsed ids -> keep the r6 behavior
+        out_ids = set(re.findall(rf"{_key}#(\d+)", node.output().toString()))
+        key_roots = {find(k) for k in key_ids}
+        return any(find(o) in key_roots for o in out_ids)
 
     def side_guarded(node) -> bool:
         if node.getClass().getSimpleName() == "Filter":
             fs = node.condition().toString()
-            if "_occ#" in fs or "_bucket_seq#" in fs:
+            if ("_occ#" in fs or "_bucket_seq#" in fs) and outputs_key(node):
                 return True
         children = node.children()
         return any(
             side_guarded(children.apply(i)) for i in range(children.size())
         )
 
-    children = join_node.children()
     return any(
         side_guarded(children.apply(i)) for i in range(children.size())
     )

@@ -73,10 +73,12 @@ def audit_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ml_label_noise_candidates",
     oracle="""
     WITH m AS (
-      SELECT vec_id, label,
-             list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-      FROM embeddings
+      SELECT vec_id, label, v FROM (
+        SELECT vec_id, label,
+                    list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings
+      ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     pairs AS (
       SELECT t.vec_id AS test_id, t.label AS true_label,

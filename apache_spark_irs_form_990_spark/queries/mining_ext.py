@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from apache_spark_irs_form_990_spark.functions.vectors import (
+    nonzero_milli,
     dot,
     milli_vec,
     sq_norm,
@@ -546,10 +547,12 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ml_nearest_centroid_confusion",
     oracle="""
     WITH m AS (
-      SELECT vec_id, label,
-             list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-      FROM embeddings
+      SELECT vec_id, label, v FROM (
+        SELECT vec_id, label,
+                    list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings
+      ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     long AS (
       SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM m
@@ -597,7 +600,7 @@ def ml_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame
     any corpus size the only shuffle is the centroid aggregation."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", milli_vec(F.col("embedding")).alias("v")
-    )
+    ).transform(nonzero_milli)
     long = emb.select("label", F.posexplode("v").alias("pos", "x"))
     sums = long.groupBy("label", "pos").agg(F.sum("x").alias("sx"))
     cent = sums.groupBy(F.col("label").alias("label_c")).agg(

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from apache_spark_irs_form_990_spark.functions.vectors import (
+    nonzero_milli,
     dot,
     milli_vec,
     sq_norm,
@@ -209,10 +210,12 @@ def win_index_to_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_knn_classify",
     oracle="""
     WITH m AS (
-      SELECT vec_id, label,
-             list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-      FROM embeddings
+      SELECT vec_id, label, v FROM (
+        SELECT vec_id, label,
+                    list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings
+      ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     pairs AS (
       SELECT t.vec_id AS test_id, t.label AS true_label,
@@ -257,7 +260,7 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote tail."""
     m = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", milli_vec(F.col("embedding")).alias("v")
-    )
+    ).transform(nonzero_milli)
     m = m.withColumn("n", sq_norm(F.col("v")))
     t = m.filter(F.col("vec_id") % 5 == 0).select(
         F.col("vec_id").alias("test_id"),

@@ -50,7 +50,15 @@ r6 additions (VERDICT r5 tasks 1, 2):
   `sample_weighted_reservoir` (map-side mint + TakeOrdered — expected
   near-flat).
 
-Usage: python scripts/scale_step.py   (writes SCALE_STEP_r06.json)
+r7 additions (VERDICT r6 task 5): the PQ/IVFPQ family
+(`sim_cosine_ann_ivfpq`, `sim_pq_adc_recall_audit`,
+`sim_pq_trained_adc_audit`) — the broadcast codebook crossjoin is the
+one assign step whose cost grows with K x n and should be measured
+like everything else (the trained variant adds 6 such sweeps) — and
+`dedup_semantic_ivf_nprobe2` (2x the probe fan-out of the single-cell
+SemDeDup row, expected to track it at ~2x or better).
+
+Usage: python scripts/scale_step.py   (writes SCALE_STEP_r07.json)
 """
 
 from __future__ import annotations
@@ -379,7 +387,7 @@ def main() -> None:
         measure(spark, sf1),
     ]
     result = {"queries": QUERIES, "steps": rows}
-    path = os.path.join(REPO_ROOT, "SCALE_STEP_r06.json")
+    path = os.path.join(REPO_ROOT, "SCALE_STEP_r07.json")
     with open(path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1))

@@ -64,6 +64,12 @@ WHITELIST = {
     # --- value-keyed minhash band hash (R concatenated minhashes):
     # keyspace is the full hash range, occupancy tracks cluster size ---
     "dedup_near_minhash": "value-keyed band-hash bucket, full hash-range keyspace",
+    # --- time-bucketed range join (r7: the L-suffix lint widening made
+    # long-typed bucket attrs visible): the equi-key is the COMPOSITE
+    # (user_id, hour-bucket), so occupancy is per-user-per-hour event
+    # volume — data-bounded, not an LSH collision space — and probe
+    # amplification is a constant 3x (bucket ± 1) ---
+    "join_range_bucketed": "composite (user_id, time-bucket) key; occupancy data-bounded per user-hour",
 }
 
 
@@ -99,4 +105,84 @@ def test_no_unguarded_bucket_join(spark):
     assert not unused_whitelist, (
         "whitelist entries whose queries no longer plan a guardless "
         f"bucket join — remove them: {sorted(unused_whitelist)}"
+    )
+
+
+def test_lint_flags_truly_unguarded_join(spark):
+    """Negative control for the r7 equality-propagation strengthening:
+    (1) a raw bucket self-join with no guard anywhere is flagged;
+    (2) a guard on an UNRELATED capped frame joined into the same
+    input — different exprIds, no bucket-key equality linking it to
+    the pair join's key — no longer vouches (the r6 lint's documented
+    false-negative); (3) the real capped-kernel shape (guard on the
+    occupancy frame, equated to the probe stream via the restriction
+    join) still passes."""
+    import pyspark.sql.functions as F
+
+    # localCheckpoint pins `bucket` as a concrete attribute — without
+    # it Catalyst inlines the alias into the join condition as
+    # (id % 8) = (id % 8) and the name-based lint pattern sees nothing
+    base = (
+        spark.range(100)
+        .select(
+            F.col("id").alias("vec_id"), (F.col("id") % 8).alias("bucket")
+        )
+        .localCheckpoint()
+    )
+
+    # (1) raw unguarded bucket self-join
+    a, b = base.alias("a"), base.alias("b")
+    raw = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    assert unguarded_bucket_joins(raw), "raw unguarded join not flagged"
+
+    # (2) unrelated guarded frame in the same input subtree: its
+    # _occ Filter guards a DIFFERENT bucket attribute, never equated
+    # to the pair join's key
+    unrelated = (
+        spark.range(50)
+        .select((F.col("id") % 4).alias("ubucket"))
+        .groupBy("ubucket")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") <= 64)
+        .select(F.col("ubucket").alias("join_key"))
+    )
+    smuggled = (
+        a.join(unrelated, F.col("a.vec_id") % 4 == F.col("join_key"), "left")
+        .join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+    )
+    assert unguarded_bucket_joins(smuggled), (
+        "unrelated guard vouched for an unguarded bucket join "
+        "(the r6 false-negative regressed)"
+    )
+
+    # (3) the capped-kernel shape: occupancy frame guarded, then
+    # restriction-joined back on the bucket key (equality links the
+    # guard's bucket exprId to the probe stream's)
+    occ = (
+        base.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") <= 64)
+        .select("bucket")
+        .alias("cold")
+    )
+    guarded_stream = base.alias("s").join(
+        occ, F.col("s.bucket") == F.col("cold.bucket")
+    ).select(F.col("s.vec_id").alias("vec_id"), F.col("s.bucket").alias("bucket"))
+    ga, gb = guarded_stream.alias("ga"), guarded_stream.alias("gb")
+    kernel = ga.join(
+        gb,
+        (F.col("ga.bucket") == F.col("gb.bucket"))
+        & (F.col("ga.vec_id") < F.col("gb.vec_id")),
+    )
+    assert not unguarded_bucket_joins(kernel), (
+        "capped-kernel shape falsely flagged: "
+        f"{unguarded_bucket_joins(kernel)}"
     )
