@@ -60,9 +60,9 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
            'application/x-fake-' ||
              CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                   WHEN 1 THEN 'audio' ELSE 'video' END AS mime,
-           octet_length(CAST(text AS BLOB)) AS n_bytes
+           octet_length(encode(text)) AS n_bytes
     FROM documents
-    WHERE CAST(doc_id % 3 AS INT) = 0 AND octet_length(CAST(text AS BLOB)) > 200
+    WHERE CAST(doc_id % 3 AS INT) = 0 AND octet_length(encode(text)) > 200
     """,
 )
 def mm_column_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,18 +142,28 @@ def decode_features(media: DataFrame, kernel: str = "stub") -> DataFrame:
 @register(
     "mm_decode_features",
     # The decode kernel is a stub, but a DETERMINISTIC one — so the
-    # oracle re-derives it in SQL (byte-fold over the first 64 payload
-    # bytes; payloads are ASCII here, so ord(char) == byte) and the
-    # whole mapInPandas plumbing is hash-checked, not just row-counted.
+    # oracle re-derives it in SQL and the whole mapInPandas plumbing is
+    # hash-checked, not just row-counted. Byte-exact (r7): bytes come
+    # from hex(encode(text)) pair-parsing, so multibyte text folds the
+    # same UTF-8 bytes the Spark kernel reads (the old ord(char) form
+    # assumed ASCII and diverged on unicode documents).
     oracle="""
-    WITH codes AS (
-      SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+    WITH hx AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             hex(encode(text)) AS hh
+      FROM documents
+    ),
+    codes AS (
+      SELECT doc_id, n_bytes,
              list_reduce(
                [CAST(0 AS BIGINT)] ||
-                 [CAST(ord(substr(text, i, 1)) AS BIGINT)
-                  FOR i IN generate_series(1, least(64, len(text)))],
+                 [CAST(16 * (strpos('0123456789ABCDEF',
+                                    substr(hh, 2 * i - 1, 1)) - 1)
+                       + (strpos('0123456789ABCDEF',
+                                 substr(hh, 2 * i, 1)) - 1) AS BIGINT)
+                  FOR i IN generate_series(1, least(64, n_bytes))],
                (acc, b) -> (acc * 131 + b) % 1000003) AS h
-      FROM documents
+      FROM hx
     )
     SELECT doc_id,
            CAST(64 + h % 1024 AS INT) AS width,
@@ -239,7 +249,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT sha256(text) AS payload_fp,
            min(doc_id) AS keep_doc_id,
            count(*) AS n_copies,
-           CAST(min(octet_length(CAST(text AS BLOB))) AS BIGINT) AS n_bytes
+           CAST(min(octet_length(encode(text))) AS BIGINT) AS n_bytes
     FROM corpus
     GROUP BY payload_fp
     HAVING count(*) > 1
@@ -283,15 +293,20 @@ def _resize_oracle() -> str:
     integer division."""
     return f"""
     WITH imgs AS (
-      SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
+      SELECT doc_id, text, octet_length(encode(text)) AS n
       FROM documents WHERE CAST(doc_id % 3 AS INT) = 0
-        AND octet_length(CAST(text AS BLOB)) >= {_RESIZE_BLOCKS}
+        AND octet_length(encode(text)) >= {_RESIZE_BLOCKS}
     ),
     codes AS (
+      -- byte-exact (r7): hex-pair parsing of the UTF-8 payload, not
+      -- ord(char) — identical to the kernel's bytes on multibyte text
       SELECT doc_id, n,
-             [CAST(ord(substr(text, i, 1)) AS BIGINT)
+             [CAST(16 * (strpos('0123456789ABCDEF',
+                                substr(hh, 2 * i - 1, 1)) - 1)
+                   + (strpos('0123456789ABCDEF',
+                             substr(hh, 2 * i, 1)) - 1) AS BIGINT)
               FOR i IN generate_series(1, n)] AS c
-      FROM imgs
+      FROM (SELECT doc_id, n, hex(encode(text)) AS hh FROM imgs)
     )
     SELECT doc_id, CAST(b AS INT) AS block_idx,
            CAST(((b + 1) * n) // {_RESIZE_BLOCKS}
@@ -399,7 +414,7 @@ def _phash_oracle() -> str:
       FROM documents WHERE doc_id % 6 = 0 AND len(text) >= {K}
     ),
     codes AS (
-      SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n,
+      SELECT doc_id, octet_length(encode(text)) AS n,
              [CAST(ord(substr(text, i, 1)) AS BIGINT)
               FOR i IN generate_series(1, len(text))] AS c
       FROM corpus
@@ -520,7 +535,7 @@ def _audio_oracle() -> str:
     W = _AUDIO_WIN
     return f"""
     WITH auds AS (
-      SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
+      SELECT doc_id, text, octet_length(encode(text)) AS n
       FROM documents WHERE CAST(doc_id % 3 AS INT) = 1
     ),
     codes AS (
@@ -601,7 +616,7 @@ mm_audio_energy_windows.__doc__ = mm_audio_energy_windows.__doc__.format(W=_AUDI
       SELECT doc_id,
              CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                   WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              sha256(text) AS fp
       FROM documents
     )
@@ -651,9 +666,9 @@ def _scene_oracle() -> str:
     W, T = _SCENE_FRAME, _SCENE_THRESHOLD
     return f"""
     WITH vids AS (
-      SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
+      SELECT doc_id, text, octet_length(encode(text)) AS n
       FROM documents
-      WHERE CAST(doc_id % 3 AS INT) = 2 AND octet_length(CAST(text AS BLOB)) >= {2 * W}
+      WHERE CAST(doc_id % 3 AS INT) = 2 AND octet_length(encode(text)) >= {2 * W}
     ),
     codes AS (
       SELECT doc_id, n // {W} AS nf,
@@ -737,7 +752,7 @@ mm_video_scene_change.__doc__ = mm_video_scene_change.__doc__.format(
       SELECT doc_id,
              CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                   WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-             octet_length(CAST(text AS BLOB)) AS n_bytes,
+             octet_length(encode(text)) AS n_bytes,
              len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words
       FROM documents
     ),
@@ -766,18 +781,22 @@ def mm_token_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     [[pipeline_pretrain_mix]] (mix weights need per-source token
     counts, not item counts — a modality with few huge items dominates
     a naive item-weighted mix). One hash aggregate over scan-side
-    arithmetic; the payload column is needed only for its length, and
-    the byte count comes from the metadata struct, so the binary
-    column prunes at the scan exactly as in [[mm_column_struct]]."""
+    arithmetic; the caption is decoded from the payload in the same
+    scan task (no join back to documents — a re-join on doc_id would
+    double-count duplicated rows and add a shuffle)."""
     m = media_table(spark, sf_dir)
     words = F.size(
         F.filter(F.split(F.col("caption"), " "), lambda x: x != F.lit(""))
     )
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").alias("caption")
+    # caption decoded from the payload itself (it IS the utf-8 text):
+    # re-joining documents on doc_id would double-count a duplicated
+    # doc_id row (2x2 join multiplicity) and costs a shuffle besides
+    joined = m.select(
+        "doc_id",
+        F.col("meta.kind").alias("kind"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.decode("payload", "utf-8").alias("caption"),
     )
-    joined = m.select("doc_id", F.col("meta.kind").alias("kind"),
-                      F.col("meta.n_bytes").alias("n_bytes")).join(d, "doc_id")
     tokens = (
         F.when(F.col("kind") == "image", F.lit(576) + words)
         .otherwise(F.floor((F.col("n_bytes") + 63) / 64))

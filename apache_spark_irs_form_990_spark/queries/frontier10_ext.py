@@ -50,7 +50,10 @@ from apache_spark_irs_form_990_spark.tables import load
                       AS BIGINT)) AS s_nano,
              count(*) AS n
       FROM assigned a
-      JOIN embeddings e ON a.vec_id = e.vec_id,
+      -- DISTINCT: a duplicated vec_id row is one logical vector; the
+      -- Spark side's per-vec_id window already counts it once
+      JOIN (SELECT DISTINCT vec_id, embedding FROM embeddings) e
+        ON a.vec_id = e.vec_id,
            generate_series(1, 64) AS g(j)
       GROUP BY a.cid, j
     ),

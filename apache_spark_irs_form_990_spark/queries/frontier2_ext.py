@@ -452,7 +452,7 @@ def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                 WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-           hex(CAST(substring(text, 1, 4) AS BLOB)) AS magic_hex,
+           hex(encode(substring(text, 1, 4))) AS magic_hex,
            count(*) AS n
     FROM documents
     GROUP BY 1, 2

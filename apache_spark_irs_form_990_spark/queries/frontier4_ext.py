@@ -109,7 +109,11 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = words.select(
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.length("w") - 1),
+                # guarded: a 1-char word would make sequence(1, 0) DESCEND
+                F.when(
+                    F.length("w") - 1 >= 1,
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                ).otherwise(F.array().cast("array<int>")),
                 lambda i: F.col("w").substr(i, F.lit(2)),
             )
         ).alias("pair")
@@ -315,13 +319,19 @@ def win_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
       SELECT label,
+             -- zero vector guard: max|x| = 0 makes the scale infinite;
+             -- its quantization error is exactly 0 by definition
+             CASE WHEN list_max(
+                    list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) > 0
+             THEN
              CAST(list_sum(list_transform(embedding, x ->
                CAST(round(abs(CAST(x AS DOUBLE)
                  - round(CAST(x AS DOUBLE) * (127.0 / list_max(
                      list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))))
                    / (127.0 / list_max(
                      list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))))
-               ) * 1000000000) AS BIGINT))) AS BIGINT) AS err_nano,
+               ) * 1000000000) AS BIGINT))) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS err_nano,
              len(embedding) AS dim
       FROM embeddings
     )
@@ -362,7 +372,10 @@ def ml_embedding_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = e.select(
         "label",
-        err_nano.alias("err_nano"),
+        # zero-vector guard mirroring the oracle: err is 0 by definition
+        F.when(F.array_max(absd) > 0, err_nano)
+        .otherwise(F.lit(0).cast("long"))
+        .alias("err_nano"),
         F.size("embedding").alias("dim"),
     )
     return q.groupBy("label").agg(

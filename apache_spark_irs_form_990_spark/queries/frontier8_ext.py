@@ -171,7 +171,10 @@ _PI_ROUNDS = 3
 # {v} is the name of the previous round's CTE holding `v` (a 64-list).
 _PI_SQL_ROUND = """
     w{k} AS (
-      SELECT e.vec_id,
+      -- embedding carried through (NOT re-joined on vec_id): a
+      -- duplicated vec_id row would otherwise join 2x2 and weight the
+      -- dup 4x where the Spark dataflow weights it 2x
+      SELECT e.vec_id, e.embedding,
              CAST(round(list_reduce(
                [CAST(0.0 AS DOUBLE)] ||
                  [CAST(e.embedding[j] AS DOUBLE) * {v}.v[j]
@@ -181,12 +184,10 @@ _PI_SQL_ROUND = """
     ),
     u{k} AS (
       SELECT j,
-             sum(CAST(round(CAST(e.embedding[j] AS DOUBLE)
+             sum(CAST(round(CAST(w.embedding[j] AS DOUBLE)
                             * (CAST(w.wmic AS DOUBLE) / 1000000.0)
                             * 1000000000) AS BIGINT)) AS unano
-      FROM embeddings e
-      JOIN w{k} w ON e.vec_id = w.vec_id,
-           generate_series(1, 64) AS g(j)
+      FROM w{k} w, generate_series(1, 64) AS g(j)
       GROUP BY j
     ),
     n{k} AS (

@@ -194,7 +194,7 @@ def sql_parameterized_args(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                 WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
            count(*) AS n,
-           CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
     FROM documents
     GROUP BY 1
     """,

@@ -359,17 +359,19 @@ def beh_lifecycle_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       -- subset-duplication fixture: first half of every 7th doc
       SELECT doc_id + 2000000 AS doc_id,
-             array_to_string(list_slice(string_split(text, ' '), 1,
-                             len(string_split(text, ' ')) // 2), ' ') AS text
+             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
+                             len(string_split(text, ' ')) // 2), ' '), '') AS text
       FROM documents WHERE doc_id % 7 = 0
     ),
     shingled0 AS (
-      SELECT doc_id,
-             unnest(list_distinct([
-               array_to_string(list_slice(t, i, i + 2), ' ')
-               FOR i IN generate_series(1, len(t) - 2)
-             ])) AS shingle
-      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_distinct([
+                 array_to_string(list_slice(t, i, i + 2), ' ')
+                 FOR i IN generate_series(1, len(t) - 2)
+               ])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+      )
     ),
     shingled AS (
       SELECT doc_id, shingle FROM (
@@ -423,7 +425,11 @@ def text_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(t) - 2),
+                    # guarded: sequence(1, k) with k < 1 DESCENDS and
+                    # element_at then reads out of bounds on short docs
+                    F.when(
+                        F.size(t) - 2 >= 1, F.sequence(F.lit(1), F.size(t) - 2)
+                    ).otherwise(F.array().cast("array<int>")),
                     lambda i: F.concat_ws(
                         " ",
                         F.element_at(t, i),
@@ -433,7 +439,7 @@ def text_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("shingle"),
-    )
+    ).distinct()  # set semantics per (doc_id, shingle) under dup rows
     w_df = Window.partitionBy("shingle")
     shingled = (
         shingled0.withColumn("df", F.count(F.lit(1)).over(w_df))
@@ -514,7 +520,10 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(t) - 4),
+                    # guarded: see the size-2 site above (1-token docs)
+                    F.when(
+                        F.size(t) - 4 >= 1, F.sequence(F.lit(1), F.size(t) - 4)
+                    ).otherwise(F.array().cast("array<int>")),
                     lambda i: F.concat_ws(
                         " ",
                         F.element_at(t, i),

@@ -32,6 +32,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from apache_spark_irs_form_990_spark.functions.vectors import nonzero_milli
 from apache_spark_irs_form_990_spark.registry import register
 from apache_spark_irs_form_990_spark.tables import load
 
@@ -991,7 +992,7 @@ def stream_sim_ann_static_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", milli_vec(F.col("embedding")).alias("v")
-    )
+    ).transform(nonzero_milli)  # zero-norm convention (r7)
     bucketed = _flat_bucketed(emb)
     index = _flat_index(bucketed).localCheckpoint()
     batch = emb.filter(F.col("vec_id") % 97 == 0)

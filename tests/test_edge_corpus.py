@@ -37,28 +37,16 @@ from apache_spark_irs_form_990_spark import registry
 from apache_spark_irs_form_990_spark.tables import TABLES
 from tests.conftest import SMOKE_SF_DIR, assert_matches_oracle
 
-# Documents-only registry slice that shingles/bands/compares text and
-# whose oracles carry the clamped+coalesced injected-corpus CTE.
-EDGE_QUERIES = [
-    "dedup_exact_hash",
-    "dedup_exact_normalized",
-    "dedup_near_minhash",
-    "dedup_near_jaccard",
-    "dedup_minhash_banding_md5",
-    "dedup_incremental_minhash",
-    "dedup_minhash_star_links",
-    "dedup_fuzzy_levenshtein",
-    "dedup_fuzzy_cascade",
-    "dedup_fuzzy_star_rescore",
-    "dedup_star_vs_pairwise_audit",
-    "dedup_fuzzy_star_components",
-    "dedup_substring_coverage",
-    "dedup_cluster_components",
-    "dedup_cluster_size_histogram",
-    "pipeline_pretrain_mix",
-    "dedup_lsh_recall_audit",
-    "stream_dedup_near_static_index",
-]
+# EVERY oracled query whose SQL twin reads `documents` (discovered
+# dynamically so new registrations are edge-covered automatically —
+# r7 widened this from a curated 18 to the full consumer slice after
+# the full-slice sweep surfaced byte/char and dup-join bugs the
+# curated list missed).
+EDGE_QUERIES = sorted(
+    name
+    for name, sql in registry.oracle_sql().items()
+    if "documents" in sql
+)
 
 MEGA_TEXT = (
     "identical mega cluster text repeated verbatim for the degenerate "

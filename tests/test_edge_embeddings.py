@@ -27,37 +27,13 @@ from apache_spark_irs_form_990_spark import registry
 from apache_spark_irs_form_990_spark.tables import TABLES
 from tests.conftest import SMOKE_SF_DIR, assert_matches_oracle
 
-# Embedding-consuming registry slice with exact oracles.
-EDGE_QUERIES = [
-    "sim_cosine_topk",
-    "sim_cosine_topk_per_label",
-    "sim_nearest_neighbor",
-    "sim_nn_recall_audit",
-    "sim_cosine_ann_lsh",
-    "sim_cosine_ann_ivf",
-    "sim_ivf_recall_audit",
-    "sim_cosine_ann_ivfpq",
-    "sim_ann_lsh_multiprobe",
-    "sim_multiprobe_recall_audit",
-    "sim_ann_batch_query",
-    "sim_ann_index_persist_probe",
-    "sim_flat_bucket_histogram",
-    "sim_label_contrast",
-    "dedup_near_embedding",
-    "dedup_embedding_recall_audit",
-    "dedup_semantic_ivf_cells",
-    "dedup_semantic_ivf_nprobe2",
-    "dedup_semdedup_nprobe_audit",
-    "dedup_semantic_cluster",
-    "sim_pq_adc_recall_audit",
-    "sim_pq_lloyd_step_audit",
-    "sim_pq_train_loop_audit",
-    "sim_pq_trained_adc_audit",
-    "ml_nearest_centroid_confusion",
-    "sim_knn_classify",
-    "ml_label_noise_candidates",
-    "mm_clip_score_filter",
-]
+# EVERY oracled query whose SQL twin reads `embeddings` (discovered
+# dynamically so new registrations are edge-covered automatically).
+EDGE_QUERIES = sorted(
+    name
+    for name, sql in registry.oracle_sql().items()
+    if "embeddings" in sql
+)
 
 DIM = 64
 
