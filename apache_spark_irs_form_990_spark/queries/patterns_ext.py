@@ -324,6 +324,7 @@ def stats_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM seg
     WHERE dur_us IS NOT NULL
     GROUP BY user_id
+    HAVING sum(dur_us) > 0
     """,
 )
 def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,12 +345,23 @@ def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dur_us"
         ),
     ).filter(F.col("dur_us").isNotNull())
-    return seg.groupBy("user_id").agg(
-        F.count("*").cast("long").alias("n_segments"),
-        F.sum("dur_us").cast("long").alias("total_us"),
-        (
-            F.sum(F.col("v_cents") * F.col("dur_us")).cast("double")
-            / F.sum("dur_us")
-            / 100.0
-        ).alias("twap"),
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_segments"),
+            F.sum("dur_us").cast("long").alias("total_us"),
+            F.sum(F.col("v_cents") * F.col("dur_us")).alias("wsum"),
+        )
+        # a user whose whole observed span is zero (all events at one
+        # instant) has no defined TWAP — filter BEFORE dividing, or the
+        # division is an ANSI divide-by-zero job failure
+        .filter(F.col("total_us") > 0)
+        .select(
+            "user_id",
+            "n_segments",
+            "total_us",
+            (
+                F.col("wsum").cast("double") / F.col("total_us") / 100.0
+            ).alias("twap"),
+        )
     )

@@ -744,7 +744,10 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.event_id,
            count(*) AS n_nearby
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    -- DISTINCT probe side: the Spark plan's bucket-dedup distinct also
+    -- collapses duplicated purchase rows, so the oracle must probe
+    -- each distinct purchase row once (build side keeps multiplicity)
+    FROM (SELECT DISTINCT * FROM events WHERE event_type = 'purchase') p
     JOIN events o
       ON o.user_id = p.user_id
      AND abs(epoch_us(CAST(o.ts AS TIMESTAMP))
