@@ -72,15 +72,25 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel and orderBy+limit plans as
     TakeOrderedAndProject — no global sort, no shuffle of the corpus.
     """
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", milli_vec(F.col("embedding")).alias("v")
-    ).transform(nonzero_milli)
+    # norm computed ONCE per row and reused for both the zero-norm
+    # convention filter and the cosine denominator (a separate
+    # nonzero_milli pass would double the per-row O(dims) arithmetic
+    # of this scan-dominated query)
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            milli_vec(F.col("embedding")).alias("v"),
+        )
+        .withColumn("n", sq_norm(F.col("v")))
+        .filter(F.col("n") > 0)
+    )
     q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
-        F.col("v").alias("qv")
+        F.col("v").alias("qv"), F.col("n").alias("qn")
     )
     cosine = dot(F.col("v"), F.col("qv")).cast("double") / (
-        F.sqrt(sq_norm(F.col("v")).cast("double"))
-        * F.sqrt(sq_norm(F.col("qv")).cast("double"))
+        F.sqrt(F.col("n").cast("double"))
+        * F.sqrt(F.col("qn").cast("double"))
     )
     return (
         emb.crossJoin(F.broadcast(q))
