@@ -135,15 +135,22 @@ def sim_cosine_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped exact top-3 neighbors per label — the batched form
     (window top-N over the scored scan; WindowGroupLimit keeps 3 per
     label pre-shuffle)."""
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", milli_vec(F.col("embedding")).alias("v")
-    ).transform(nonzero_milli)
+    # single-pass norm: computed once, reused by the zero-norm filter
+    # and the cosine denominator (the sim_cosine_topk treatment)
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", "label", milli_vec(F.col("embedding")).alias("v")
+        )
+        .withColumn("n", sq_norm(F.col("v")))
+        .filter(F.col("n") > 0)
+    )
     q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
-        F.col("v").alias("qv")
+        F.col("v").alias("qv"), F.col("n").alias("qn")
     )
     cosine = dot(F.col("v"), F.col("qv")).cast("double") / (
-        F.sqrt(sq_norm(F.col("v")).cast("double"))
-        * F.sqrt(sq_norm(F.col("qv")).cast("double"))
+        F.sqrt(F.col("n").cast("double"))
+        * F.sqrt(F.col("qn").cast("double"))
     )
     w = Window.partitionBy("label").orderBy(F.col("cosine").desc(), "vec_id")
     return (
@@ -1638,15 +1645,22 @@ def sim_topk_label_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, WindowGroupLimit keeps 2 rows per label BEFORE the exchange,
     and the global top-10 is TakeOrderedAndProject over the capped
     (tiny) survivor set — no global sort of the corpus anywhere."""
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", milli_vec(F.col("embedding")).alias("v")
-    ).transform(nonzero_milli)
+    # single-pass norm: computed once, reused by the zero-norm filter
+    # and the cosine denominator (the sim_cosine_topk treatment)
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", "label", milli_vec(F.col("embedding")).alias("v")
+        )
+        .withColumn("n", sq_norm(F.col("v")))
+        .filter(F.col("n") > 0)
+    )
     q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
-        F.col("v").alias("qv")
+        F.col("v").alias("qv"), F.col("n").alias("qn")
     )
     cosine = dot(F.col("v"), F.col("qv")).cast("double") / (
-        F.sqrt(sq_norm(F.col("v")).cast("double"))
-        * F.sqrt(sq_norm(F.col("qv")).cast("double"))
+        F.sqrt(F.col("n").cast("double"))
+        * F.sqrt(F.col("qn").cast("double"))
     )
     w = Window.partitionBy("label").orderBy(F.col("cosine").desc(), "vec_id")
     return (

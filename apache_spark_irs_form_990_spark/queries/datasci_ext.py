@@ -900,12 +900,16 @@ def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t AS (
       SELECT o.o_orderpriority, g.n,
+             -- x -> 0 limit of (x/mu) ln(x/mu) is 0: zero-value orders
+             -- contribute nothing instead of ln(0) erroring
+             CASE WHEN round(o.o_totalprice * 100) > 0 THEN
              CAST(round(
                (CAST(CAST(round(o.o_totalprice * 100) AS BIGINT) AS DOUBLE)
                 / (CAST(g.s AS DOUBLE) / g.n))
                * ln(CAST(CAST(round(o.o_totalprice * 100) AS BIGINT) AS DOUBLE)
                     / (CAST(g.s AS DOUBLE) / g.n))
-               * 1000000000) AS BIGINT) AS term_nano
+               * 1000000000) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS term_nano
       FROM orders o JOIN g ON o.o_orderpriority = g.o_orderpriority
     )
     SELECT o_orderpriority, max(n) AS n_orders,
@@ -932,7 +936,11 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = o.join(F.broadcast(g), "o_orderpriority")
     x = cents("o_totalprice").cast("double")
     mu = F.col("s").cast("double") / F.col("n")
-    term = F.round((x / mu) * F.log(x / mu) * 1000000000).cast("long")
+    # x -> 0 limit of (x/mu) ln(x/mu) is 0 (zero-value orders)
+    term = F.when(
+        cents("o_totalprice") > 0,
+        F.round((x / mu) * F.log(x / mu) * 1000000000).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
     return (
         j.select("o_orderpriority", "n", term.alias("term_nano"))
         .groupBy("o_orderpriority")
@@ -1265,6 +1273,7 @@ def ml_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, price_cents,
            CAST(lnu_nano AS DOUBLE) / price_cents AS es_key
     FROM keyed
+    WHERE price_cents > 0
     ORDER BY es_key DESC, o_orderkey
     LIMIT 100
     """,
@@ -1302,10 +1311,17 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 1
     )
     lnu_nano = F.round(F.log(u16 / F.lit(65536.0)) * 1000000000).cast("long")
-    keyed = load(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        cents("o_totalprice").alias("price_cents"),
-        lnu_nano.alias("lnu_nano"),
+    # zero-weight rows have sampling probability 0 in E-S (u^(1/w) is
+    # undefined at w = 0) and would divide by zero here — excluded on
+    # both engines, which IS the estimator's contract
+    keyed = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            cents("o_totalprice").alias("price_cents"),
+            lnu_nano.alias("lnu_nano"),
+        )
+        .filter(F.col("price_cents") > 0)
     )
     return (
         keyed.select(

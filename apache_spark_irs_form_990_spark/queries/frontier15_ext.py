@@ -207,10 +207,12 @@ def sim_cosine_rp_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily d, (SELECT unnest([7, 14, 30]) AS period) p
     )
     SELECT period,
-           round((CAST(sum(c_milli) AS DOUBLE) / 1000.0)
-                 * (CAST(sum(c_milli) AS DOUBLE) / 1000.0)
-                 + (CAST(sum(s_milli) AS DOUBLE) / 1000.0)
-                   * (CAST(sum(s_milli) AS DOUBLE) / 1000.0), 2) AS power
+           -- exact int128 squares of the exact milli sums, ONE cast to
+           -- double at the end: squaring ~1e14 doubles first left the
+           -- result 1 ulp engine-dependent, flipping round(,2)
+           CAST(CAST(sum(c_milli) AS HUGEINT) * sum(c_milli)
+                + CAST(sum(s_milli) AS HUGEINT) * sum(s_milli) AS DOUBLE)
+             / 1000000.0 AS power
     FROM terms
     GROUP BY period
     """,
@@ -283,8 +285,10 @@ def ts_periodogram_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("s_milli"),
     )
-    cs = F.sum("c_milli").cast("double") / 1000.0
-    ss = F.sum("s_milli").cast("double") / 1000.0
+    # exact decimal(38,0) squares of the exact milli sums (the int128
+    # tier both engines share: HUGEINT in the oracle), one double cast
+    cd = F.sum("c_milli").cast("decimal(18,0)")
+    sd = F.sum("s_milli").cast("decimal(18,0)")
     return terms.groupBy("period").agg(
-        F.round(cs * cs + ss * ss, 2).alias("power")
+        ((cd * cd + sd * sd).cast("double") / 1000000.0).alias("power")
     )

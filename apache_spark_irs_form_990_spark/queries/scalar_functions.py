@@ -556,7 +556,8 @@ def fn_encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT q,
            round(sqrt(CAST(q AS DOUBLE)), 6) AS sqrt_q,
            round(exp(CAST(q AS DOUBLE) / 50.0), 6) AS exp_q,
-           round(ln(CAST(q AS DOUBLE)), 6) AS ln_q,
+           CASE WHEN q > 0 THEN round(ln(CAST(q AS DOUBLE)), 6)
+                ELSE NULL END AS ln_q,
            round(sin(CAST(q AS DOUBLE)), 6) AS sin_q,
            round(pow(1.01, CAST(q AS DOUBLE)), 6) AS pow_q,
            count(*) AS n
@@ -580,7 +581,9 @@ def fn_math_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q",
         F.round(F.sqrt(qd), 6).alias("sqrt_q"),
         F.round(F.exp(qd / 50.0), 6).alias("exp_q"),
-        F.round(F.log(qd), 6).alias("ln_q"),
+        # ln undefined at q = 0: NULL on both engines (DuckDB errors
+        # on ln(0), Spark returns NULL — pin the NULL contract)
+        F.when(F.col("q") > 0, F.round(F.log(qd), 6)).alias("ln_q"),
         F.round(F.sin(qd), 6).alias("sin_q"),
         F.round(F.pow(F.lit(1.01), qd), 6).alias("pow_q"),
         "n",

@@ -49,6 +49,7 @@ from apache_spark_irs_form_990_spark.tables import load
                                            AS BIGINT)) AS DOUBLE)
                              / 1000000000.0), 6) AS harm_mean_qty
     FROM lineitem
+    WHERE l_quantity > 0
     GROUP BY l_returnflag
     """,
 )
@@ -59,8 +60,12 @@ def agg_geo_harmonic_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final hash-aggregate plan (one shuffle of 3 longs per
     group, any data size). Per-row ln/reciprocal values are snapped to
     exact integers (micro-nats / nano-units) so the sums are
-    order-independent; the final exp/division happens once per group."""
-    li = load(spark, sf_dir, "lineitem")
+    order-independent; the final exp/division happens once per group.
+    Both means are defined on POSITIVE values only (ln and 1/x blow up
+    at zero), so zero-quantity lines are excluded on both engines —
+    the textbook domain restriction, found by the relational edge
+    sweep (tests/test_edge_relational.py)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
     ln_micro = F.round(F.log("l_quantity") * 1000000).cast("long")
     inv_nano = F.round(1000000000.0 / F.col("l_quantity")).cast("long")
     n = F.count(F.lit(1))
