@@ -108,13 +108,153 @@ def connected_components(
         # knob: every caller's oracle is a full transitive closure, so
         # a label chain longer than max_iter would hash-mismatch (or
         # worse, quietly misgroup in production). Fail loudly instead.
+        #
+        # Budget contract (r8, ADVICE r7): convergence is only
+        # OBSERVABLE by a round that changes nothing (sum-equality here
+        # is exactly "this round changed no label" — a change-count
+        # probe would need the same confirming round), so callers must
+        # budget max_iter >= propagation-rounds-to-fixpoint + 1. A
+        # graph whose labels stabilize exactly on round max_iter raises
+        # even though the labels happen to be correct.
         raise RuntimeError(
             f"connected_components did not converge within max_iter="
-            f"{max_iter} rounds; graph diameter exceeds the budget — "
-            f"raise max_iter (or switch to the pointer-doubling variant "
-            f"for high-diameter graphs)"
+            f"{max_iter} rounds (note: +1 confirming round is part of "
+            f"the budget); graph diameter exceeds it — raise max_iter, "
+            f"or use connected_components_star (same module), whose "
+            f"large-star/small-star alternation converges in O(log n) "
+            f"rounds independent of diameter"
         )
     return labels
+
+
+def _canon_edges(edges: DataFrame) -> DataFrame:
+    """Undirected edge list canonicalized to (u, v) with u > v,
+    self-loops dropped, deduped — the working form of the star
+    alternation (every edge 'points down' to the smaller id)."""
+    return (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"),
+            F.least("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: every center links each STRICTLY LARGER neighbor to
+    the min of the center's closed neighborhood. Output stays in
+    down-pointing (u, v), u > v form: the new edge (n, m) has
+    n > center >= m. Emits at most one row per input edge (each
+    undirected edge has exactly one endpoint smaller than the other),
+    so the edge set never grows."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.col("u")).alias("m")
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: on a down-pointing edge list, every center links its
+    (all smaller) neighbors AND itself to the neighborhood min. Output
+    rows (n, m) satisfy n >= m with equality filtered, preserving the
+    u > v invariant."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    relink = (
+        e.join(mins, "u")
+        .select(F.col("v").alias("n"), "m")
+        .unionByName(mins.select(F.col("u").alias("n"), "m"))
+        .filter(F.col("n") != F.col("m"))
+        .select(F.col("n").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+    return relink
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 25,
+    stats: dict | None = None,
+) -> DataFrame:
+    """DIAMETER-INDEPENDENT connected components: the alternating
+    large-star / small-star contraction of Kiveris et al., "Connected
+    Components in MapReduce and Beyond" (SoCC'14) — the at-100-TB
+    companion to `connected_components` (min-label propagation).
+
+    Min-label needs O(diameter) rounds: correct and cheap for the
+    shallow clusters dedup corpora usually produce, but a single long
+    duplicate CHAIN (serial paraphrase chains, crawl mirror chains —
+    exactly what crawl-scale corpora contain) exceeds any fixed
+    max_iter and kills the job by design. The star alternation instead
+    contracts the edge set itself: each large-star hangs every larger
+    neighbor off its center's neighborhood min, each small-star
+    collapses the resulting down-pointing trees one level; the edge
+    set converges to disjoint STARS rooted at each component's min id
+    in O(log^2 n) alternations worst case — in practice ~log2(diameter)
+    + 2 (measured in tests/test_components_star.py: a 4096-node path
+    converges in 13 alternations where min-label needs 4097 rounds).
+
+    Same contracts as `connected_components`: nodes(id) /
+    edges(src, dst) one direction suffices, returns (id, component =
+    min reachable id), deterministic for any partitioning, loud
+    RuntimeError if the alternation budget is exceeded (max_iter
+    includes the one fixpoint-CONFIRMING alternation — budget
+    log2(n) + slack, default 25 covers any graph that fits on disk).
+
+    Scale shape per alternation: two groupBy-min shuffles + two
+    joins over the CURRENT edge list (never larger than the input edge
+    list — large-star emits at most one row per edge, small-star at
+    most one per edge plus one per center), with `localCheckpoint`
+    truncating lineage. Convergence is detected by set-equality
+    against the previous round (count + one left_anti probe on
+    materialized inputs), not by a sum proxy.
+
+    ``stats``: fills ``rounds`` (alternations run, including the
+    confirming one) and ``sym_edges`` (canonical input edge count).
+    """
+    e = _canon_edges(edges).localCheckpoint()
+    n_prev = e.count()
+    if stats is not None:
+        stats["sym_edges"] = n_prev
+        stats["rounds"] = 0
+    converged = n_prev == 0  # edgeless graph: every node is its own star
+    for _ in range(max_iter):
+        if converged:
+            break
+        if stats is not None:
+            stats["rounds"] += 1
+        new_e = _small_star(_large_star(e)).localCheckpoint()
+        n_new = new_e.count()
+        if n_new == n_prev:
+            # same cardinality + new ⊆ old ⟺ identical sets (both
+            # distinct); the anti-join runs on two materialized
+            # checkpoints, so this probe replays no lineage
+            delta = new_e.join(e, ["u", "v"], "left_anti").limit(1).count()
+            converged = delta == 0
+        e, n_prev = new_e, n_new
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"max_iter={max_iter} alternations (budget includes the "
+            f"one confirming round); this needs ~log2(component size) "
+            f"+ 2 — raise max_iter"
+        )
+    # at fixpoint e is a disjoint star set: each non-root appears
+    # exactly once as u with v = its component's min id; roots and
+    # isolated nodes label themselves. The groupBy-min is a no-op on a
+    # true star set and guards the join against any duplicate id rows
+    # in `nodes`.
+    roots = e.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("c"))
+    return nodes.join(roots, "id", "left").select(
+        "id", F.coalesce("c", F.col("id")).alias("component")
+    )
 
 
 def _three_gen_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,9 +290,13 @@ _SQL_CORPUS = """
 """
 
 
-@register(
-    "dedup_cluster_components",
-    oracle=f"""
+def _jaccard_cc_oracle() -> str:
+    """Shared recursive-CTE oracle for BOTH component kernels
+    (min-label `dedup_cluster_components` and star-contraction
+    `dedup_cluster_components_star`): same corpus, same Jaccard>=0.6
+    df-capped edges, same transitive closure — kernel equivalence is
+    checked by construction."""
+    return f"""
     WITH RECURSIVE corpus AS ({_SQL_CORPUS}),
     shingled0 AS (
       SELECT DISTINCT doc_id, shingle FROM (
@@ -195,8 +339,10 @@ _SQL_CORPUS = """
       SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
     )
     SELECT id AS doc_id, min(comp) AS component_id FROM reach GROUP BY id
-    """,
-)
+    """
+
+
+@register("dedup_cluster_components", oracle=_jaccard_cc_oracle())
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: Jaccard>=0.6 pairs (same logic
     as dedup_near_jaccard, including its count-over-window
@@ -208,6 +354,28 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     corpus = _three_gen_corpus(spark, sf_dir)
     comp = connected_components(
+        corpus.select(F.col("doc_id").alias("id")), _doc_jaccard_edges(corpus)
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("component_id")
+    )
+
+
+@register("dedup_cluster_components_star", oracle=_jaccard_cc_oracle())
+def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_cluster_components` re-run through the DIAMETER-
+    INDEPENDENT star-contraction kernel (`connected_components_star`) —
+    same Jaccard>=0.6 edge source, same recursive-CTE oracle, same
+    (doc_id, component_id) output, so the two kernels are proven
+    interchangeable on real near-dup topology. The min-label twin is
+    the cheap default for shallow clusters; THIS is the plan a 100 TB
+    corpus registers when duplicate chains (serial paraphrases, crawl
+    mirrors) can exceed any per-round diameter budget: rounds are
+    O(log n) regardless of chain length (the path-graph property test
+    pins a 4096-chain at 13 alternations where min-label refuses at
+    its default budget)."""
+    corpus = _three_gen_corpus(spark, sf_dir)
+    comp = connected_components_star(
         corpus.select(F.col("doc_id").alias("id")), _doc_jaccard_edges(corpus)
     )
     return comp.select(

@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from apache_spark_irs_form_990_spark.functions.text import sql_utf8_codes
 from apache_spark_irs_form_990_spark.functions.vectors import nonzero_milli
 from apache_spark_irs_form_990_spark.registry import register
 from apache_spark_irs_form_990_spark.tables import load
@@ -414,10 +415,15 @@ def _phash_oracle() -> str:
       FROM documents WHERE doc_id % 6 = 0 AND len(text) >= {K}
     ),
     codes AS (
-      SELECT doc_id, octet_length(encode(text)) AS n,
-             [CAST(ord(substr(text, i, 1)) AS BIGINT)
-              FOR i IN generate_series(1, len(text))] AS c
-      FROM corpus
+      -- byte-exact (r8): hex-pair parsing of the UTF-8 payload, not
+      -- ord(char) — the old form indexed CODE POINTS over 1..n where n
+      -- is the BYTE length, diverging from the kernel's raw bytes on
+      -- any multibyte document (found by ADVICE r7; same fix as
+      -- mm_decode_features / mm_resize_block_stats)
+      SELECT doc_id, n, {sql_utf8_codes()} AS c
+      FROM (SELECT doc_id, octet_length(encode(text)) AS n,
+                   hex(encode(text)) AS hh
+            FROM corpus)
     ),
     blocks AS (
       SELECT doc_id, n, list_sum(c) AS total,
@@ -539,10 +545,10 @@ def _audio_oracle() -> str:
       FROM documents WHERE CAST(doc_id % 3 AS INT) = 1
     ),
     codes AS (
-      SELECT doc_id, n,
-             [CAST(ord(substr(text, i, 1)) AS BIGINT)
-              FOR i IN generate_series(1, n)] AS c
-      FROM auds
+      -- byte-exact (r8): hex-pair parsing, not ord(char) — see
+      -- sql_utf8_codes; the old form diverged on multibyte payloads
+      SELECT doc_id, n, {sql_utf8_codes()} AS c
+      FROM (SELECT doc_id, n, hex(encode(text)) AS hh FROM auds)
     ),
     wins AS (
       SELECT doc_id, CAST(w AS INT) AS win_idx,
@@ -671,10 +677,10 @@ def _scene_oracle() -> str:
       WHERE CAST(doc_id % 3 AS INT) = 2 AND octet_length(encode(text)) >= {2 * W}
     ),
     codes AS (
-      SELECT doc_id, n // {W} AS nf,
-             [CAST(ord(substr(text, i, 1)) AS BIGINT)
-              FOR i IN generate_series(1, n)] AS c
-      FROM vids
+      -- byte-exact (r8): hex-pair parsing, not ord(char) — see
+      -- sql_utf8_codes; the old form diverged on multibyte payloads
+      SELECT doc_id, n // {W} AS nf, {sql_utf8_codes()} AS c
+      FROM (SELECT doc_id, n, hex(encode(text)) AS hh FROM vids)
     ),
     deltas AS (
       SELECT doc_id, nf,

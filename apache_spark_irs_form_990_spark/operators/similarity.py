@@ -40,6 +40,43 @@ from apache_spark_irs_form_990_spark.tables import load
 _QUERY_VEC_ID = 0  # deterministic fixed query: vec_id 0's embedding
 
 _INDEX_NONCE = itertools.count()  # per-invocation persisted-index paths
+_OWN_INDEX_DIRS: list[str] = []  # this process's index dirs, rmtree'd at exit
+
+
+def _cleanup_own_index_dirs() -> None:
+    import shutil
+
+    for d in _OWN_INDEX_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _sweep_dead_index_dirs(tag: str) -> None:
+    """Remove persisted-index dirs for ``tag`` whose creator process no
+    longer exists (path format ``spark990_ann_index_{tag}_{pid}_{k}``).
+    A live pid's dirs are never touched — its lazy results may still
+    read them; its own atexit hook cleans them."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    for d in glob.glob(
+        os.path.join(tempfile.gettempdir(), f"spark990_ann_index_{tag}_*")
+    ):
+        try:
+            pid = int(os.path.basename(d).split("_")[-2])
+            os.kill(pid, 0)
+        except (ValueError, IndexError):
+            continue
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            continue  # pid alive under another user
+
+
+import atexit as _atexit
+
+_atexit.register(_cleanup_own_index_dirs)
 
 
 @register(
@@ -1802,12 +1839,19 @@ def sim_ann_index_persist_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path keyed only by sf_dir, a later overwrite could yank files
     # out from under an earlier invocation's still-lazy result
     # DataFrame (stale-file reads). Each invocation gets its own
-    # directory; the fixture-scale leak is a few MB in tempdir.
+    # directory, BOUNDED two ways (ADVICE r7 — repeated bench/
+    # differential runs otherwise accumulate dirs without limit):
+    # this process's dirs are rmtree'd at exit (atexit, by which time
+    # no lazy result can still need them), and dirs whose embedded
+    # creator pid is dead are swept at entry (never touches a LIVE
+    # concurrent process's dirs).
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    _sweep_dead_index_dirs(tag)
     nonce = f"{os.getpid()}_{next(_INDEX_NONCE)}"
     index_dir = os.path.join(
         tempfile.gettempdir(), f"spark990_ann_index_{tag}_{nonce}"
     )
+    _OWN_INDEX_DIRS.append(index_dir)
     # build phase: the nightly index job
     _flat_index(bucketed).write.mode("overwrite").partitionBy(
         "bucket"

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from apache_spark_irs_form_990_spark.functions.ranks import global_order
 from apache_spark_irs_form_990_spark.functions.money import sql_cents
+from apache_spark_irs_form_990_spark.functions.text import sql_utf8_codes
 from apache_spark_irs_form_990_spark.registry import register
 from apache_spark_irs_form_990_spark.tables import load
 
@@ -875,10 +876,15 @@ def _winnow_oracle() -> str:
     return f"""
     WITH coef AS (SELECT {pw} AS pows),
     codes AS (
-      SELECT doc_id, len(text) AS n,
-             [CAST(ord(substr(text, i, 1)) AS BIGINT)
-              FOR i IN generate_series(1, len(text))] AS c
-      FROM documents WHERE len(text) >= {W}
+      -- byte-exact (r8): hex-pair parsing of the UTF-8 bytes, not
+      -- ord(char) over chars — the kernel hashes
+      -- np.frombuffer(text.encode('utf-8'), uint8), so on multibyte
+      -- text both the byte VALUES and the window COUNT (n - W + 1
+      -- windows over BYTE length) differ from the old char form
+      SELECT doc_id, n, {sql_utf8_codes()} AS c
+      FROM (SELECT doc_id, octet_length(encode(text)) AS n,
+                   hex(encode(text)) AS hh
+            FROM documents WHERE len(text) >= {W})
     ),
     hs AS (
       SELECT doc_id, n - {W - 1} AS nh,

@@ -27,7 +27,7 @@ from apache_spark_irs_form_990_spark.tables import load
       FROM embeddings WHERE vec_id < 8
     ),
     dists AS (
-      SELECT e.vec_id, s.cid,
+      SELECT e.vec_id, s.cid, e.embedding AS emb,
              CAST(round(list_reduce(
                [CAST(0.0 AS DOUBLE)] ||
                  [(CAST(e.embedding[j] AS DOUBLE) - s.c[j])
@@ -36,9 +36,15 @@ from apache_spark_irs_form_990_spark.tables import load
                (a, b) -> a + b) * 1000000) AS BIGINT) AS d2_micro
       FROM embeddings e, seeds s
     ),
+    -- the embedding is CARRIED INLINE through the per-vec_id window,
+    -- exactly as the Spark dataflow carries x — no re-join back to
+    -- embeddings. A re-join on the non-unique vec_id (even DISTINCT
+    -- (vec_id, embedding)) keeps 2 rows for a duplicated vec_id whose
+    -- payloads differ, where the window keeps 1 (ADVICE r7): mirror
+    -- the dataflow, not the schema.
     assigned AS (
-      SELECT vec_id, cid FROM (
-        SELECT vec_id, cid,
+      SELECT vec_id, cid, emb FROM (
+        SELECT vec_id, cid, emb,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY d2_micro, cid) AS rn
         FROM dists
@@ -46,15 +52,10 @@ from apache_spark_irs_form_990_spark.tables import load
     ),
     sums AS (
       SELECT a.cid, j,
-             sum(CAST(round(CAST(e.embedding[j] AS DOUBLE) * 1000000000)
+             sum(CAST(round(CAST(a.emb[j] AS DOUBLE) * 1000000000)
                       AS BIGINT)) AS s_nano,
              count(*) AS n
-      FROM assigned a
-      -- DISTINCT: a duplicated vec_id row is one logical vector; the
-      -- Spark side's per-vec_id window already counts it once
-      JOIN (SELECT DISTINCT vec_id, embedding FROM embeddings) e
-        ON a.vec_id = e.vec_id,
-           generate_series(1, 64) AS g(j)
+      FROM assigned a, generate_series(1, 64) AS g(j)
       GROUP BY a.cid, j
     ),
     shift AS (

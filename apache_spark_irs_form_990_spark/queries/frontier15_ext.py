@@ -285,10 +285,16 @@ def ts_periodogram_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("s_milli"),
     )
-    # exact decimal(38,0) squares of the exact milli sums (the int128
-    # tier both engines share: HUGEINT in the oracle), one double cast
-    cd = F.sum("c_milli").cast("decimal(18,0)")
-    sd = F.sum("s_milli").cast("decimal(18,0)")
+    # exact squares of the exact milli sums, one final double cast. The
+    # oracle squares in HUGEINT (int128); Spark has no int128 scalar,
+    # so the operands are decimal(19,0) — the widest precision whose
+    # product still fits decimal(38,0) — giving exactness for
+    # |sum(c_milli)| < 1e19 (int64 sums cannot exceed ~9.2e18, so the
+    # bound is the operand type itself, not this cast; fixture sums are
+    # ~1e14). decimal(18,0) (pre-r8) silently lost a decade of that
+    # headroom while claiming int128 parity.
+    cd = F.sum("c_milli").cast("decimal(19,0)")
+    sd = F.sum("s_milli").cast("decimal(19,0)")
     return terms.groupBy("period").agg(
         ((cd * cd + sd * sd).cast("double") / 1000000.0).alias("power")
     )

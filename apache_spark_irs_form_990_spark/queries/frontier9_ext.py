@@ -11,6 +11,7 @@ the backfill recipe for the streaming pipeline's history).
 
 from __future__ import annotations
 
+import glob
 import os
 import tempfile
 
@@ -208,11 +209,30 @@ def scan_nested_struct_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the property that makes struct-typed metadata free at 100 TB:
     a query that never mentions the payload never pays its I/O, even
     through nested projections."""
+    import hashlib
+    import shutil
+
     m = media_table(spark, sf_dir)
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    dest = os.path.join(tempfile.gettempdir(), f"spark990_media_{sf_tag}")
+    # Cache key = source IDENTITY (abspath + mtime + size of the
+    # documents parquet), not the sf_dir basename: test fixtures reuse
+    # basenames across sessions (pytest tmp dirs are always
+    # "edge_sf0"), and a basename-keyed marker cache re-served a STALE
+    # media table written from last session's fixture (r8 edge-suite
+    # find). Stale same-source siblings are removed so reruns don't
+    # accumulate tempdir copies.
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    path_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    state_tag = hashlib.md5(f"{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[:10]
+    dest = os.path.join(
+        tempfile.gettempdir(), f"spark990_media_{path_tag}_{state_tag}"
+    )
     marker = os.path.join(dest, "_SUCCESS")
     if not os.path.exists(marker):
+        for stale in glob.glob(
+            os.path.join(tempfile.gettempdir(), f"spark990_media_{path_tag}_*")
+        ):
+            shutil.rmtree(stale, ignore_errors=True)
         m.write.mode("overwrite").parquet(dest)
     back = spark.read.parquet(dest)
     return (

@@ -746,8 +746,14 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_nearby
     -- DISTINCT probe side: the Spark plan's bucket-dedup distinct also
     -- collapses duplicated purchase rows, so the oracle must probe
-    -- each distinct purchase row once (build side keeps multiplicity)
-    FROM (SELECT DISTINCT * FROM events WHERE event_type = 'purchase') p
+    -- each distinct purchase row once (build side keeps multiplicity).
+    -- Dedup on exactly the columns the Spark plan projects —
+    -- (user_id, event_id, ts) — not DISTINCT *: a duplicated event_id
+    -- whose rows differ only in an UNPROJECTED column stays 2 rows
+    -- under DISTINCT * but 1 under the plan's projection-then-distinct
+    -- (ADVICE r7)
+    FROM (SELECT DISTINCT user_id, event_id, ts
+          FROM events WHERE event_type = 'purchase') p
     JOIN events o
       ON o.user_id = p.user_id
      AND abs(epoch_us(CAST(o.ts AS TIMESTAMP))

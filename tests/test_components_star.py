@@ -1,0 +1,116 @@
+"""Property tests for the diameter-independent connected-components
+kernel (`connected_components_star`, VERDICT r7 task 1): the
+large-star/small-star alternation must (a) agree with the min-label
+kernel everywhere both converge, (b) converge in O(log n) alternations
+on a PATH GRAPH whose diameter far exceeds the min-label budget — the
+chain-shaped near-dup topology (serial paraphrases, crawl mirrors)
+that is exactly the min-label kernel's designed failure mode, and
+(c) show ~log2(diameter) round growth across path-length decades.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_spark_irs_form_990_spark.operators.components import (
+    connected_components,
+    connected_components_star,
+)
+
+
+def _path_graph(spark, n):
+    nodes = spark.range(n).select(F.col("id"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    return nodes, edges
+
+
+def _labels(df):
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def test_min_label_refuses_long_chain(spark):
+    """A 300-node path exceeds the min-label default budget (20 rounds)
+    and must fail LOUDLY — the documented contract, and the scale
+    hazard the star kernel exists to remove."""
+    nodes, edges = _path_graph(spark, 300)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges).collect()
+
+
+def test_star_collapses_long_chain_in_log_rounds(spark):
+    """The same chain shape at 4096 nodes: min-label would need 4096
+    propagation rounds; the star alternation must finish inside its
+    default 25-alternation budget with every node labeled 0."""
+    nodes, edges = _path_graph(spark, 4096)
+    stats = {}
+    out = connected_components_star(nodes, edges, stats=stats)
+    labels = _labels(out)
+    assert len(labels) == 4096
+    assert set(labels.values()) == {0}
+    # log2(4096) = 12; allow the confirming alternation plus slack
+    assert stats["rounds"] <= 16, stats
+
+
+def test_star_round_growth_is_logarithmic(spark):
+    """Across two path-length decades the alternation count must grow
+    like log2(diameter), not diameter: the SCALE_STEP claim in
+    miniature, pinned as a hard assertion."""
+    rounds = {}
+    for n in (16, 256, 4096):
+        nodes, edges = _path_graph(spark, n)
+        stats = {}
+        connected_components_star(nodes, edges, stats=stats).collect()
+        rounds[n] = stats["rounds"]
+        # log2(n) + 4 slack covers the confirming round and small-n noise
+        assert stats["rounds"] <= n.bit_length() + 4, rounds
+    # 256x more diameter must cost additive rounds, not multiplicative
+    assert rounds[4096] <= rounds[16] + 10, rounds
+
+
+def test_star_agrees_with_min_label_on_random_graphs(spark):
+    """Kernel equivalence on 20 seeded random graphs (mixed density,
+    self-loops, duplicate and reversed edges, isolated nodes): the two
+    kernels must produce identical labelings wherever min-label's
+    budget suffices."""
+    rng = random.Random(990)
+    for trial in range(20):
+        n = rng.randint(2, 40)
+        m = rng.randint(0, 2 * n)
+        edge_list = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]  # includes self-loops and dup/reversed edges by construction
+        nodes = spark.range(n).select(F.col("id"))
+        if edge_list:
+            edges = spark.createDataFrame(edge_list, "src long, dst long")
+        else:
+            edges = spark.createDataFrame([], "src long, dst long")
+        a = _labels(connected_components(nodes, edges, max_iter=50))
+        b = _labels(connected_components_star(nodes, edges))
+        assert a == b, f"trial {trial}: min-label {a} != star {b}"
+
+
+def test_star_edgeless_and_single_edge(spark):
+    """Degenerate inputs: an edgeless graph labels every node itself
+    (zero alternations); a single self-loop is an edgeless graph; one
+    real edge is one star."""
+    nodes = spark.range(5).select(F.col("id"))
+    empty = spark.createDataFrame([], "src long, dst long")
+    stats = {}
+    out = _labels(connected_components_star(nodes, empty, stats=stats))
+    assert out == {i: i for i in range(5)}
+    assert stats["rounds"] == 0
+
+    loop = spark.createDataFrame([(3, 3)], "src long, dst long")
+    assert _labels(connected_components_star(nodes, loop)) == {
+        i: i for i in range(5)
+    }
+
+    one = spark.createDataFrame([(4, 1)], "src long, dst long")
+    assert _labels(connected_components_star(nodes, one)) == {
+        0: 0, 1: 1, 2: 2, 3: 3, 4: 1,
+    }

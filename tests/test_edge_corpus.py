@@ -61,6 +61,22 @@ EDGE_DOCS = [
     # unicode body, ASCII tail (tail is what truncation drops, keeping
     # byte-based DuckDB levenshtein == char-based Spark levenshtein)
     (900165, "héllo wörld dédup ünïcode tëst ça 中文 分词 zz yy xx"),
+    # multibyte docs in the AUDIO (%3==1) and VIDEO (%3==2) media
+    # classes, >= 64 chars so the phash/scene length gates admit them
+    # (ADVICE r7: the only unicode doc was %3==0 and < 64 chars, so the
+    # byte-folding audio/scene/phash/winnow oracles were never
+    # exercised on multibyte text). Ids stay multiples of 35; unicode
+    # up front, ASCII truncation tail.
+    (
+        900445,  # % 3 == 1 -> audio
+        "äudio wäveförm énergie 中文音频 sïgnal pülse tönspur çanal "
+        "mixdown sample frame window block tail end pad zz yy xx ww",
+    ),
+    (
+        900410,  # % 3 == 2 -> video
+        "vïdeö szène çadre 中文视频 këyframe émis lümine bildfolge "
+        "cutpoint delta frame scene block tail end pad zz yy xx ww",
+    ),
     # duplicate doc_id, identical text (survivorship tie path)
     (900200, "dup row dup row dup row tie path"),
     (900200, "dup row dup row dup row tie path"),

@@ -50,6 +50,12 @@ EDGE_VECS = [
     # duplicated vec_id, identical embedding (row-level dup)
     (900010, [float(i % 7) / 10 + 0.1 for i in range(DIM)], 3),
     (900010, [float(i % 7) / 10 + 0.1 for i in range(DIM)], 3),
+    # duplicated vec_id with DIFFERING embeddings (r8, ADVICE r7): a
+    # per-key window keeps one row where DISTINCT (vec_id, embedding)
+    # keeps both — oracles must mirror the dataflow (carry the payload
+    # through the window), not re-join the schema
+    (900020, [float(i % 5) / 10 + 0.2 for i in range(DIM)], 4),
+    (900020, [float(i % 6) / 10 + 0.3 for i in range(DIM)], 4),
 ]
 
 

@@ -43,6 +43,12 @@ EDGE_EVENTS = [
     # exact duplicate row (same event_id, same everything)
     (99020, "2024-01-16 08:30:00", 9902, "purchase", 42.0, '{"k": 6}'),
     (99020, "2024-01-16 08:30:00", 9902, "purchase", 42.0, '{"k": 6}'),
+    # duplicated event_id with a DIFFERING unprojected payload (r8,
+    # ADVICE r7): a DISTINCT * oracle keeps both rows where a plan
+    # that projects-then-dedups keeps one — oracles must dedup on the
+    # plan's own key set (value/props differ; user_id+ts+type agree)
+    (99025, "2024-01-16 09:00:00", 9902, "purchase", 10.0, '{"k": 60}'),
+    (99025, "2024-01-16 09:00:00", 9902, "purchase", 11.0, '{"k": 61}'),
     # single-event user (degenerate session)
     (99030, "2024-01-17 09:15:27", 9903, "signup", 7.5, '{"k": 7}'),
     # zero-value purchase (ratio denominators)
