@@ -110,10 +110,10 @@ def merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "merge_scd2_dimension_apply",
     oracle="""
     WITH dim AS (
-      SELECT c_custkey, c_mktsegment AS seg FROM customer
+      SELECT DISTINCT c_custkey, c_mktsegment AS seg FROM customer
     ),
     batch AS (
-      SELECT c_custkey, 'NEW-' || c_mktsegment AS seg
+      SELECT DISTINCT c_custkey, 'NEW-' || c_mktsegment AS seg
       FROM customer WHERE c_custkey % 7 = 0
     )
     SELECT d.c_custkey,
@@ -143,9 +143,20 @@ def merge_scd2_dimension_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     [[join_scd2_asof_lookup]] is the read side. The change batch is
     synthesized deterministically (every 7th customer re-segments on
     2024-06-01). At 100 TB the dimension never shuffles: the batch
-    broadcasts, and output rewrites touch only affected partitions."""
-    dim = load(spark, sf_dir, "customer").select(
-        "c_custkey", F.col("c_mktsegment").alias("seg")
+    broadcasts, and output rewrites touch only affected partitions.
+
+    Unique-key contract (r8, found by the dimension edge sweep): SCD2
+    is defined over ONE current row per key and ONE change per key per
+    batch, so both sides dedup on (key, attribute) first — a
+    duplicate-loaded dimension row must not double-close and
+    double-open its key (the join would fan out quadratically in the
+    duplication factor). Conflicting same-key attribute values remain
+    two rows, i.e. corrupt SCD2 input stays visible rather than being
+    silently resolved."""
+    dim = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", F.col("c_mktsegment").alias("seg"))
+        .distinct()
     )
     batch = (
         load(spark, sf_dir, "customer")
@@ -153,6 +164,7 @@ def merge_scd2_dimension_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey", F.concat(F.lit("NEW-"), F.col("c_mktsegment")).alias("bseg")
         )
+        .distinct()
     )
     # interval bounds emitted as ISO strings: DATE round-trips as
     # datetime64 from DuckDB but as date objects from Spark, and the

@@ -447,7 +447,7 @@ def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_map_higher_order",
     oracle="""
-    SELECT n_regionkey,
+    SELECT DISTINCT n_regionkey,
            n_name AS k,
            CAST(n_nationkey * 10 AS BIGINT) AS v
     FROM nation
@@ -461,11 +461,19 @@ def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     states the same relation without map types (DuckDB's map surface
     is thinner) — proving the map pipeline preserves exactly the
     relational content. Map ops are JVM expressions; the groupBy is
-    the only shuffle."""
+    the only shuffle.
+
+    Map-key contract (r8, found by the dimension edge sweep): a map is
+    a KEYED structure, so identical duplicate entries are collapsed
+    before `map_from_entries` (array_distinct here, DISTINCT in the
+    oracle) — a duplicated dimension row must not abort the build.
+    Duplicate keys with CONFLICTING values stay a loud ANSI
+    DUPLICATED_MAP_KEY error: silently picking one value would be a
+    correctness lie."""
     n = load(spark, sf_dir, "nation")
     per_region = n.groupBy("n_regionkey").agg(
         F.map_from_entries(
-            F.collect_list(F.struct("n_name", "n_nationkey"))
+            F.array_distinct(F.collect_list(F.struct("n_name", "n_nationkey")))
         ).alias("m")
     )
     transformed = per_region.select(

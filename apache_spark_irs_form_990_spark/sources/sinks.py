@@ -119,5 +119,15 @@ def sink_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sink_roundtrip_csv", oracle=_ORACLE_NATION)
 def sink_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """csv with a passthrough header=true option (the reference's
-    --output_option example, IRSSpark.py:72-78)."""
-    return _roundtrip(spark, sf_dir, "csv", options={"header": "true"})
+    --output_option example, IRSSpark.py:72-78).
+
+    nullValue is pinned to the \\N dump convention (r8, found by the
+    dimension edge sweep): Spark's CSV defaults write NULL and '' the
+    same way and read empty fields back as NULL, so an empty-string
+    name silently became NULL through the roundtrip — a fidelity
+    violation, not a formatting choice. With a distinct null sentinel
+    both values survive exactly (probed: '', NULL, and non-empty all
+    roundtrip)."""
+    return _roundtrip(
+        spark, sf_dir, "csv", options={"header": "true", "nullValue": "\\N"}
+    )

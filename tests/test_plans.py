@@ -512,3 +512,57 @@ def test_zorder_roundtrip_scan_skips_row_groups(spark):
         f"z-ordered scan surfaced {scanned} of {total} rows - "
         "row-group stats did not prune"
     )
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling as a PLAN assertion (r8, VERDICT r7
+    task 6): the manual remedies are registered queries
+    (`join_skew_salted`, `agg_skew_salted_twostage`), but the path a
+    100 TB user hits FIRST is automatic — OptimizeSkewedJoin must
+    split a hot fact partition at runtime. A 90%-one-key fact joined
+    to a 1000-key build side (broadcast disabled so the join stays
+    sort-merge; thresholds lowered to test scale; payload
+    sha-incompressible so shuffle bytes reflect row counts) must show
+    `skew=true` on the SortMergeJoin and a skewed AQEShuffleRead in
+    the FINAL adaptive plan. Runtime confs are restored afterward —
+    the session is shared."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        pad = F.sha2(F.col("id").cast("string"), 256)
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            pad.alias("payload"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"),
+            F.sha2(F.col("id").cast("string"), 224).alias("d"),
+        )
+        out = fact.join(dim, "k").agg(F.sum(F.length("payload")).alias("b"))
+        [row] = out.collect()
+        assert row["b"] == 200_000 * 64  # sanity: every fact row joined
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, (
+            "OptimizeSkewedJoin did not split the hot partition:\n"
+            + plan[:2000]
+        )
+        assert "skewed" in plan, plan[:2000]  # the AQEShuffleRead spec
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
