@@ -147,7 +147,16 @@ def _large_star(e: DataFrame) -> DataFrame:
     down-pointing (u, v), u > v form: the new edge (n, m) has
     n > center >= m. Emits at most one row per input edge (each
     undirected edge has exactly one endpoint smaller than the other),
-    so the edge set never grows."""
+    so the edge set never grows.
+
+    Deliberately groupBy-min + join, NOT a window-min over
+    partitionBy(u) (which would save the join): as contraction
+    proceeds the graph tends toward exactly the shape that breaks a
+    u-partitioned window — mega-hubs whose whole neighborhood lands in
+    ONE window task. The aggregate computes the min with map-side
+    partial combine (no single-task hotspot), and the join back is a
+    plain equi-join AQE can skew-split; a window partition cannot be
+    split at all."""
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = sym.groupBy("u").agg(
         F.least(F.min("v"), F.col("u")).alias("m")

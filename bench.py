@@ -102,6 +102,11 @@ EXTENDED = [
     "sim_pq_train_loop_audit",
     "sim_pq_trained_adc_audit",
     "dedup_semantic_ivf_nprobe2",
+    # r8: the diameter-independent CC kernel (star contraction) and
+    # the PQ serving contract — per-round tracking of the round's two
+    # registered additions.
+    "dedup_cluster_components_star",
+    "sim_pq_recall_at_k",
 ]
 
 

@@ -1,0 +1,152 @@
+"""Adversarial HOT-BAND sweep (r8, VERDICT r7 task 5): the megacluster
+edge fixture (12 identical docs) proves correctness; this script
+measures THROUGHPUT when a single band bucket holds a planted
+5,000-doc identical cluster on top of the sf0.1 corpus — the worst
+realistic banding input (a boilerplate page, a license block, an
+empty-template crawl artifact repeated across a mirror farm).
+
+What it measures, per corpus (base sf0.1 vs planted):
+
+- bucket occupancy (max occ, total buckets) from the operators' own
+  `band_signatures` kernel;
+- PAIRWISE candidate mass Σ occ·(occ-1)/2 — the cost law of the
+  banded pair self-join (`dedup_minhash_banding_md5`), computed
+  analytically from occupancy so the uncapped 50M-pair join's cost is
+  known without needing it to finish;
+- STAR edge mass Σ (occ-1) — the cost law of the hub plans
+  (`dedup_minhash_star_links`, `dedup_fuzzy_star_rescore`,
+  `dedup_fuzzy_star_components`);
+- measured wall time of the pairwise form AND the star forms on both
+  corpora — the "hot-bucket cap's measured effect" as runtime, not
+  just algebra;
+- the SemDeDup capped-cell flavor (`dedup_semantic_ivf_cells`) on an
+  embeddings table with the same 5,000-identical-vector plant: the
+  C=64 per-cell candidate cap is the explicit hot-cell bound, so its
+  runtime must stay flat where an uncapped within-cell join would be
+  25M pairs.
+
+Writes HOTBAND_r08.json; the adjudication narrative lives in SCALE.md.
+
+Usage: python scripts/hot_band_sweep.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+PLANT_ROOT = "/tmp/spark990_hotband"
+_PLANT_VERSION = 1
+N_PLANT = 5_000
+
+
+def synthesize_planted(spark) -> str:
+    """sf0.1 plus a planted identical cluster: 5,000 copies of one
+    document's text under fresh doc_ids, and 5,000 copies of one
+    embedding under fresh vec_ids. Every copy is byte-identical — the
+    adversarial case for any bucket-keyed plan."""
+    out = os.path.join(PLANT_ROOT, "planted")
+    marker = os.path.join(out, f".complete_v{_PLANT_VERSION}")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    embs = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    seed_doc = docs.orderBy("doc_id").limit(1)
+    plant_docs = seed_doc.crossJoin(
+        spark.range(N_PLANT).select(F.col("id").alias("_k"))
+    ).select(
+        (F.col("_k") + 50_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    docs.unionByName(plant_docs).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "documents.parquet"))
+    seed_emb = embs.orderBy("vec_id").limit(1)
+    plant_embs = seed_emb.crossJoin(
+        spark.range(N_PLANT).select(F.col("id").alias("_k"))
+    ).select(
+        (F.col("_k") + 50_000_000).alias("vec_id"), "embedding", "label"
+    )
+    embs.unionByName(plant_embs).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "embeddings.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out
+
+
+SWEEP_QUERIES = [
+    "dedup_minhash_banding_md5",      # pairwise Σ occ² — the blowup side
+    "dedup_minhash_star_links",       # Σ (occ-1) hub links
+    "dedup_fuzzy_star_rescore",       # Σ (occ-1) hub rescores
+    "dedup_fuzzy_star_components",    # star edges + O(log) components
+    "dedup_semantic_ivf_cells",       # C=64 per-cell cap on embeddings
+]
+
+
+def measure(spark, sf_dir: str, run_pairwise: bool) -> dict:
+    from apache_spark_irs_form_990_spark import registry
+    from apache_spark_irs_form_990_spark.operators.dedup import band_signatures
+    from apache_spark_irs_form_990_spark.tables import load
+
+    qs = registry.queries()
+    out: dict = {"sf_dir": sf_dir}
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out["n_docs"] = docs.count()
+    sig = band_signatures(docs).localCheckpoint()
+    occ = sig.groupBy("band", "band_min").agg(F.count(F.lit(1)).alias("occ"))
+    masses = occ.agg(
+        F.sum(F.col("occ") * (F.col("occ") - 1) / 2).alias("pair_mass"),
+        F.sum(F.col("occ") - 1).alias("star_mass"),
+        F.max("occ").alias("max_occ"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    ).collect()[0]
+    out["pair_mass"] = int(masses.pair_mass)
+    out["star_mass"] = int(masses.star_mass)
+    out["max_bucket_occ"] = int(masses.max_occ)
+    out["n_buckets"] = int(masses.n_buckets)
+    for name in SWEEP_QUERIES:
+        if name == "dedup_minhash_banding_md5" and not run_pairwise:
+            out[f"{name}_s"] = None
+            out[f"{name}_note"] = (
+                "skipped: pair_mass makes the uncapped pairwise join's "
+                "cost the measurement itself — see planted row"
+            )
+            continue
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[f"{name}_s"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    from apache_spark_irs_form_990_spark.session import get_session
+
+    spark = get_session(app_name="hot_band_sweep")
+    planted = synthesize_planted(spark)
+    rows = [
+        measure(spark, BASE, run_pairwise=True),
+        measure(spark, planted, run_pairwise=True),
+    ]
+    result = {"n_planted": N_PLANT, "queries": SWEEP_QUERIES, "steps": rows}
+    path = os.path.join(REPO_ROOT, "HOTBAND_r08.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

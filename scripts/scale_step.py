@@ -58,7 +58,16 @@ like everything else (the trained variant adds 6 such sweeps) — and
 `dedup_semantic_ivf_nprobe2` (2x the probe fan-out of the single-cell
 SemDeDup row, expected to track it at ~2x or better).
 
-Usage: python scripts/scale_step.py   (writes SCALE_STEP_r07.json)
+r8 additions (VERDICT r7 tasks 1+3): `dedup_cluster_components_star`
+(the diameter-independent kernel) and `sim_pq_recall_at_k` join the
+3-step sweep; both CC kernels' round counts are profiled side by side
+(min-label refusal recorded as rounds=-1 rather than aborting the
+sweep); and the AT-SCALE query subset gets a FOURTH synthetic decade —
+sf10 = 500k docs / 200k vecs, 10 second-level mutated copies of sf1 —
+to confirm the sf0.01→sf1 linearity claims for another 10x and to
+surface CC round growth (`measure_at_scale`, single-run protocol).
+
+Usage: python scripts/scale_step.py   (writes SCALE_STEP_r08.json)
 """
 
 from __future__ import annotations
@@ -106,6 +115,27 @@ QUERIES = [
     "sim_pq_adc_recall_audit",
     "sim_pq_trained_adc_audit",
     "dedup_semantic_ivf_nprobe2",
+    # r8: the diameter-independent CC twin and the PQ serving contract
+    "dedup_cluster_components_star",
+    "sim_pq_recall_at_k",
+]
+
+# r8 (VERDICT r7 task 3): the queries whose docstrings claim an
+# AT-SCALE (100 TB) plan get a THIRD synthetic decade — sf10 = 500k
+# docs / 200k vecs — to confirm the linearity claims measured over
+# sf0.01→sf1 hold for another 10x, and to surface CC round growth.
+# The pairwise pair-list form (dedup_fuzzy_cascade) is deliberately
+# absent: it is documented sample-scale-only and its sf1 row already
+# costs 65 s.
+AT_SCALE_QUERIES = [
+    "dedup_minhash_banding_md5",
+    "dedup_fuzzy_star_rescore",
+    "dedup_substring_coverage",
+    "dedup_semantic_ivf_cells",
+    "dedup_semantic_ivf_nprobe2",
+    "dedup_cluster_components",
+    "dedup_cluster_components_star",
+    "sim_ann_batch_query",
 ]
 
 
@@ -194,6 +224,102 @@ def synthesize_sf1(spark, base: str = "/root/testdata/sf0.1", copies: int = 10) 
     return out
 
 
+def synthesize_sf10(spark, copies: int = 10) -> str:
+    """sf10 = 10 second-level copies of synthetic sf1 (500k docs /
+    200k vecs), documents + embeddings only (the at-scale subset reads
+    nothing else). Second-level mutation lands on DIFFERENT positions
+    than level 1 (every 11th word vs every 7th, suffix `_x{k}`), and
+    embeddings rotate by 7k % 64 — so copies are near- but not exact
+    duplicates at both levels, the crawl-mirror regime."""
+    base = synthesize_sf1(spark)
+    out = os.path.join(SCALE_ROOT, "sf10")
+    marker = os.path.join(out, f".complete_v{_SYNTH_VERSION}")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(base, "documents.parquet"))
+    embs = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
+    doc_parts, emb_parts = [docs], [embs]
+    def mutate2(kk: int):
+        return lambda w, i: F.when(
+            i % 11 == kk % 11, F.concat(w, F.lit(f"_x{kk}"))
+        ).otherwise(w)
+
+    for k in range(1, copies):
+        words = F.split("text", " ")
+        mutated = F.array_join(F.transform(words, mutate2(k)), " ")
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + k * 1_000_000_000).alias("doc_id"),
+                mutated.alias("text"),
+                "lang",
+                "source",
+                F.length(mutated).alias("n_chars"),
+            )
+        )
+        r = (7 * k) % 64
+        rot = F.concat(
+            F.slice("embedding", r + 1, 64 - r), F.slice("embedding", 1, r)
+        )
+        emb_parts.append(
+            embs.select(
+                (F.col("vec_id") + k * 1_000_000_000).alias("vec_id"),
+                rot.alias("embedding"),
+                "label",
+            )
+        )
+
+    def union_write(parts, name):
+        d = parts[0]
+        for p in parts[1:]:
+            d = d.unionByName(p)
+        d.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out, f"{name}.parquet")
+        )
+
+    union_write(doc_parts, "documents")
+    union_write(emb_parts, "embeddings")
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out
+
+
+def measure_at_scale(spark, sf_dir: str) -> dict:
+    """The sf10 step: ONE timed run per at-scale query (cold-ish; the
+    JVM is warm from the earlier steps and a warm+best-of-2 protocol
+    would double a multi-minute sweep for noise that matters at the
+    0.1 s scale, not here), plus the banding occupancy masses and both
+    CC kernels' round counts — the growth axes the linearity claims
+    ride on."""
+    from apache_spark_irs_form_990_spark import registry
+    from apache_spark_irs_form_990_spark.operators.dedup import band_signatures
+    from apache_spark_irs_form_990_spark.tables import load
+
+    qs = registry.queries()
+    out: dict = {"sf_dir": sf_dir, "protocol": "single_run"}
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out["n_docs"] = docs.count()
+    out["n_vecs"] = load(spark, sf_dir, "embeddings").count()
+    # candidate/star masses analytically from bucket occupancy — the
+    # pairwise join's Σ occ·(occ-1)/2 without materializing it
+    sig = band_signatures(docs).localCheckpoint()
+    occ = sig.groupBy("band", "band_min").agg(F.count(F.lit(1)).alias("occ"))
+    masses = occ.agg(
+        F.sum(F.col("occ") * (F.col("occ") - 1) / 2).alias("pair_mass"),
+        F.sum(F.col("occ") - 1).alias("star_mass"),
+        F.max("occ").alias("max_occ"),
+    ).collect()[0]
+    out["minhash_pair_mass"] = int(masses.pair_mass)
+    out["minhash_star_mass"] = int(masses.star_mass)
+    out["minhash_max_bucket_occ"] = int(masses.max_occ)
+    out.update(clustering_profile(spark, sf_dir, semantic=False))
+    for name in AT_SCALE_QUERIES:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[f"{name}_s"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
 def global_order_task_profile(spark, sf_dir: str) -> dict:
     """Max-task input rows of the distributed rank vs the single-task
     form, on the heaviest rewired input shape (documents ordered by
@@ -233,7 +359,7 @@ def global_order_task_profile(spark, sf_dir: str) -> dict:
     }
 
 
-def clustering_profile(spark, sf_dir: str) -> dict:
+def clustering_profile(spark, sf_dir: str, semantic: bool = True) -> dict:
     """Edge counts and CC rounds-to-converge for the two
     connected-components consumers, measured with the operators' OWN
     kernels (instrumented via connected_components' stats hook), plus
@@ -248,21 +374,40 @@ def clustering_profile(spark, sf_dir: str) -> dict:
         _semantic_edges,
         _three_gen_corpus,
         connected_components,
-    )
-    from apache_spark_irs_form_990_spark.queries.graph_ext import (
-        copurchase_edges,
+        connected_components_star,
     )
 
     out: dict = {}
     corpus = _three_gen_corpus(spark, sf_dir)
     st: dict = {}
-    connected_components(
+    try:
+        connected_components(
+            corpus.select(F.col("doc_id").alias("id")),
+            _doc_jaccard_edges(corpus),
+            stats=st,
+        ).write.format("noop").mode("overwrite").save()
+        out["cc_doc_rounds"] = st["rounds"]
+    except RuntimeError:
+        # the min-label budget refusal IS a data point at high SF —
+        # the star twin below is the plan that must absorb it
+        out["cc_doc_rounds"] = -1
+    out["cc_doc_sym_edges"] = st.get("sym_edges")
+    # r8: the star-contraction twin's alternation count next to the
+    # min-label round count — O(log n) vs O(diameter) as measured data
+    st = {}
+    connected_components_star(
         corpus.select(F.col("doc_id").alias("id")),
         _doc_jaccard_edges(corpus),
         stats=st,
     ).write.format("noop").mode("overwrite").save()
-    out["cc_doc_sym_edges"] = st["sym_edges"]
-    out["cc_doc_rounds"] = st["rounds"]
+    out["cc_doc_star_rounds"] = st["rounds"]
+
+    if not semantic:
+        return out
+
+    from apache_spark_irs_form_990_spark.queries.graph_ext import (
+        copurchase_edges,
+    )
 
     sem = _semantic_corpus(spark, sf_dir)
     st = {}
@@ -381,13 +526,20 @@ def main() -> None:
 
     spark = get_session(app_name="scale_step")
     sf1 = synthesize_sf1(spark)
+    sf10 = synthesize_sf10(spark)
     rows = [
         measure(spark, "/root/testdata/sf0.01"),
         measure(spark, "/root/testdata/sf0.1"),
         measure(spark, sf1),
     ]
-    result = {"queries": QUERIES, "steps": rows}
-    path = os.path.join(REPO_ROOT, "SCALE_STEP_r07.json")
+    at_scale = measure_at_scale(spark, sf10)
+    result = {
+        "queries": QUERIES,
+        "at_scale_queries": AT_SCALE_QUERIES,
+        "steps": rows,
+        "at_scale_step": at_scale,
+    }
+    path = os.path.join(REPO_ROOT, "SCALE_STEP_r08.json")
     with open(path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1))
