@@ -258,10 +258,13 @@ def connected_components_star(
     # at fixpoint e is a disjoint star set: each non-root appears
     # exactly once as u with v = its component's min id; roots and
     # isolated nodes label themselves. The groupBy-min is a no-op on a
-    # true star set and guards the join against any duplicate id rows
-    # in `nodes`.
+    # true star set and guards the join against duplicate edges.
+    # nodes is DEDUPED first: a duplicated node id is one logical node
+    # — the exact contract the min-label twin gets implicitly from its
+    # per-round groupBy(id) (found by the edge-corpus megacluster
+    # fixture's duplicated doc_id, r8).
     roots = e.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("c"))
-    return nodes.join(roots, "id", "left").select(
+    return nodes.select("id").distinct().join(roots, "id", "left").select(
         "id", F.coalesce("c", F.col("id")).alias("component")
     )
 
