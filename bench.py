@@ -102,11 +102,14 @@ EXTENDED = [
     "sim_pq_train_loop_audit",
     "sim_pq_trained_adc_audit",
     "dedup_semantic_ivf_nprobe2",
-    # r8: the diameter-independent CC kernel (star contraction) and
-    # the PQ serving contract — per-round tracking of the round's two
+    # r8: the diameter-independent CC kernel (star contraction), the
+    # PQ serving contract + its ADC+R re-rank closer, and incremental
+    # cluster maintenance — per-round tracking of the round's
     # registered additions.
     "dedup_cluster_components_star",
     "sim_pq_recall_at_k",
+    "sim_pq_reranked_recall_audit",
+    "dedup_cluster_components_incremental",
 ]
 
 

@@ -115,9 +115,12 @@ QUERIES = [
     "sim_pq_adc_recall_audit",
     "sim_pq_trained_adc_audit",
     "dedup_semantic_ivf_nprobe2",
-    # r8: the diameter-independent CC twin and the PQ serving contract
+    # r8: the diameter-independent CC twin, the PQ serving contract +
+    # its ADC+R re-rank closer, and incremental cluster maintenance
     "dedup_cluster_components_star",
     "sim_pq_recall_at_k",
+    "sim_pq_reranked_recall_audit",
+    "dedup_cluster_components_incremental",
 ]
 
 # r8 (VERDICT r7 task 3): the queries whose docstrings claim an
@@ -135,6 +138,7 @@ AT_SCALE_QUERIES = [
     "dedup_semantic_ivf_nprobe2",
     "dedup_cluster_components",
     "dedup_cluster_components_star",
+    "dedup_cluster_components_incremental",
     "sim_ann_batch_query",
 ]
 
