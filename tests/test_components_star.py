@@ -114,3 +114,35 @@ def test_star_edgeless_and_single_edge(spark):
     assert _labels(connected_components_star(nodes, one)) == {
         0: 0, 1: 1, 2: 2, 3: 3, 4: 1,
     }
+
+
+def test_contracted_star_edges_preserve_connectivity(spark):
+    """The identity `dedup_cluster_components_incremental` rides on:
+    for any edge split G = E1 ∪ E2, components of {star edges of
+    CC(E1)} ∪ E2 equal components of the full graph — contracted
+    phase-1 labels are a lossless stand-in for the phase-1 edge set.
+    15 seeded random splits, both kernels on the merge pass."""
+    rng = random.Random(8990)
+    for trial in range(15):
+        n = rng.randint(3, 36)
+        m1, m2 = rng.randint(0, 2 * n), rng.randint(1, n)
+        e1 = [(rng.randrange(n), rng.randrange(n)) for _ in range(m1)]
+        e2 = [(rng.randrange(n), rng.randrange(n)) for _ in range(m2)]
+        nodes = spark.range(n).select(F.col("id"))
+        df1 = (
+            spark.createDataFrame(e1, "src long, dst long")
+            if e1
+            else spark.createDataFrame([], "src long, dst long")
+        )
+        df2 = spark.createDataFrame(e2, "src long, dst long")
+        full = _labels(
+            connected_components_star(nodes, df1.unionByName(df2))
+        )
+        labels1 = connected_components(nodes, df1, max_iter=50)
+        star1 = labels1.filter(F.col("id") != F.col("component")).select(
+            F.col("component").alias("src"), F.col("id").alias("dst")
+        )
+        inc = _labels(
+            connected_components_star(nodes, star1.unionByName(df2))
+        )
+        assert inc == full, f"trial {trial}: incremental {inc} != full {full}"
