@@ -54,6 +54,13 @@ def connected_components(
     enough — symmetrized here). Returns (id, component) with component
     = min node id reachable. Deterministic for any partitioning.
 
+    Labeled id set (pinned r8): nodes ∪ ALL edge endpoints, deduped —
+    a duplicated node id is one logical node, and an endpoint missing
+    from ``nodes`` is still labeled (callers routinely pass the corpus
+    frame as nodes and a derived edge list; the two must not have to
+    agree exactly). Identical contract in `connected_components_star`,
+    so the kernels are genuine drop-in replacements for each other.
+
     The symmetrized edge list is ``localCheckpoint``-ed BEFORE the
     loop: every propagation round joins against it, and without the
     materialization each round would replay the caller's entire edge
@@ -80,8 +87,13 @@ def connected_components(
     if stats is not None:
         stats["sym_edges"] = sym.count()
         stats["rounds"] = 0
-    labels = nodes.select(F.col("id"), F.col("id").alias("component"))
-    labels = labels.localCheckpoint()
+    labels = (
+        nodes.select("id")
+        .unionByName(sym.select(F.col("src").alias("id")))
+        .distinct()
+        .select(F.col("id"), F.col("id").alias("component"))
+        .localCheckpoint()
+    )
     prev_sum = None
     converged = False
     for _ in range(max_iter):
@@ -228,7 +240,8 @@ def connected_components_star(
     ``stats``: fills ``rounds`` (alternations run, including the
     confirming one) and ``sym_edges`` (canonical input edge count).
     """
-    e = _canon_edges(edges).localCheckpoint()
+    e0 = _canon_edges(edges).localCheckpoint()
+    e = e0
     n_prev = e.count()
     if stats is not None:
         stats["sym_edges"] = n_prev
@@ -259,12 +272,20 @@ def connected_components_star(
     # exactly once as u with v = its component's min id; roots and
     # isolated nodes label themselves. The groupBy-min is a no-op on a
     # true star set and guards the join against duplicate edges.
-    # nodes is DEDUPED first: a duplicated node id is one logical node
-    # — the exact contract the min-label twin gets implicitly from its
-    # per-round groupBy(id) (found by the edge-corpus megacluster
-    # fixture's duplicated doc_id, r8).
+    # The labeled id set is nodes ∪ EDGE ENDPOINTS, deduped — the
+    # exact contract the min-label twin gets implicitly (its per-round
+    # union+groupBy(id) both collapses duplicated node ids and labels
+    # endpoints absent from `nodes`; both divergences found r8 — the
+    # megacluster fixture's duplicated doc_id and a review pass on the
+    # drop-in-replacement claim in min-label's budget error).
+    ids = (
+        nodes.select("id")
+        .unionByName(e0.select(F.col("u").alias("id")))
+        .unionByName(e0.select(F.col("v").alias("id")))
+        .distinct()
+    )
     roots = e.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("c"))
-    return nodes.select("id").distinct().join(roots, "id", "left").select(
+    return ids.join(roots, "id", "left").select(
         "id", F.coalesce("c", F.col("id")).alias("component")
     )
 
@@ -302,48 +323,61 @@ _SQL_CORPUS = """
 """
 
 
-def _jaccard_cc_oracle() -> str:
-    """Shared recursive-CTE oracle for BOTH component kernels
-    (min-label `dedup_cluster_components` and star-contraction
-    `dedup_cluster_components_star`): same corpus, same Jaccard>=0.6
-    df-capped edges, same transitive closure — kernel equivalence is
-    checked by construction."""
-    return f"""
-    WITH RECURSIVE corpus AS ({_SQL_CORPUS}),
-    shingled0 AS (
+# The shared shingle/df-cap/Jaccard-pair derivation as parameterized
+# CTE text — ONE copy consumed by the min-label, star, and incremental
+# oracles (r8 review: two inline copies invited silent divergence).
+_SQL_JACCARD_EDGE_BLOCK = """
+    {p}sh0 AS (
       SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id,
                unnest(list_distinct([
                  array_to_string(list_slice(t, i, i + 2), ' ')
                  FOR i IN generate_series(1, len(t) - 2)
                ])) AS shingle
-        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {corpus})
       )
     ),
-    shingled AS (
+    {p}sh AS (
       SELECT doc_id, shingle FROM (
         SELECT doc_id, shingle,
                count(*) OVER (PARTITION BY shingle) AS df
-        FROM shingled0
+        FROM {p}sh0
       ) WHERE df <= 100
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id),
-    pairs AS (
+    {p}sz AS (SELECT doc_id, count(*) AS n FROM {p}sh GROUP BY doc_id),
+    {p}pairs AS (
       SELECT id_a, id_b
       FROM (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        FROM shingled a JOIN shingled b
+        FROM {p}sh a JOIN {p}sh b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        {pair_pred}
         GROUP BY a.doc_id, b.doc_id
       )
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
+      JOIN {p}sz sa ON sa.doc_id = id_a
+      JOIN {p}sz sb ON sb.doc_id = id_b
       WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6
-    ),
+    )"""
+
+
+def _jaccard_cc_oracle() -> str:
+    """Shared recursive-CTE oracle for BOTH component kernels
+    (min-label `dedup_cluster_components` and star-contraction
+    `dedup_cluster_components_star`): same corpus, same Jaccard>=0.6
+    df-capped edges (ONE copy of that derivation —
+    `_SQL_JACCARD_EDGE_BLOCK`, also the incremental oracle's source),
+    same transitive closure — kernel equivalence is checked by
+    construction."""
+    edge_block = _SQL_JACCARD_EDGE_BLOCK.format(
+        p="j", corpus="corpus", pair_pred=""
+    )
+    return f"""
+    WITH RECURSIVE corpus AS ({_SQL_CORPUS}),
+    {edge_block},
     edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
+      SELECT id_a AS src, id_b AS dst FROM jpairs
       UNION
-      SELECT id_b AS src, id_a AS dst FROM pairs
+      SELECT id_b AS src, id_a AS dst FROM jpairs
     ),
     reach(id, comp) AS (
       SELECT doc_id, doc_id FROM corpus
@@ -695,39 +729,6 @@ def dedup_fuzzy_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_JACCARD_EDGE_BLOCK = """
-    {p}sh0 AS (
-      SELECT DISTINCT doc_id, shingle FROM (
-        SELECT doc_id,
-               unnest(list_distinct([
-                 array_to_string(list_slice(t, i, i + 2), ' ')
-                 FOR i IN generate_series(1, len(t) - 2)
-               ])) AS shingle
-        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {corpus})
-      )
-    ),
-    {p}sh AS (
-      SELECT doc_id, shingle FROM (
-        SELECT doc_id, shingle,
-               count(*) OVER (PARTITION BY shingle) AS df
-        FROM {p}sh0
-      ) WHERE df <= 100
-    ),
-    {p}sz AS (SELECT doc_id, count(*) AS n FROM {p}sh GROUP BY doc_id),
-    {p}pairs AS (
-      SELECT id_a, id_b
-      FROM (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        FROM {p}sh a JOIN {p}sh b
-          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        {pair_pred}
-        GROUP BY a.doc_id, b.doc_id
-      )
-      JOIN {p}sz sa ON sa.doc_id = id_a
-      JOIN {p}sz sb ON sb.doc_id = id_b
-      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6
-    )"""
-
 
 def _incremental_cc_oracle() -> str:
     """Two-phase oracle mirroring the INCREMENTAL dataflow exactly:
@@ -739,11 +740,16 @@ def _incremental_cc_oracle() -> str:
     incremental contract is 'edges as computed at their pass time',
     so the oracle replays that contract, not a retroactive one.)"""
     base_block = _SQL_JACCARD_EDGE_BLOCK.format(p="b", corpus="base", pair_pred="")
+    # batch-ness is STRUCTURAL (membership in the batch CTE), not an
+    # id-range test: a range like [1e6, 2e6) silently excludes batch
+    # docs whenever the corpus's own ids exceed it (the synthetic
+    # sf1/sf10 sweeps offset ids by 10M+ per copy — r8 review find),
+    # turning the incident probe inert for most of the batch
     inc_block = _SQL_JACCARD_EDGE_BLOCK.format(
         p="a",
         corpus="all_docs",
-        pair_pred="WHERE (a.doc_id BETWEEN 1000000 AND 1999999 "
-        "OR b.doc_id BETWEEN 1000000 AND 1999999)",
+        pair_pred="WHERE (a.doc_id IN (SELECT doc_id FROM batch) "
+        "OR b.doc_id IN (SELECT doc_id FROM batch))",
     )
     return f"""
     WITH RECURSIVE base AS (
@@ -791,15 +797,18 @@ def _incremental_cc_oracle() -> str:
     """
 
 
-def _incident_jaccard_edges(all_corpus: DataFrame, lo: int, hi: int) -> DataFrame:
+def _incident_jaccard_edges(all_corpus: DataFrame) -> DataFrame:
     """Jaccard>=0.6 edges over `all_corpus` RESTRICTED to pairs where
-    at least one side's doc_id lies in [lo, hi] (the batch id range) —
-    the incremental probe: the standing corpus's shingles are joined
-    only against batch-incident shingle hits, so pair work is
-    O(batch x overlap), not O(corpus^2). df cap and distinct contract
-    identical to `_doc_jaccard_edges`."""
+    at least one side is a BATCH document — the incremental probe:
+    the standing corpus's shingles are joined only against
+    batch-incident shingle hits, so pair work is O(batch x overlap),
+    not O(corpus^2). `all_corpus` must carry an `is_batch` boolean;
+    batch-ness rides the shingle rows structurally (an id-range test
+    breaks the moment corpus ids outgrow the range — r8 review find).
+    df cap and distinct contract identical to `_doc_jaccard_edges`."""
     shingled0 = all_corpus.select(
         "doc_id",
+        "is_batch",
         F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
     ).distinct()
     w_df = Window.partitionBy("shingle")
@@ -810,13 +819,12 @@ def _incident_jaccard_edges(all_corpus: DataFrame, lo: int, hi: int) -> DataFram
     )
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = shingled.alias("a"), shingled.alias("b")
-    in_batch = lambda c: (F.col(c) >= lo) & (F.col(c) <= hi)  # noqa: E731
     overlap = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (in_batch("a.doc_id") | in_batch("b.doc_id")),
+            & (F.col("a.is_batch") | F.col("b.is_batch")),
         )
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count("*").alias("shared"))
@@ -880,14 +888,18 @@ def dedup_cluster_components_incremental(
 
     base = docs.unionByName(gen(2000000, 4)).localCheckpoint()
     batch = gen(1000000, 2)
-    all_docs = base.unionByName(batch).localCheckpoint()
+    all_docs = (
+        base.withColumn("is_batch", F.lit(False))
+        .unionByName(batch.withColumn("is_batch", F.lit(True)))
+        .localCheckpoint()
+    )
     labels1 = connected_components(
         base.select(F.col("doc_id").alias("id")), _doc_jaccard_edges(base)
     )
     star1 = labels1.filter(F.col("id") != F.col("component")).select(
         F.col("component").alias("src"), F.col("id").alias("dst")
     )
-    e2 = _incident_jaccard_edges(all_docs, 1000000, 1999999)
+    e2 = _incident_jaccard_edges(all_docs)
     merged = connected_components_star(
         all_docs.select(F.col("doc_id").alias("id")),
         star1.unionByName(e2),

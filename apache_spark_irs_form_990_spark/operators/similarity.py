@@ -3065,23 +3065,87 @@ def _pq_recon_vectors(mm: DataFrame, cb: DataFrame) -> DataFrame:
 
 
 def _cosine_topk_pairs(
-    queries: DataFrame, stored: DataFrame, k: int
+    queries: DataFrame,
+    stored: DataFrame,
+    k: int,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """(qid, nid, rn): per-query top-k of stored vectors by cosine
-    (desc, nid tie-break), self-pairs excluded. `queries` must expose
-    (qid, vq); `stored` (nid, vr)."""
+    (desc, nid tie-break). `queries` must expose (qid, vq); `stored`
+    (nid, vr). With `pairs` None, every (query, stored) pair except
+    self-pairs is scored; with a (qid, nid) frame, ONLY those pairs
+    are — the shortlist-re-rank shape, where cost is |pairs|, not
+    |queries| x |stored|."""
     q = queries.select("qid", "vq", sq_norm(F.col("vq")).alias("nq"))
     s = stored.select("nid", "vr", sq_norm(F.col("vr")).alias("nr"))
+    if pairs is None:
+        joined = q.join(s, F.col("qid") != F.col("nid"))
+    else:
+        joined = pairs.select("qid", "nid").join(q, "qid").join(s, "nid")
     cos = pair_dot_udf()(F.col("vq"), F.col("vr")).cast("double") / (
         F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("nr").cast("double"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
     return (
-        q.join(s, F.col("qid") != F.col("nid"))
-        .select("qid", "nid", cos.alias("cosine"))
+        joined.select("qid", "nid", cos.alias("cosine"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("qid", "nid", "rn")
+    )
+
+
+def _recall_vs_exact_table(
+    spark: SparkSession,
+    exact_top: DataFrame,
+    approx_top: DataFrame,
+    ks: tuple[int, ...],
+    variant_col: str | None = None,
+    variant_values: tuple[str, ...] = (),
+) -> DataFrame:
+    """recall@k table shared by the PQ serving audits: for each k in
+    ``ks`` (and each value of ``variant_col`` when the approx side
+    carries one), |top-k(approx) ∩ top-k(exact)| / (n_q · k). Both
+    inputs are (qid, nid, rn) rank frames with rn <= max(ks); the
+    k-grid join is a broadcast of len(ks) rows; absent combinations
+    surface as hits=0 rows via the left-joined literal grid."""
+    ks_df = spark.createDataFrame([(k,) for k in ks], "k int")
+    e, p = exact_top.alias("e"), approx_top.alias("p")
+    group = ([variant_col] if variant_col else []) + ["k"]
+    hits = (
+        e.join(
+            p,
+            (F.col("e.qid") == F.col("p.qid"))
+            & (F.col("e.nid") == F.col("p.nid")),
+        )
+        .join(
+            F.broadcast(ks_df),
+            (F.col("e.rn") <= F.col("k")) & (F.col("p.rn") <= F.col("k")),
+        )
+        .groupBy(*group)
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    if variant_col:
+        grid = spark.createDataFrame(
+            [(v, k) for v in variant_values for k in ks],
+            f"{variant_col} string, k int",
+        )
+    else:
+        grid = ks_df
+    nq = exact_top.agg(F.countDistinct("qid").alias("n_q"))
+    return (
+        grid.join(hits, group, "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            *([variant_col] if variant_col else []),
+            "k",
+            "n_q",
+            F.coalesce("h", F.lit(0)).cast("long").alias("hits"),
+            F.round(
+                F.coalesce("h", F.lit(0)).cast("double")
+                / (F.col("n_q") * F.col("k")),
+                6,
+            ).alias("recall"),
+        )
     )
 
 
@@ -3141,40 +3205,13 @@ def sim_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             TOPK,
         ).withColumn("codebook", F.lit(tag))
         pq_top = top if pq_top is None else pq_top.unionByName(top)
-    ks = spark.createDataFrame([(1,), (TOPK,)], "k int")
-    e, p = exact_top.alias("e"), pq_top.alias("p")
-    hits = (
-        e.join(
-            p,
-            (F.col("e.qid") == F.col("p.qid"))
-            & (F.col("e.nid") == F.col("p.nid")),
-        )
-        .join(
-            F.broadcast(ks),
-            (F.col("e.rn") <= F.col("k")) & (F.col("p.rn") <= F.col("k")),
-        )
-        .groupBy("codebook", "k")
-        .agg(F.count(F.lit(1)).alias("h"))
-    )
-    grid = spark.createDataFrame(
-        [(c, k) for c in ("anchor", "trained") for k in (1, TOPK)],
-        "codebook string, k int",
-    )
-    nq = exact_top.agg(F.countDistinct("qid").alias("n_q"))
-    return (
-        grid.join(hits, ["codebook", "k"], "left")
-        .crossJoin(F.broadcast(nq))
-        .select(
-            "codebook",
-            "k",
-            "n_q",
-            F.coalesce("h", F.lit(0)).cast("long").alias("hits"),
-            F.round(
-                F.coalesce("h", F.lit(0)).cast("double")
-                / (F.col("n_q") * F.col("k")),
-                6,
-            ).alias("recall"),
-        )
+    return _recall_vs_exact_table(
+        spark,
+        exact_top,
+        pq_top,
+        ks=(1, TOPK),
+        variant_col="codebook",
+        variant_values=("anchor", "trained"),
     )
 
 
@@ -3290,55 +3327,11 @@ def sim_pq_reranked_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         CAND,
     ).select("qid", "nid")
-    # exact re-rank of the shortlist only: join raw vectors back onto
-    # the |q| x CAND candidate rows — constant work per query
-    q = mm.select(F.col("vec_id").alias("qid"), F.col("v").alias("vq"),
-                  sq_norm(F.col("v")).alias("nq"))
-    n = mm.select(F.col("vec_id").alias("nid"), F.col("v").alias("vn"),
-                  sq_norm(F.col("v")).alias("nn"))
-    cos = pair_dot_udf()(F.col("vq"), F.col("vn")).cast("double") / (
-        F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("nn").cast("double"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
-    rr_top = (
-        cand.join(q, "qid")
-        .join(n, "nid")
-        .select("qid", "nid", cos.alias("cosine"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOPK)
-        .select("qid", "nid", "rn")
-    )
-    ks = spark.createDataFrame([(1,), (TOPK,)], "k int")
-    e, p = exact_top.alias("e"), rr_top.alias("p")
-    hits = (
-        e.join(
-            p,
-            (F.col("e.qid") == F.col("p.qid"))
-            & (F.col("e.nid") == F.col("p.nid")),
-        )
-        .join(
-            F.broadcast(ks),
-            (F.col("e.rn") <= F.col("k")) & (F.col("p.rn") <= F.col("k")),
-        )
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("h"))
-    )
-    grid = spark.createDataFrame([(1,), (TOPK,)], "k int")
-    nq = exact_top.agg(F.countDistinct("qid").alias("n_q"))
-    return (
-        grid.join(hits, ["k"], "left")
-        .crossJoin(F.broadcast(nq))
-        .select(
-            "k",
-            "n_q",
-            F.coalesce("h", F.lit(0)).cast("long").alias("hits"),
-            F.round(
-                F.coalesce("h", F.lit(0)).cast("double")
-                / (F.col("n_q") * F.col("k")),
-                6,
-            ).alias("recall"),
-        )
-    )
+    # exact re-rank of the shortlist ONLY (cost |q| x CAND, constant
+    # per query): the same shared cosine/top-k kernel, restricted to
+    # the candidate pairs
+    rr_top = _cosine_topk_pairs(queries, stored_exact, TOPK, pairs=cand)
+    return _recall_vs_exact_table(spark, exact_top, rr_top, ks=(1, TOPK))
 
 
 sim_pq_reranked_recall_audit.__doc__ = sim_pq_reranked_recall_audit.__doc__.replace(

@@ -288,11 +288,14 @@ def ts_periodogram_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact squares of the exact milli sums, one final double cast. The
     # oracle squares in HUGEINT (int128); Spark has no int128 scalar,
     # so the operands are decimal(19,0) — the widest precision whose
-    # product still fits decimal(38,0) — giving exactness for
-    # |sum(c_milli)| < 1e19 (int64 sums cannot exceed ~9.2e18, so the
-    # bound is the operand type itself, not this cast; fixture sums are
-    # ~1e14). decimal(18,0) (pre-r8) silently lost a decade of that
-    # headroom while claiming int128 parity.
+    # product still fits decimal(38,0). The JOINT exactness bound is
+    # the final sum cd^2 + sd^2 < 1e38 (also decimal(38,0)), i.e.
+    # |sums| jointly below ~7.07e18 — int64 sums at the 9.2e18 extreme
+    # could overflow it (ANSI error, never a silent wrong value), and
+    # HUGEINT itself tops out at 1.70e38 just past the same point.
+    # Fixture sums are ~1e14, four orders inside the bound.
+    # decimal(18,0) (pre-r8) lost a decade of that headroom while
+    # claiming int128 parity.
     cd = F.sum("c_milli").cast("decimal(19,0)")
     sd = F.sum("s_milli").cast("decimal(19,0)")
     return terms.groupBy("period").agg(

@@ -18,6 +18,39 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_OWN_MEDIA_DIRS: list[str] = []  # this process's media caches, rm'd at exit
+
+
+def _cleanup_own_media_dirs() -> None:
+    import shutil
+
+    for d in _OWN_MEDIA_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _sweep_dead_media_dirs() -> None:
+    """Remove media-cache dirs whose creator process no longer exists
+    (path format ``spark990_media_{pid}_{tag}``); live pids' dirs are
+    never touched. Legacy pid-less dirs (pre-r8 naming) fail the int
+    parse and are skipped."""
+    import shutil
+
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), "spark990_media_*")):
+        try:
+            pid = int(os.path.basename(d).split("_")[2])
+            os.kill(pid, 0)
+        except (ValueError, IndexError):
+            continue
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            continue
+
+
+import atexit as _atexit
+
+_atexit.register(_cleanup_own_media_dirs)
+
 from apache_spark_irs_form_990_spark.operators.multimodal import media_table
 from apache_spark_irs_form_990_spark.functions.money import cents, sql_cents
 from apache_spark_irs_form_990_spark.registry import register
@@ -210,29 +243,31 @@ def scan_nested_struct_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     a query that never mentions the payload never pays its I/O, even
     through nested projections."""
     import hashlib
-    import shutil
 
     m = media_table(spark, sf_dir)
-    # Cache key = source IDENTITY (abspath + mtime + size of the
-    # documents parquet), not the sf_dir basename: test fixtures reuse
-    # basenames across sessions (pytest tmp dirs are always
-    # "edge_sf0"), and a basename-keyed marker cache re-served a STALE
-    # media table written from last session's fixture (r8 edge-suite
-    # find). Stale same-source siblings are removed so reruns don't
-    # accumulate tempdir copies.
+    # Cache key = THIS PROCESS (pid) + source IDENTITY (abspath +
+    # mtime + size of the documents parquet), never the sf_dir
+    # basename: test fixtures reuse basenames across sessions (pytest
+    # tmp dirs are always "edge_sf0"), and a basename-keyed marker
+    # cache re-served a STALE media table written from last session's
+    # fixture (r8 edge-suite find). The pid bounds accumulation the
+    # same way the persisted-ANN index does (r8 review find — a
+    # path-keyed sweep can never reclaim other sessions' unique tmp
+    # paths): dirs whose creator pid is dead are swept at entry, this
+    # process's dirs are removed at exit, and within-process reuse
+    # (the cache's purpose — bench reruns) still hits the marker.
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    path_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    state_tag = hashlib.md5(f"{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[:10]
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    _sweep_dead_media_dirs()
     dest = os.path.join(
-        tempfile.gettempdir(), f"spark990_media_{path_tag}_{state_tag}"
+        tempfile.gettempdir(), f"spark990_media_{os.getpid()}_{tag}"
     )
     marker = os.path.join(dest, "_SUCCESS")
     if not os.path.exists(marker):
-        for stale in glob.glob(
-            os.path.join(tempfile.gettempdir(), f"spark990_media_{path_tag}_*")
-        ):
-            shutil.rmtree(stale, ignore_errors=True)
+        _OWN_MEDIA_DIRS.append(dest)
         m.write.mode("overwrite").parquet(dest)
     back = spark.read.parquet(dest)
     return (

@@ -11,8 +11,8 @@ What it measures, per corpus (base sf0.1 vs planted):
   `band_signatures` kernel;
 - PAIRWISE candidate mass Σ occ·(occ-1)/2 — the cost law of the
   banded pair self-join (`dedup_minhash_banding_md5`), computed
-  analytically from occupancy so the uncapped 50M-pair join's cost is
-  known without needing it to finish;
+  analytically from occupancy AND the join itself timed (31.3 s for
+  the planted 50M-pair row at this scale — the measured blowup);
 - STAR edge mass Σ (occ-1) — the cost law of the hub plans
   (`dedup_minhash_star_links`, `dedup_fuzzy_star_rescore`,
   `dedup_fuzzy_star_components`);
@@ -96,7 +96,7 @@ SWEEP_QUERIES = [
 ]
 
 
-def measure(spark, sf_dir: str, run_pairwise: bool) -> dict:
+def measure(spark, sf_dir: str) -> dict:
     from apache_spark_irs_form_990_spark import registry
     from apache_spark_irs_form_990_spark.operators.dedup import band_signatures
     from apache_spark_irs_form_990_spark.tables import load
@@ -118,13 +118,6 @@ def measure(spark, sf_dir: str, run_pairwise: bool) -> dict:
     out["max_bucket_occ"] = int(masses.max_occ)
     out["n_buckets"] = int(masses.n_buckets)
     for name in SWEEP_QUERIES:
-        if name == "dedup_minhash_banding_md5" and not run_pairwise:
-            out[f"{name}_s"] = None
-            out[f"{name}_note"] = (
-                "skipped: pair_mass makes the uncapped pairwise join's "
-                "cost the measurement itself — see planted row"
-            )
-            continue
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[f"{name}_s"] = round(time.perf_counter() - t0, 3)
@@ -136,10 +129,7 @@ def main() -> None:
 
     spark = get_session(app_name="hot_band_sweep")
     planted = synthesize_planted(spark)
-    rows = [
-        measure(spark, BASE, run_pairwise=True),
-        measure(spark, planted, run_pairwise=True),
-    ]
+    rows = [measure(spark, BASE), measure(spark, planted)]
     result = {"n_planted": N_PLANT, "queries": SWEEP_QUERIES, "steps": rows}
     path = os.path.join(REPO_ROOT, "HOTBAND_r08.json")
     with open(path, "w") as f:

@@ -319,7 +319,17 @@ def measure_at_scale(spark, sf_dir: str) -> dict:
     out.update(clustering_profile(spark, sf_dir, semantic=False))
     for name in AT_SCALE_QUERIES:
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except RuntimeError as exc:
+            # a min-label budget refusal is a DATA POINT at this scale
+            # (clustering_profile records it as rounds=-1); don't let
+            # it abort the multi-minute sweep and lose the JSON
+            out[f"{name}_s"] = None
+            out[f"{name}_note"] = f"refused: {exc}"[:200]
+            continue
         out[f"{name}_s"] = round(time.perf_counter() - t0, 3)
     return out
 

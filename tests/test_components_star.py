@@ -146,3 +146,16 @@ def test_contracted_star_edges_preserve_connectivity(spark):
             connected_components_star(nodes, star1.unionByName(df2))
         )
         assert inc == full, f"trial {trial}: incremental {inc} != full {full}"
+
+
+def test_edge_only_endpoints_are_labeled_by_both_kernels(spark):
+    """The pinned labeled-id contract: nodes ∪ ALL edge endpoints,
+    identically in both kernels — an endpoint missing from `nodes`
+    still gets a component row (r8 review find: the star kernel
+    dropped it while min-label's error message called the star form a
+    drop-in replacement)."""
+    nodes = spark.createDataFrame([(1,)], "id long")
+    edges = spark.createDataFrame([(1, 2), (5, 6)], "src long, dst long")
+    expected = {1: 1, 2: 1, 5: 5, 6: 5}
+    assert _labels(connected_components(nodes, edges)) == expected
+    assert _labels(connected_components_star(nodes, edges)) == expected
