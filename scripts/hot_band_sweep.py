@@ -11,7 +11,7 @@ What it measures, per corpus (base sf0.1 vs planted):
   `band_signatures` kernel;
 - PAIRWISE candidate mass Σ occ·(occ-1)/2 — the cost law of the
   banded pair self-join (`dedup_minhash_banding_md5`), computed
-  analytically from occupancy AND the join itself timed (31.3 s for
+  analytically from occupancy AND the join itself timed (~30 s for
   the planted 50M-pair row at this scale — the measured blowup);
 - STAR edge mass Σ (occ-1) — the cost law of the hub plans
   (`dedup_minhash_star_links`, `dedup_fuzzy_star_rescore`,
