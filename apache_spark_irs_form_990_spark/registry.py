@@ -113,6 +113,7 @@ def _load_all() -> None:
     from apache_spark_irs_form_990_spark.operators import (  # noqa: F401
         dedup,
         components,
+        incremental,
         similarity,
         text_analysis,
         multimodal,

@@ -737,6 +737,165 @@ def stream_outer_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_outer_join_pending_state",
+    # Exact oracle over the join's FINAL STATE-STORE CONTENT (r9,
+    # VERDICT r8 task 5): after the bounded stream drains (incl.
+    # trailing no-data batches), each side's state holds exactly the
+    # input rows its state watermark has not yet evicted. Empirically
+    # pinned on boundary-ladder fixtures (1 us steps around both
+    # bounds): with global watermark wm_ms = min(ms-floor(max p_ts),
+    # ms-floor(max c_ts)) - 30 min, the left side retains rows with
+    # p_ts_us >= wm_ms*1000 - 999 (the engine's eviction predicate is
+    # ts_us <= state_watermark_us - 1000) and the right side retains
+    # c_ts_us >= (wm_ms - 30 min)*1000 - 999 — the right bound is
+    # LOOSER by the range width because a click at c_ts can still
+    # match future purchases up to c_ts + 30 min (the condition-derived
+    # state value watermark of Spark's symmetric hash join).
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+    ),
+    c AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+    ),
+    wm AS (
+      SELECT least((SELECT epoch_us(max(ts)) // 1000 FROM p),
+                   (SELECT epoch_us(max(ts)) // 1000 FROM c))
+             - 1800000 AS wm_ms
+    )
+    SELECT 'left' AS side, event_id, user_id, epoch_us(ts) AS ts_us
+    FROM p, wm WHERE epoch_us(ts) >= wm.wm_ms * 1000 - 999
+    UNION ALL
+    SELECT 'right' AS side, event_id, user_id, epoch_us(ts) AS ts_us
+    FROM c, wm
+    WHERE epoch_us(ts) >= (wm.wm_ms - 1800000) * 1000 - 999
+    """,
+)
+def stream_outer_join_pending_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE OTHER SIDE of [[stream_outer_join_unmatched]] (r9, VERDICT
+    r8 task 5): that query exact-checks the EMITTED rows on the
+    provably-resolved region and leaves the tail — rows whose
+    emission depends on final-watermark timing — as the one ◐
+    streaming semantics. This audit pins the tail from the state
+    store instead: run the same left-outer stream-stream join to
+    completion against a checkpoint, then read BOTH sides' join state
+    back (`spark.read.format("statestore").option("joinSide", ...)`)
+    and return every buffered row. Emission TIMING near the tail is
+    engine-defined; the final state CONTENT is not — it is exactly
+    the input rows above each side's condition-derived state
+    watermark, which the oracle recomputes from the batch table (rule
+    pinned by a 1-microsecond boundary ladder; see the oracle
+    comment). Emitted ∪ pending now covers both sides of the
+    watermark clock exactly.
+
+    At 100 TB-of-state scale this is the join-state X-ray next to
+    [[stream_statestore_introspect]]'s aggregation-state one: "what
+    is my outer join still holding, and is that consistent with the
+    watermark?" answered from checkpoint files, no running query.
+
+    Null-timestamp events are excluded on both engines up front: a
+    row with no event time can neither advance the watermark nor be
+    evicted by it, so it has no well-defined place on the watermark
+    clock (this audit's contract is over timestamped events)."""
+    import uuid
+
+    ev = read_events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "click") & F.col("ts").isNotNull())
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select("purchase_id", "click_id", "user_id", "p_ts")
+    schema = "side string, event_id long, user_id long, ts_us long"
+    # a fixture with no purchases or no clicks never advances a joint
+    # watermark — no deterministic pending contract exists; mirror
+    # stream_outer_join_unmatched's empty-frame convention
+    bounds = (
+        load(spark, sf_dir, "events")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("mp"),
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+                "mc"
+            ),
+        )
+        .collect()[0]
+    )
+    if bounds["mp"] is None or bounds["mc"] is None:
+        return spark.createDataFrame([], schema=schema)
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"spark990_ssjoin_{uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    try:
+        left = (
+            spark.read.format("statestore")
+            .option("joinSide", "left")
+            .load(ckpt)
+            .select(
+                F.lit("left").alias("side"),
+                F.col("value.purchase_id").alias("event_id"),
+                F.col("value.user_id").alias("user_id"),
+                F.unix_micros(F.col("value.p_ts")).alias("ts_us"),
+            )
+        )
+        right = (
+            spark.read.format("statestore")
+            .option("joinSide", "right")
+            .load(ckpt)
+            .select(
+                F.lit("right").alias("side"),
+                F.col("value.click_id").alias("event_id"),
+                F.col("value.c_user_id").alias("user_id"),
+                F.unix_micros(F.col("value.c_ts")).alias("ts_us"),
+            )
+        )
+        st = left.unionByName(right)
+        # materialize the (pending-rows-sized) report so the
+        # checkpoint dir can be removed before returning
+        rows = st.collect()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, schema=schema)
+
+
+@register(
     "stream_dedup_near_static_index",
     # Batch twin: identical to dedup_incremental_minhash's contract —
     # the streamed probe must converge to exactly the batch join's

@@ -25,7 +25,17 @@ What it measures, per corpus (base sf0.1 vs planted):
   runtime must stay flat where an uncapped within-cell join would be
   25M pairs.
 
-Writes HOTBAND_r08.json; the adjudication narrative lives in SCALE.md.
+r9 (VERDICT r8 task 3): `dedup_minhash_banding_md5` now carries a
+per-bucket occupancy cap (occ > 256 buckets skip pair enumeration),
+so the sweep additionally reports the CAPPED pair mass (what the
+guarded pairwise form actually enumerates) next to the raw mass, runs
+the new `dedup_banding_occupancy_audit` pricing query on both
+corpora, and counts planted-cluster edges recovered by the capped
+pairwise form (expected 0 under the cap) vs the star form (expected
+~N_PLANT hub edges) — the recall price and its named mitigation,
+measured.
+
+Writes HOTBAND_r09.json; the adjudication narrative lives in SCALE.md.
 
 Usage: python scripts/hot_band_sweep.py
 """
@@ -88,7 +98,8 @@ def synthesize_planted(spark) -> str:
 
 
 SWEEP_QUERIES = [
-    "dedup_minhash_banding_md5",      # pairwise Σ occ² — the blowup side
+    "dedup_minhash_banding_md5",      # pairwise Σ occ² — now _occ-capped
+    "dedup_banding_occupancy_audit",  # the cap's price, as data
     "dedup_minhash_star_links",       # Σ (occ-1) hub links
     "dedup_fuzzy_star_rescore",       # Σ (occ-1) hub rescores
     "dedup_fuzzy_star_components",    # star edges + O(log) components
@@ -117,10 +128,36 @@ def measure(spark, sf_dir: str) -> dict:
     out["star_mass"] = int(masses.star_mass)
     out["max_bucket_occ"] = int(masses.max_occ)
     out["n_buckets"] = int(masses.n_buckets)
+    from apache_spark_irs_form_990_spark.operators.dedup import _BAND_OCC_CAP
+    capped = occ.filter(F.col("occ") <= _BAND_OCC_CAP).agg(
+        F.sum(F.col("occ") * (F.col("occ") - 1) / 2).alias("m")
+    ).collect()[0]
+    out["occ_cap"] = _BAND_OCC_CAP
+    out["kept_pair_mass"] = int(capped.m or 0)
     for name in SWEEP_QUERIES:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[f"{name}_s"] = round(time.perf_counter() - t0, 3)
+    # recall price + mitigation, measured (r9): candidate edges that
+    # TOUCH the planted cluster (ids >= 50M), from the capped pairwise
+    # form (expected 0 — every band bucket of an identical cluster is
+    # hot) vs the star form (expected ~N_PLANT hub edges)
+    planted_pred = (F.col("id_a") >= 50_000_000) | (
+        F.col("id_b") >= 50_000_000
+    )
+    out["pairwise_planted_edges"] = (
+        qs["dedup_minhash_banding_md5"](spark, sf_dir)
+        .filter(planted_pred)
+        .count()
+    )
+    out["star_planted_edges"] = (
+        qs["dedup_minhash_star_links"](spark, sf_dir)
+        .filter(
+            (F.col("hub_id") >= 50_000_000)
+            | (F.col("doc_id") >= 50_000_000)
+        )
+        .count()
+    )
     return out
 
 
@@ -131,7 +168,7 @@ def main() -> None:
     planted = synthesize_planted(spark)
     rows = [measure(spark, BASE), measure(spark, planted)]
     result = {"n_planted": N_PLANT, "queries": SWEEP_QUERIES, "steps": rows}
-    path = os.path.join(REPO_ROOT, "HOTBAND_r08.json")
+    path = os.path.join(REPO_ROOT, "HOTBAND_r09.json")
     with open(path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1))

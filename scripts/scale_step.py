@@ -67,7 +67,18 @@ sf10 = 500k docs / 200k vecs, 10 second-level mutated copies of sf1 —
 to confirm the sf0.01→sf1 linearity claims for another 10x and to
 surface CC round growth (`measure_at_scale`, single-run protocol).
 
-Usage: python scripts/scale_step.py   (writes SCALE_STEP_r08.json)
+r9 additions (VERDICT r8 tasks 1+3+4): the sf10 at-scale step now
+uses the SAME warm best-of-2 protocol as the three lower decades
+(task 4 — r8's single-run/cold-cache step made the fourth decade's
+ratios not like-for-like; SCALE.md §15.2 documented a 3.4x cold/warm
+gap for dedup_substring_coverage); `dedup_incremental_persisted`
+joins the at-scale subset with its NIGHTLY WRITE and DAILY MERGE
+timed separately (the persisted split exists precisely so the daily
+job stops replaying phase 1 — the split timing is the evidence); and
+`dedup_banding_occupancy_audit` (the hot-bucket cap pricing row)
+joins both subsets.
+
+Usage: python scripts/scale_step.py   (writes SCALE_STEP_r09.json)
 """
 
 from __future__ import annotations
@@ -121,6 +132,9 @@ QUERIES = [
     "sim_pq_recall_at_k",
     "sim_pq_reranked_recall_audit",
     "dedup_cluster_components_incremental",
+    # r9: the hot-bucket cap pricing audit — linear by construction,
+    # measured to prove it
+    "dedup_banding_occupancy_audit",
 ]
 
 # r8 (VERDICT r7 task 3): the queries whose docstrings claim an
@@ -140,6 +154,10 @@ AT_SCALE_QUERIES = [
     "dedup_cluster_components_star",
     "dedup_cluster_components_incremental",
     "sim_ann_batch_query",
+    # r9: persisted-state split (timed as write vs merge below) and
+    # the occupancy-cap pricing audit
+    "dedup_incremental_persisted",
+    "dedup_banding_occupancy_audit",
 ]
 
 
@@ -289,18 +307,20 @@ def synthesize_sf10(spark, copies: int = 10) -> str:
 
 
 def measure_at_scale(spark, sf_dir: str) -> dict:
-    """The sf10 step: ONE timed run per at-scale query (cold-ish; the
-    JVM is warm from the earlier steps and a warm+best-of-2 protocol
-    would double a multi-minute sweep for noise that matters at the
-    0.1 s scale, not here), plus the banding occupancy masses and both
-    CC kernels' round counts — the growth axes the linearity claims
-    ride on."""
+    """The sf10 step, on the SAME warm best-of-2 protocol as the three
+    lower decades (r9, VERDICT r8 task 4 — r8 ran this single-run and
+    had to document a 24.2 s-cold vs 7.1 s-warm gap for
+    dedup_substring_coverage; uniform protocol makes the fourth
+    decade's ratios like-for-like), plus the banding occupancy masses
+    and both CC kernels' round counts — the growth axes the linearity
+    claims ride on — and the persisted-incremental nightly-write /
+    daily-merge split timing."""
     from apache_spark_irs_form_990_spark import registry
     from apache_spark_irs_form_990_spark.operators.dedup import band_signatures
     from apache_spark_irs_form_990_spark.tables import load
 
     qs = registry.queries()
-    out: dict = {"sf_dir": sf_dir, "protocol": "single_run"}
+    out: dict = {"sf_dir": sf_dir, "protocol": "warm_best_of_2"}
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     out["n_docs"] = docs.count()
     out["n_vecs"] = load(spark, sf_dir, "embeddings").count()
@@ -318,11 +338,17 @@ def measure_at_scale(spark, sf_dir: str) -> dict:
     out["minhash_max_bucket_occ"] = int(masses.max_occ)
     out.update(clustering_profile(spark, sf_dir, semantic=False))
     for name in AT_SCALE_QUERIES:
-        t0 = time.perf_counter()
         try:
             qs[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
-            ).save()
+            ).save()  # warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
         except RuntimeError as exc:
             # a min-label budget refusal is a DATA POINT at this scale
             # (clustering_profile records it as rounds=-1); don't let
@@ -330,7 +356,29 @@ def measure_at_scale(spark, sf_dir: str) -> dict:
             out[f"{name}_s"] = None
             out[f"{name}_note"] = f"refused: {exc}"[:200]
             continue
-        out[f"{name}_s"] = round(time.perf_counter() - t0, 3)
+        out[f"{name}_s"] = round(best, 3)
+    # r9: the persisted-incremental split — the whole point of the
+    # persisted form is that the DAILY job stops replaying phase 1,
+    # so time the nightly write and the daily merge separately
+    # (single-run: each phase mutates/creates its own state dir, so
+    # best-of-2 would re-measure a re-write, not the same work)
+    from apache_spark_irs_form_990_spark.operators.incremental import (
+        apply_batch,
+        fixture_base_batch,
+        scratch_state_dir,
+        write_standing_state,
+    )
+
+    base, batch = fixture_base_batch(spark, sf_dir)
+    sdir = scratch_state_dir("scale10")
+    t0 = time.perf_counter()
+    write_standing_state(spark, base, sdir)
+    out["incremental_nightly_write_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    apply_batch(spark, sdir, batch).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["incremental_daily_merge_s"] = round(time.perf_counter() - t0, 3)
     return out
 
 
@@ -553,7 +601,7 @@ def main() -> None:
         "steps": rows,
         "at_scale_step": at_scale,
     }
-    path = os.path.join(REPO_ROOT, "SCALE_STEP_r08.json")
+    path = os.path.join(REPO_ROOT, "SCALE_STEP_r09.json")
     with open(path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1))

@@ -41,7 +41,9 @@ WHITELIST = {
     # occupancy == true near-dup cluster size; pairwise output is the
     # declared result (SCALE.md §11 finding 2); megacluster path is
     # dedup_minhash_star_links ---
-    "dedup_minhash_banding_md5": "value-keyed (band, band_min), 16^8 keyspace",
+    # (dedup_minhash_banding_md5 left the whitelist in r9: its
+    # pairwise join now carries the _occ occupancy guard directly —
+    # VERDICT r8 task 3 — and the lint detects it)
     "dedup_fuzzy_cascade": "value-keyed (band, band_min); banded-DP rescore",
     "dedup_star_vs_pairwise_audit": "audit: value-keyed (band, band_min); sample at scale",
     "dedup_lsh_recall_audit": "value-keyed (band, band_min) on bounded slice",

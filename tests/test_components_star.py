@@ -81,9 +81,13 @@ def test_star_agrees_with_min_label_on_random_graphs(spark):
     for trial in range(20):
         n = rng.randint(2, 40)
         m = rng.randint(0, 2 * n)
+        # endpoints range over [0, n + 4): some ids fall OUTSIDE
+        # `nodes`, so edge-only endpoints (including self-loop-only
+        # ones) are exercised on every trial — includes self-loops
+        # and dup/reversed edges by construction
         edge_list = [
-            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
-        ]  # includes self-loops and dup/reversed edges by construction
+            (rng.randrange(n + 4), rng.randrange(n + 4)) for _ in range(m)
+        ]
         nodes = spark.range(n).select(F.col("id"))
         if edge_list:
             edges = spark.createDataFrame(edge_list, "src long, dst long")
@@ -159,3 +163,14 @@ def test_edge_only_endpoints_are_labeled_by_both_kernels(spark):
     expected = {1: 1, 2: 1, 5: 5, 6: 5}
     assert _labels(connected_components(nodes, edges)) == expected
     assert _labels(connected_components_star(nodes, edges)) == expected
+
+    # r9 advisor find: an endpoint that appears ONLY in self-loop
+    # edges must still get a (self-labeled) row — _canon_edges drops
+    # self-loops, so the star kernel's id set has to union endpoints
+    # from the RAW edge frame, not the canonicalized one.
+    loop_edges = spark.createDataFrame(
+        [(1, 2), (7, 7)], "src long, dst long"
+    )
+    expected_loop = {1: 1, 2: 1, 7: 7}
+    assert _labels(connected_components(nodes, loop_edges)) == expected_loop
+    assert _labels(connected_components_star(nodes, loop_edges)) == expected_loop

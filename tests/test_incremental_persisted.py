@@ -1,0 +1,153 @@
+"""Nightly-replay contract for the PERSISTED incremental dedup state
+(VERDICT r8 task 1, operators/incremental.py): the daily merge must
+read ONLY the state the previous pass wrote, and a second batch must
+merge against the state written by the first — with every pass
+hash-identical to the inline two-phase dataflow it replaces
+(`_incident_jaccard_edges` + star merge under the per-pass df-cap
+contract)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_spark_irs_form_990_spark.operators.components import (
+    _doc_jaccard_edges,
+    _incident_jaccard_edges,
+    connected_components,
+    connected_components_star,
+)
+from apache_spark_irs_form_990_spark.operators.incremental import (
+    _postings,
+    apply_batch,
+    scratch_state_dir,
+    write_standing_state,
+)
+from apache_spark_irs_form_990_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _corpus(spark):
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+
+    def gen(offset, drop):
+        return docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + offset).alias("doc_id"),
+            F.concat_ws(
+                " ", F.slice(toks, 1, F.greatest(F.size(toks) - drop, F.lit(0)))
+            ).alias("text"),
+        )
+
+    base = docs.unionByName(gen(2000000, 4)).localCheckpoint()
+    batch1 = gen(1000000, 2).localCheckpoint()
+    batch2 = gen(3000000, 6).localCheckpoint()
+    return base, batch1, batch2
+
+
+def _inline_merge(standing_labels, standing_corpus, batch):
+    """The inline twin of one daily pass: incident edges over the
+    union corpus (batch-ness structural), star merge over contracted
+    standing labels ∪ incident edges."""
+    all_docs = (
+        standing_corpus.withColumn("is_batch", F.lit(False))
+        .unionByName(batch.withColumn("is_batch", F.lit(True)))
+        .localCheckpoint()
+    )
+    star = standing_labels.filter(F.col("id") != F.col("component")).select(
+        F.col("component").alias("src"), F.col("id").alias("dst")
+    )
+    e = _incident_jaccard_edges(all_docs)
+    return connected_components_star(
+        all_docs.select(F.col("doc_id").alias("id")), star.unionByName(e)
+    )
+
+
+def _d(df):
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def test_two_batch_nightly_replay(spark, tmp_path):
+    """Pass 1 merges batch1 against the state the nightly job wrote;
+    pass 2 merges batch2 against the state PASS 1 wrote. Both passes
+    must equal the inline dataflow run under the same per-pass
+    contract — the second equality is the actual replay proof (no
+    inline phase-1 anywhere near it)."""
+    base, batch1, batch2 = _corpus(spark)
+
+    # inline twin, two passes
+    labels1 = connected_components(
+        base.select(F.col("doc_id").alias("id")), _doc_jaccard_edges(base)
+    ).localCheckpoint()
+    inline2 = _d(_inline_merge(labels1, base, batch1))
+    standing2 = base.unionByName(batch1).localCheckpoint()
+    labels2 = spark.createDataFrame(
+        list(inline2.items()), "id long, component long"
+    )
+    inline3 = _d(_inline_merge(labels2, standing2, batch2))
+
+    # persisted path: state0 --batch1--> state1 --batch2--> labels
+    s0, s1 = str(tmp_path / "state0"), str(tmp_path / "state1")
+    write_standing_state(spark, base, s0)
+    m1 = apply_batch(spark, s0, batch1, out_state_dir=s1)
+    assert _d(m1) == inline2
+    m2 = apply_batch(spark, s1, batch2)
+    assert _d(m2) == inline3
+
+
+def test_rolled_forward_state_matches_recount(spark, tmp_path):
+    """The state update is emitted from merge-held quantities (no
+    recount); this pins the roll-forward identities directly: the
+    written shingle_df equals a from-scratch recount over the new
+    standing corpus, and the written sizes equal a from-scratch
+    df<=100-capped recount."""
+    base, batch1, _ = _corpus(spark)
+    s0, s1 = str(tmp_path / "state0"), str(tmp_path / "state1")
+    write_standing_state(spark, base, s0)
+    apply_batch(spark, s0, batch1, out_state_dir=s1).collect()
+
+    union = base.unionByName(batch1)
+    post = _postings(union)
+    truth_df = {
+        r["shingle"]: r["df"]
+        for r in post.groupBy("shingle").agg(F.count("*").alias("df")).collect()
+    }
+    got_df = {
+        r["shingle"]: r["df"]
+        for r in spark.read.parquet(f"{s1}/shingle_df").collect()
+    }
+    assert got_df == truth_df
+
+    df_tbl = post.groupBy("shingle").agg(F.count("*").alias("df"))
+    truth_sizes = {
+        r["doc_id"]: r["n"]
+        for r in post.join(df_tbl, "shingle")
+        .filter(F.col("df") <= 100)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got_sizes = {
+        r["doc_id"]: r["n"]
+        for r in spark.read.parquet(f"{s1}/sizes").collect()
+    }
+    assert got_sizes == truth_sizes
+
+    labels_rows = spark.read.parquet(f"{s1}/labels").count()
+    assert labels_rows == union.count()
+
+
+def test_scratch_state_dir_sweeps_dead_pids(tmp_path):
+    """Dead-pid dirs are reclaimed across ALL tags (the r9 advisor
+    refinement to the ANN-index sweep, applied here from the start);
+    the caller's own fresh dir is registered for atexit cleanup."""
+    import os
+    import tempfile
+
+    dead = os.path.join(
+        tempfile.gettempdir(), "spark990_cc_state_othertag_999999_0"
+    )
+    os.makedirs(dead, exist_ok=True)
+    mine = scratch_state_dir("sometag")
+    assert not os.path.exists(dead)
+    assert "spark990_cc_state_sometag_" in mine

@@ -566,3 +566,66 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_star_contraction_hub_round(spark):
+    """The r8 skew assertion wired onto the REAL CC kernel (r9,
+    VERDICT r8 task 7): one `_large_star` alternation over a
+    megacluster star graph — the shape the planted hot-band cluster
+    contracts to (one hub, every member pointing at it), with
+    realistic id entropy (xxhash64 member ids; constant-padded ids
+    compress below the skew threshold and the split never fires, the
+    r8 lesson) — must show `skew=true` on the SortMergeJoin in the
+    final adaptive plan, machine-checking SCALE.md's "AQE splits
+    contraction hubs" design note on the kernel itself.
+
+    Wiring this up found a real kernel bug (r9): with the groupBy-min
+    aggregate INLINE, the mins side of the join is
+    Sort(HashAggregate(ShuffleStage)) and OptimizeSkewedJoin's
+    pattern — both children a bare Sort over a shuffle stage — never
+    matches, silently disabling skew handling on exactly the
+    mega-hub rounds the kernel was designed around. The kernel's
+    skew_safe form (lazily checkpointed mins, enabled by the CC loop
+    above _SKEW_SAFE_EDGES current edges) restores the two bare
+    shuffle stages; this test keeps that property stuck."""
+    from apache_spark_irs_form_990_spark.operators.components import (
+        _large_star,
+    )
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16k",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        n = 200_000
+        members = F.abs(F.xxhash64(F.col("id"))) + 1  # > 0 = the hub id
+        e = spark.range(1, n + 1).select(
+            members.alias("u"), F.lit(0).alias("v")
+        )
+        out = _large_star(e, skew_safe=True)
+        rows = out.collect()
+        # correctness of the round: a star is already a fixpoint of
+        # large-star — every member re-links to the hub (modulo the
+        # rare xxhash64 collision collapsing two members)
+        assert len(rows) >= n - 2
+        assert all(r["v"] == 0 for r in rows)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, (
+            "OptimizeSkewedJoin did not split the contraction hub "
+            "on the real kernel round:\n" + plan[:2000]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
