@@ -270,9 +270,23 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     Empirical Spark subtlety encoded here: the updated watermark
     becomes effective for *dropping* one batch after the batch whose
     data produced it, so the late data arrives two batches after the
-    on-time maximum — as it would in any real stream."""
+    on-time maximum — as it would in any real stream.
+
+    The replay shift is DATA-DEPENDENT (full ts span + 30 days, from
+    one bounded 2-value agg collect), not a fixed 30 days: a fixed
+    shift only lands below the watermark when the data spans less
+    than the shift, and the calendar edge axis
+    (tests/test_edge_calendar.py) planted a 2024-12-30 event whose
+    30-day replay landed ABOVE the watermark of a mid-January corpus
+    — accepted as on-time, two phantom windows emitted. Shifting by
+    span+30d puts every replayed row before min(ts) - 30d, which is
+    below any watermark max(ts) - 10min can take."""
     ev = load(spark, sf_dir, "events")
     root = os.path.join(tempfile.gettempdir(), f"spark990_wm_{next(_COUNTER)}")
+    span = ev.agg(
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("us")
+    ).collect()[0]["us"]
+    late_shift_us = int(span) + 30 * 24 * 3600 * 1_000_000
     in_dir = _write_batches(
         spark,
         root,
@@ -280,7 +294,10 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.filter((F.col("event_id") % 10).isin(1, 2, 3, 4, 6, 7, 8, 9)),
             ev.filter(F.col("event_id") % 10 == 5),
             ev.filter(F.col("event_id") % 10 == 0).withColumn(
-                "ts", F.col("ts") - F.expr("INTERVAL 30 DAYS")
+                "ts",
+                F.timestamp_micros(
+                    F.unix_micros("ts") - F.lit(late_shift_us)
+                ),
             ),
         ],
     )

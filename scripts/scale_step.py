@@ -382,6 +382,95 @@ def measure_at_scale(spark, sf_dir: str) -> dict:
     return out
 
 
+def measure_pq_budget(spark, sf1_dir: str) -> dict:
+    """PQ code budget AT SF1 (r9, the sf1 half of VERDICT r8 task 2):
+    the registered [[sim_pq_code_budget_audit]] commits K=64 on a
+    1000-vector slice — but sf0.1 only HAS 2000 vectors, so the
+    'production budget on a production corpus' claim needs the
+    synthetic-sf1 decade (20k vectors). This runs the identical
+    train -> encode -> ADC -> re-rank chain (same helpers, same
+    integer metric) the PRODUCTION way: codebooks trained on an
+    md5-sampled 2000-vector slice, the FULL 20k-vector corpus
+    encoded and served, 1000 md5-sampled queries, at K=64 AND K=256
+    (8-bit codes — the Jégou et al. standard setting the committed
+    ceiling note could previously only cite). Exact truth = one
+    brute-force pass shared by both budgets. Single-run timing (the
+    recall numbers, not the wall clock, are the deliverable)."""
+    from apache_spark_irs_form_990_spark.functions.vectors import (
+        milli_vec,
+        nonzero_milli,
+    )
+    from apache_spark_irs_form_990_spark.operators.similarity import (
+        _PQ_RECALL_K,
+        _PQ_RERANK_CAND,
+        _PQ_ROUNDS,
+        _cosine_topk_pairs,
+        _pq_recon_vectors,
+        _pq_train,
+        _recall_vs_exact_table,
+    )
+    from apache_spark_irs_form_990_spark.tables import load
+
+    N_TRAIN, N_Q = 2000, 1000
+    mm = (
+        load(spark, sf1_dir, "embeddings")
+        .select("vec_id", milli_vec(F.col("embedding")).alias("v"))
+        .transform(nonzero_milli)
+        .localCheckpoint()
+    )
+    md5 = F.md5(F.col("vec_id").cast("string"))
+    train = mm.orderBy(md5, "vec_id").limit(N_TRAIN).localCheckpoint()
+    queries = (
+        mm.orderBy(F.md5(F.concat(F.lit("q|"), F.col("vec_id").cast("string"))), "vec_id")
+        .limit(N_Q)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("vq"))
+        .localCheckpoint()
+    )
+    stored = mm.select(F.col("vec_id").alias("nid"), F.col("v").alias("vr"))
+    out: dict = {
+        "sf_dir": sf1_dir,
+        "n_corpus": mm.count(),
+        "n_train": N_TRAIN,
+        "n_q": N_Q,
+        "rounds": _PQ_ROUNDS,
+        "rerank_cand": _PQ_RERANK_CAND,
+    }
+    t0 = time.perf_counter()
+    exact_top = _cosine_topk_pairs(queries, stored, _PQ_RECALL_K).localCheckpoint()
+    out["exact_truth_s"] = round(time.perf_counter() - t0, 3)
+    for k_budget in (64, 256):
+        t0 = time.perf_counter()
+        cb = _pq_train(spark, train, _PQ_ROUNDS, k=k_budget)
+        out[f"k{k_budget}_train_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        recon = _pq_recon_vectors(mm, cb).select(
+            F.col("vec_id").alias("nid"), F.col("r").alias("vr")
+        )
+        adc_rank = _cosine_topk_pairs(
+            queries, recon, _PQ_RERANK_CAND
+        ).localCheckpoint()
+        out[f"k{k_budget}_encode_serve_s"] = round(time.perf_counter() - t0, 3)
+        raw_top = adc_rank.filter(F.col("rn") <= _PQ_RECALL_K).withColumn(
+            "variant", F.lit("adc")
+        )
+        rr_top = _cosine_topk_pairs(
+            queries, stored, _PQ_RECALL_K, pairs=adc_rank.select("qid", "nid")
+        ).withColumn("variant", F.lit("reranked"))
+        table = _recall_vs_exact_table(
+            spark,
+            exact_top,
+            raw_top.unionByName(rr_top),
+            ks=(1, _PQ_RECALL_K),
+            variant_col="variant",
+            variant_values=("adc", "reranked"),
+        )
+        for row in table.collect():
+            out[f"k{k_budget}_{row['variant']}_recall_at_{row['k']}"] = float(
+                row["recall"]
+            )
+    return out
+
+
 def global_order_task_profile(spark, sf_dir: str) -> dict:
     """Max-task input rows of the distributed rank vs the single-task
     form, on the heaviest rewired input shape (documents ordered by
@@ -595,11 +684,13 @@ def main() -> None:
         measure(spark, sf1),
     ]
     at_scale = measure_at_scale(spark, sf10)
+    pq_budget = measure_pq_budget(spark, sf1)
     result = {
         "queries": QUERIES,
         "at_scale_queries": AT_SCALE_QUERIES,
         "steps": rows,
         "at_scale_step": at_scale,
+        "pq_budget_sf1": pq_budget,
     }
     path = os.path.join(REPO_ROOT, "SCALE_STEP_r09.json")
     with open(path, "w") as f:
