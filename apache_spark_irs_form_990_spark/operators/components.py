@@ -273,7 +273,14 @@ def connected_components_star(
     ``stats``: fills ``rounds`` (alternations run, including the
     confirming one) and ``sym_edges`` (canonical input edge count).
     """
-    e0 = _canon_edges(edges).localCheckpoint()
+    # one materialization of the raw endpoint pairs, shared by the
+    # canonicalized working set AND the final labeled-id union: the
+    # caller's edge derivation (shingle explode + window + self-join
+    # in the jaccard consumers) is expensive and uncheckpointed, and
+    # reading `edges` again at labeling time would replay it twice
+    # (r9 self-review finding)
+    ep = edges.select("src", "dst").localCheckpoint()
+    e0 = _canon_edges(ep).localCheckpoint()
     e = e0
     n_prev = e.count()
     if stats is not None:
@@ -312,14 +319,14 @@ def connected_components_star(
     # the exact contract the min-label twin gets implicitly (its
     # per-round union+groupBy(id) both collapses duplicated node ids
     # and labels endpoints absent from `nodes`; both divergences found
-    # r8). Endpoints come from the RAW `edges` frame, not the
+    # r8). Endpoints come from the RAW endpoint pairs `ep`, not the
     # canonicalized e0: _canon_edges drops self-loops, so a node that
     # appears ONLY in self-loop edges would otherwise vanish here
     # while min-label still labels it (r9 advisor finding).
     ids = (
         nodes.select("id")
-        .unionByName(edges.select(F.col("src").alias("id")))
-        .unionByName(edges.select(F.col("dst").alias("id")))
+        .unionByName(ep.select(F.col("src").alias("id")))
+        .unionByName(ep.select(F.col("dst").alias("id")))
         .distinct()
     )
     roots = e.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("c"))

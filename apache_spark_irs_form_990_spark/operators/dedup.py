@@ -921,7 +921,11 @@ def dedup_paragraph_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_banding_md5",
-    oracle="""
+    # f-string: the occupancy cap must interpolate _BAND_OCC_CAP, the
+    # same single source of truth the Spark-side `_occ` guard reads —
+    # a hardcoded literal here desynchronizes silently when the cap is
+    # tuned (r9 self-review finding)
+    oracle=f"""
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
@@ -960,7 +964,7 @@ def dedup_paragraph_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s.doc_id, s.band, s.band_min
       FROM sig s JOIN occ o
         ON o.band = s.band AND o.band_min = s.band_min
-      WHERE o._occ <= 256
+      WHERE o._occ <= {_BAND_OCC_CAP}
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            count(*) AS n_shared_bands

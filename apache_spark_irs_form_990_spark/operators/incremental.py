@@ -51,17 +51,13 @@ of that contract.
 
 from __future__ import annotations
 
-import atexit
-import glob as _glob
 import hashlib
-import itertools
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from apache_spark_irs_form_990_spark.functions.scratch import ScratchDirs
 from apache_spark_irs_form_990_spark.functions.text import shingles
 from apache_spark_irs_form_990_spark.operators.components import (
     _incremental_cc_oracle,
@@ -75,43 +71,17 @@ from apache_spark_irs_form_990_spark.tables import load
 _DF_CAP = 100  # same posting-frequency cap as _doc_jaccard_edges
 _N_SBUCKETS = 16
 
-_STATE_NONCE = itertools.count()
-_OWN_STATE_DIRS: list[str] = []
-
-
-def _cleanup_own_state_dirs() -> None:
-    for d in _OWN_STATE_DIRS:
-        shutil.rmtree(d, ignore_errors=True)
-
-
-atexit.register(_cleanup_own_state_dirs)
+_STATE_DIRS = ScratchDirs("spark990_cc_state")
 
 
 def scratch_state_dir(tag: str) -> str:
     """Per-invocation scratch directory for a standing-state sink,
     bounded the same two ways as the ANN index dirs (ADVICE r7/r9):
     this process rmtree's its own dirs at exit, and dirs whose
-    embedded creator pid is dead are swept at entry — across ALL
-    tags, so dead processes' dirs for other fixtures are reclaimed
-    too (the r9 advisor refinement applied from the start here)."""
-    for d in _glob.glob(
-        os.path.join(tempfile.gettempdir(), "spark990_cc_state_*")
-    ):
-        try:
-            pid = int(os.path.basename(d).split("_")[-2])
-            os.kill(pid, 0)
-        except (ValueError, IndexError):
-            continue
-        except ProcessLookupError:
-            shutil.rmtree(d, ignore_errors=True)
-        except PermissionError:
-            continue  # pid alive under another user
-    nonce = f"{os.getpid()}_{next(_STATE_NONCE)}"
-    out = os.path.join(
-        tempfile.gettempdir(), f"spark990_cc_state_{tag}_{nonce}"
-    )
-    _OWN_STATE_DIRS.append(out)
-    return out
+    embedded creator pid is dead are swept at entry across ALL tags —
+    the shared functions/scratch.py lifecycle (r9 self-review:
+    previously a near-verbatim copy of similarity.py's)."""
+    return _STATE_DIRS.new_dir(tag)
 
 
 def _sbucket(col):
@@ -179,8 +149,12 @@ def apply_batch(
     bdf = bpost.groupBy("shingle").agg(F.count("*").alias("bdf"))
     # union-time df exists only for batch-present shingles; everything
     # else keeps its standing df and can never form a batch-incident
-    # pair anyway. Broadcast: |batch shingle vocabulary|-sized.
-    hot = F.broadcast(
+    # pair anyway. |batch shingle vocabulary|-sized — broadcast at
+    # every JOIN SITE below, not here: localCheckpoint materializes to
+    # a LogicalRDD and would discard a pre-checkpoint broadcast hint,
+    # silently planning the postings probe as a full shuffle join
+    # (r9 self-review finding).
+    hot = (
         bdf.join(df_tbl, "shingle", "left")
         .select(
             "shingle",
@@ -191,18 +165,29 @@ def apply_batch(
         .withColumn("sbucket", _sbucket(F.col("shingle")))
     ).localCheckpoint()
     # standing postings on batch-present shingles — the ONLY standing
-    # rows the merge reads; the (sbucket, shingle) join key lets DPP
-    # prune whole bucket directories for small batches
-    shit = postings.join(hot, ["sbucket", "shingle"]).select(
-        "doc_id", "shingle", "sdf", "udf"
-    ).localCheckpoint()
+    # rows the merge reads. Bucket-directory pruning is STATIC, not
+    # DPP: `hot` is already materialized, so one bounded collect
+    # (≤ _N_SBUCKETS ints) turns into an isin partition filter the
+    # scan applies at file-listing time — DPP would not fire here
+    # anyway (the build side carries no selective predicate, so the
+    # planner sees no pruning benefit; verified against the physical
+    # plan, r9 self-review)
+    hot_buckets = [
+        r["sbucket"] for r in hot.select("sbucket").distinct().collect()
+    ]
+    shit = (
+        postings.filter(F.col("sbucket").isin(hot_buckets))
+        .join(F.broadcast(hot), ["sbucket", "shingle"])
+        .select("doc_id", "shingle", "sdf", "udf")
+        .localCheckpoint()
+    )
 
     # pair generation under the union cap: batch x standing plus
     # batch x batch, each (pair, shingle) exactly once, exactly the
     # rows _incident_jaccard_edges' batch-incident predicate keeps
     eligible_std = shit.filter(F.col("udf") <= _DF_CAP)
     eligible_b = bpost.join(
-        hot.select("shingle", "udf"), "shingle"
+        F.broadcast(hot.select("shingle", "udf")), "shingle"
     ).filter(F.col("udf") <= _DF_CAP)
     bs = (
         eligible_b.alias("a")
@@ -233,8 +218,18 @@ def apply_batch(
         .groupBy("doc_id")
         .agg(F.count("*").alias("c"))
     )
-    sizes_s = sizes1.join(corr, "doc_id", "left").select(
-        "doc_id", (F.col("n") - F.coalesce(F.col("c"), F.lit(0))).alias("n")
+    # n > 0: a standing doc whose every cap-eligible shingle was pushed
+    # over the cap by the batch corrects to n=0 — a from-scratch
+    # recount emits NO row for it, and the rolled-forward state must
+    # stay byte-equivalent to the nightly writer's format (r9
+    # self-review finding)
+    sizes_s = (
+        sizes1.join(F.broadcast(corr), "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("n") - F.coalesce(F.col("c"), F.lit(0))).alias("n"),
+        )
+        .filter(F.col("n") > 0)
     )
     sizes_u = sizes_s.unionByName(sizes_b)
 
@@ -270,7 +265,7 @@ def apply_batch(
         # rolled-forward df: standing df + batch df on batch-present
         # shingles, standing df unchanged elsewhere — no recount
         df_u = df_tbl.join(
-            hot.select("shingle", "bdf"), "shingle", "left"
+            F.broadcast(hot.select("shingle", "bdf")), "shingle", "left"
         ).select(
             "shingle",
             (F.col("df") + F.coalesce(F.col("bdf"), F.lit(0))).alias("df"),

@@ -18,8 +18,6 @@ float32 sum order differs between engines; integer sums cannot.
 
 from __future__ import annotations
 
-import itertools
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -39,50 +37,12 @@ from apache_spark_irs_form_990_spark.tables import load
 
 _QUERY_VEC_ID = 0  # deterministic fixed query: vec_id 0's embedding
 
-_INDEX_NONCE = itertools.count()  # per-invocation persisted-index paths
-_OWN_INDEX_DIRS: list[str] = []  # this process's index dirs, rmtree'd at exit
+# per-invocation persisted-index dirs — shared pid-liveness lifecycle
+# (tag-agnostic dead-dir sweep at entry + own-dir rmtree at exit),
+# factored into functions/scratch.py (r9 self-review finding)
+from apache_spark_irs_form_990_spark.functions.scratch import ScratchDirs
 
-
-def _cleanup_own_index_dirs() -> None:
-    import shutil
-
-    for d in _OWN_INDEX_DIRS:
-        shutil.rmtree(d, ignore_errors=True)
-
-
-def _sweep_dead_index_dirs(tag: str) -> None:
-    """Remove persisted-index dirs whose creator process no longer
-    exists (path format ``spark990_ann_index_{tag}_{pid}_{k}``). Globs
-    ALL tags, not just the caller's: dirs left by dead processes for
-    OTHER fixtures would otherwise accumulate unboundedly until some
-    later process happened to reuse their tag (r9 advisor finding).
-    The pid-liveness check protects live processes regardless of tag;
-    a live pid's dirs are never touched — its lazy results may still
-    read them; its own atexit hook cleans them. ``tag`` is kept in the
-    signature for call-site readability only."""
-    import glob
-    import os
-    import shutil
-    import tempfile
-
-    del tag  # sweep is tag-agnostic by design (see docstring)
-    for d in glob.glob(
-        os.path.join(tempfile.gettempdir(), "spark990_ann_index_*")
-    ):
-        try:
-            pid = int(os.path.basename(d).split("_")[-2])
-            os.kill(pid, 0)
-        except (ValueError, IndexError):
-            continue
-        except ProcessLookupError:
-            shutil.rmtree(d, ignore_errors=True)
-        except PermissionError:
-            continue  # pid alive under another user
-
-
-import atexit as _atexit
-
-_atexit.register(_cleanup_own_index_dirs)
+_INDEX_DIRS = ScratchDirs("spark990_ann_index")
 
 
 @register(
@@ -1834,8 +1794,6 @@ def sim_ann_index_persist_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is |batch| * 9 * C, independent of corpus size on the probe
     axis, linear on the index axis."""
     import hashlib
-    import os
-    import tempfile
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", milli_vec(F.col("embedding")).alias("v")
@@ -1852,12 +1810,7 @@ def sim_ann_index_persist_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # creator pid is dead are swept at entry (never touches a LIVE
     # concurrent process's dirs).
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    _sweep_dead_index_dirs(tag)
-    nonce = f"{os.getpid()}_{next(_INDEX_NONCE)}"
-    index_dir = os.path.join(
-        tempfile.gettempdir(), f"spark990_ann_index_{tag}_{nonce}"
-    )
-    _OWN_INDEX_DIRS.append(index_dir)
+    index_dir = _INDEX_DIRS.new_dir(tag)
     # build phase: the nightly index job
     _flat_index(bucketed).write.mode("overwrite").partitionBy(
         "bucket"

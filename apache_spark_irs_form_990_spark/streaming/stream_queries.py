@@ -286,7 +286,9 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     span = ev.agg(
         (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("us")
     ).collect()[0]["us"]
-    late_shift_us = int(span) + 30 * 24 * 3600 * 1_000_000
+    # span is NULL on an empty / all-NULL-ts table — nothing to shift
+    # then, but the plan must still build
+    late_shift_us = int(span or 0) + 30 * 24 * 3600 * 1_000_000
     in_dir = _write_batches(
         spark,
         root,

@@ -116,7 +116,21 @@ def measure(spark, sf_dir: str) -> dict:
     out: dict = {"sf_dir": sf_dir}
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     out["n_docs"] = docs.count()
-    sig = band_signatures(docs).localCheckpoint()
+    # occupancy over the SAME corpus the banding query buckets —
+    # documents ∪ the %5 near-dup injection — not docs alone: the
+    # injected twins of planted docs raise real bucket occupancies,
+    # and a docs-only occupancy would report a kept_pair_mass the
+    # capped query does not actually enumerate (r9 self-review
+    # finding)
+    toks = F.split(F.col("text"), " ")
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+        ).alias("text"),
+    )
+    sig = band_signatures(docs.unionByName(near)).localCheckpoint()
     occ = sig.groupBy("band", "band_min").agg(F.count(F.lit(1)).alias("occ"))
     masses = occ.agg(
         F.sum(F.col("occ") * (F.col("occ") - 1) / 2).alias("pair_mass"),

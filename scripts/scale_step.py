@@ -154,9 +154,12 @@ AT_SCALE_QUERIES = [
     "dedup_cluster_components_star",
     "dedup_cluster_components_incremental",
     "sim_ann_batch_query",
-    # r9: persisted-state split (timed as write vs merge below) and
-    # the occupancy-cap pricing audit
-    "dedup_incremental_persisted",
+    # r9: the occupancy-cap pricing audit. dedup_incremental_persisted
+    # is deliberately NOT here: each registered-query call writes a
+    # fresh sf10-sized standing state, so warm best-of-2 would time a
+    # repeated state RE-WRITE (and stack ~3 posting-index copies in
+    # /tmp) — the nightly-write / daily-merge split below is its
+    # correct at-scale measurement (r9 self-review finding)
     "dedup_banding_occupancy_audit",
 ]
 
@@ -325,8 +328,19 @@ def measure_at_scale(spark, sf_dir: str) -> dict:
     out["n_docs"] = docs.count()
     out["n_vecs"] = load(spark, sf_dir, "embeddings").count()
     # candidate/star masses analytically from bucket occupancy — the
-    # pairwise join's Σ occ·(occ-1)/2 without materializing it
-    sig = band_signatures(docs).localCheckpoint()
+    # pairwise join's Σ occ·(occ-1)/2 without materializing it.
+    # Occupancy is taken over the same corpus the banding query
+    # buckets (documents ∪ the %5 near-dup injection), not docs alone
+    # (r9 self-review finding, same fix as scripts/hot_band_sweep.py)
+    toks = F.split(F.col("text"), " ")
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+        ).alias("text"),
+    )
+    sig = band_signatures(docs.unionByName(near)).localCheckpoint()
     occ = sig.groupBy("band", "band_min").agg(F.count(F.lit(1)).alias("occ"))
     masses = occ.agg(
         F.sum(F.col("occ") * (F.col("occ") - 1) / 2).alias("pair_mass"),

@@ -142,10 +142,18 @@ def test_scratch_state_dir_sweeps_dead_pids(tmp_path):
     refinement to the ANN-index sweep, applied here from the start);
     the caller's own fresh dir is registered for atexit cleanup."""
     import os
+    import subprocess
+    import sys
     import tempfile
 
+    # a GUARANTEED-dead pid: spawn-and-wait a child, then use its pid
+    # (a fixed large literal like 999999 is live-able on hosts with
+    # kernel.pid_max raised — r9 self-review finding)
+    child = subprocess.Popen([sys.executable, "-c", "pass"])
+    child.wait()
     dead = os.path.join(
-        tempfile.gettempdir(), "spark990_cc_state_othertag_999999_0"
+        tempfile.gettempdir(),
+        f"spark990_cc_state_othertag_{child.pid}_0",
     )
     os.makedirs(dead, exist_ok=True)
     mine = scratch_state_dir("sometag")
