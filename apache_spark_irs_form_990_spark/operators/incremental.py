@@ -165,19 +165,30 @@ def apply_batch(
         .withColumn("sbucket", _sbucket(F.col("shingle")))
     ).localCheckpoint()
     # standing postings on batch-present shingles — the ONLY standing
-    # rows the merge reads. Bucket-directory pruning is STATIC, not
-    # DPP: `hot` is already materialized, so one bounded collect
-    # (≤ _N_SBUCKETS ints) turns into an isin partition filter the
-    # scan applies at file-listing time — DPP would not fire here
-    # anyway (the build side carries no selective predicate, so the
-    # planner sees no pruning benefit; verified against the physical
-    # plan, r9 self-review)
+    # rows the merge reads. Two bounds applied BEFORE the probe:
+    # (1) sdf <= _DF_CAP: a shingle whose standing df already exceeds
+    #     the cap can contribute to neither eligible pairs (udf >=
+    #     sdf > cap) nor the size correction (needs sdf <= cap), so
+    #     its postings rows are dead weight — without this filter a
+    #     batch containing a 1M-doc boilerplate cluster's shingle
+    #     would drag 1M postings rows per hot shingle into the probe;
+    #     with it the probe is O(Σ min(df, cap)) per batch shingle,
+    #     bounded regardless of megacluster size (r9, the incremental
+    #     analogue of the banding occupancy cap).
+    # (2) bucket-directory pruning is STATIC, not DPP: `hot` is
+    #     already materialized, so one bounded collect (≤ _N_SBUCKETS
+    #     ints) becomes an isin partition filter applied at
+    #     file-listing time — DPP would not fire here anyway (the
+    #     build side carries no selective predicate, so the planner
+    #     sees no pruning benefit; verified against the physical
+    #     plan, r9 self-review).
+    hot_cold = hot.filter(F.col("sdf") <= _DF_CAP)
     hot_buckets = [
-        r["sbucket"] for r in hot.select("sbucket").distinct().collect()
+        r["sbucket"] for r in hot_cold.select("sbucket").distinct().collect()
     ]
     shit = (
         postings.filter(F.col("sbucket").isin(hot_buckets))
-        .join(F.broadcast(hot), ["sbucket", "shingle"])
+        .join(F.broadcast(hot_cold), ["sbucket", "shingle"])
         .select("doc_id", "shingle", "sdf", "udf")
         .localCheckpoint()
     )

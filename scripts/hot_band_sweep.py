@@ -175,6 +175,64 @@ def measure(spark, sf_dir: str) -> dict:
     return out
 
 
+def measure_incremental_hot_batch(spark, planted_dir: str) -> dict:
+    """The incremental daily merge under a HOT BATCH (r9): standing
+    state = the planted corpus (sf0.1 + the 5,000-doc identical
+    cluster), batch = 200 MORE byte-identical copies of the planted
+    text — the nightly/daily analogue of the banding megacluster.
+    apply_batch's probe filters batch-present shingles to standing
+    df <= cap BEFORE touching the posting index, so the cluster's
+    shingles (df ~5k) pull ZERO postings rows instead of 5k rows
+    EACH; this reports the kept vs counterfactual probe mass from the
+    persisted df table, the merge wall time, and the recall price
+    (batch copies of the megacluster text attach to no component —
+    they exceed the cap, the same contract as the banding form)."""
+    from apache_spark_irs_form_990_spark.operators.incremental import (
+        _DF_CAP,
+        _postings,
+        apply_batch,
+        scratch_state_dir,
+        write_standing_state,
+    )
+    from apache_spark_irs_form_990_spark.tables import load
+
+    out: dict = {}
+    standing = load(spark, planted_dir, "documents").select("doc_id", "text")
+    seed = standing.filter(F.col("doc_id") == 50_000_000).limit(1)
+    batch = (
+        seed.crossJoin(spark.range(200).select(F.col("id").alias("_k")))
+        .select((F.col("_k") + 60_000_000).alias("doc_id"), "text")
+        .localCheckpoint()
+    )
+    sdir = scratch_state_dir("hotbatch")
+    t0 = time.perf_counter()
+    write_standing_state(spark, standing, sdir)
+    out["nightly_write_s"] = round(time.perf_counter() - t0, 3)
+    # probe mass, kept vs counterfactual, from the persisted df table
+    df_tbl = spark.read.parquet(os.path.join(sdir, "shingle_df"))
+    bvocab = _postings(batch).select("shingle").distinct()
+    mass = (
+        df_tbl.join(bvocab, "shingle")
+        .agg(
+            F.sum("df").alias("uncapped"),
+            F.sum(F.when(F.col("df") <= _DF_CAP, F.col("df"))).alias("kept"),
+        )
+        .collect()[0]
+    )
+    out["probe_rows_uncapped"] = int(mass.uncapped or 0)
+    out["probe_rows_kept"] = int(mass.kept or 0)
+    t0 = time.perf_counter()
+    merged = apply_batch(spark, sdir, batch).localCheckpoint()
+    out["daily_merge_s"] = round(time.perf_counter() - t0, 3)
+    attached = (
+        merged.filter(
+            (F.col("id") >= 60_000_000) & (F.col("component") < 60_000_000)
+        ).count()
+    )
+    out["batch_planted_attached"] = attached
+    return out
+
+
 def main() -> None:
     from apache_spark_irs_form_990_spark.session import get_session
 
@@ -182,6 +240,9 @@ def main() -> None:
     planted = synthesize_planted(spark)
     rows = [measure(spark, BASE), measure(spark, planted)]
     result = {"n_planted": N_PLANT, "queries": SWEEP_QUERIES, "steps": rows}
+    result["incremental_hot_batch"] = measure_incremental_hot_batch(
+        spark, planted
+    )
     path = os.path.join(REPO_ROOT, "HOTBAND_r09.json")
     with open(path, "w") as f:
         json.dump(result, f, indent=1)
