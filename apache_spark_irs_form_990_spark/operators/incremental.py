@@ -347,3 +347,103 @@ def fixture_base_batch(
         )
 
     return docs.unionByName(gen(2000000, 4)), gen(1000000, 2)
+
+
+def _incremental_probe_oracle() -> str:
+    """DuckDB replay of the daily-merge probe-mass accounting: the
+    standing per-shingle df over the base corpus, probed by the batch
+    vocabulary, split at the df cap — the same base/batch fixture
+    derivation as `_incremental_cc_oracle`."""
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
+                             greatest(len(string_split(text, ' ')) - 4, 0)), ' '), '') AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    batch AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
+                             greatest(len(string_split(text, ' ')) - 2, 0)), ' '), '') AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    bpost AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_distinct([
+                 array_to_string(list_slice(t, i, i + 2), ' ')
+                 FOR i IN generate_series(1, len(t) - 2)
+               ])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM base)
+      )
+    ),
+    sdf AS (SELECT shingle, count(*) AS df FROM bpost GROUP BY shingle),
+    qvocab AS (
+      SELECT DISTINCT shingle FROM (
+        SELECT unnest(list_distinct([
+                 array_to_string(list_slice(t, i, i + 2), ' ')
+                 FOR i IN generate_series(1, len(t) - 2)
+               ])) AS shingle
+        FROM (SELECT string_split(text, ' ') AS t FROM batch)
+      )
+    ),
+    probed AS (
+      SELECT coalesce(df, 0) AS sdf
+      FROM qvocab LEFT JOIN sdf USING (shingle)
+    )
+    SELECT CAST({_DF_CAP} AS INT) AS df_cap,
+           count(*) AS n_batch_shingles,
+           CAST(sum(CASE WHEN sdf > {_DF_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hot_shingles,
+           CAST(sum(sdf) AS BIGINT) AS probe_rows_uncapped,
+           CAST(sum(CASE WHEN sdf <= {_DF_CAP} THEN sdf ELSE 0 END)
+                AS BIGINT) AS probe_rows_kept
+    FROM probed
+    """
+
+
+@register("dedup_incremental_probe_audit", oracle=_incremental_probe_oracle())
+def dedup_incremental_probe_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE PRICE AND BOUND OF THE DAILY-MERGE PROBE, as data (r9 —
+    the [[dedup_banding_occupancy_audit]] pricing pattern applied to
+    the incremental path): one row reporting, for the shared
+    base/batch fixture, the batch vocabulary size, how many batch
+    shingles are HOT (standing df > cap — provably dead weight for
+    the merge: they can feed neither eligible pairs nor the size
+    correction), the counterfactual probe mass an unfiltered probe
+    would pull from the posting index (Σ standing df over batch
+    shingles), and the mass the sdf ≤ cap bound actually reads.
+
+    On well-behaved corpora the row reads n_hot_shingles≈0 and
+    kept≈uncapped — the bound is invisible until an input needs it.
+    Under HOTBAND_r09.json's planted megacluster batch the same
+    accounting reads 260,541 counterfactual rows vs 0 kept. Cost: two
+    linear shingle passes + one vocabulary-sized join — safe on
+    exactly the adversarial inputs the unfiltered probe is not."""
+    base, batch = fixture_base_batch(spark, sf_dir)
+    sdf_tbl = _postings(base).groupBy("shingle").agg(
+        F.count("*").alias("df")
+    )
+    bvocab = _postings(batch).select("shingle").distinct()
+    probed = bvocab.join(sdf_tbl, "shingle", "left").select(
+        F.coalesce(F.col("df"), F.lit(0)).alias("sdf")
+    )
+    hot = F.col("sdf") > _DF_CAP
+    return probed.agg(
+        F.count(F.lit(1)).alias("n_batch_shingles"),
+        F.sum(F.when(hot, 1).otherwise(0)).alias("n_hot_shingles"),
+        F.sum("sdf").alias("probe_rows_uncapped"),
+        F.sum(F.when(~hot, F.col("sdf")).otherwise(0)).alias(
+            "probe_rows_kept"
+        ),
+    ).select(
+        F.lit(_DF_CAP).cast("int").alias("df_cap"),
+        "n_batch_shingles",
+        "n_hot_shingles",
+        "probe_rows_uncapped",
+        "probe_rows_kept",
+    )

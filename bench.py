@@ -110,6 +110,14 @@ EXTENDED = [
     "sim_pq_recall_at_k",
     "sim_pq_reranked_recall_audit",
     "dedup_cluster_components_incremental",
+    # r9: the persisted nightly/daily split, the two cap-pricing
+    # audits (banding occupancy; incremental probe), and the
+    # production-code-budget PQ chain — per-round tracking of the
+    # round's registered additions.
+    "dedup_incremental_persisted",
+    "dedup_banding_occupancy_audit",
+    "dedup_incremental_probe_audit",
+    "sim_pq_code_budget_audit",
 ]
 
 
