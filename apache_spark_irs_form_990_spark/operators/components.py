@@ -371,8 +371,13 @@ _SQL_CORPUS = """
 # The shared shingle/df-cap/Jaccard-pair derivation as parameterized
 # CTE text — ONE copy consumed by the min-label, star, and incremental
 # oracles (r8 review: two inline copies invited silent divergence).
-_SQL_JACCARD_EDGE_BLOCK = """
-    {p}sh0 AS (
+# ONE copy of the (doc_id, shingle) posting derivation — the oracle
+# twin of incremental._postings / the shingle stream inside
+# _doc_jaccard_edges. Callers .replace() the {name} placeholder and
+# leave {corpus} for a later .format (or .replace it too): three
+# hand-copied versions of this subquery invited the silent-divergence
+# failure the r8 review already flagged for the edge block itself.
+_SQL_SHINGLE_POSTINGS = """{name} AS (
       SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id,
                unnest(list_distinct([
@@ -381,7 +386,10 @@ _SQL_JACCARD_EDGE_BLOCK = """
                ])) AS shingle
         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {corpus})
       )
-    ),
+    )"""
+
+_SQL_JACCARD_EDGE_BLOCK = """
+    """ + _SQL_SHINGLE_POSTINGS.replace("{name}", "{p}sh0") + """,
     {p}sh AS (
       SELECT doc_id, shingle FROM (
         SELECT doc_id, shingle,
@@ -775,6 +783,26 @@ def dedup_fuzzy_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# ONE copy of the incremental family's base/batch fixture derivation
+# (documents + drop-4 generation of every 5th doc; batch = the drop-2
+# generation) — the oracle twin of incremental.fixture_base_batch,
+# shared by _incremental_cc_oracle and incremental's probe audit.
+_SQL_INCR_FIXTURE_CTES = """base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
+                             greatest(len(string_split(text, ' ')) - 4, 0)), ' '), '') AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    batch AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
+                             greatest(len(string_split(text, ' ')) - 2, 0)), ' '), '') AS text
+      FROM documents WHERE doc_id % 5 = 0
+    )"""
+
+
 def _incremental_cc_oracle() -> str:
     """Two-phase oracle mirroring the INCREMENTAL dataflow exactly:
     phase 1 computes base edges under the BASE corpus's df cap and
@@ -797,20 +825,7 @@ def _incremental_cc_oracle() -> str:
         "OR b.doc_id IN (SELECT doc_id FROM batch))",
     )
     return f"""
-    WITH RECURSIVE base AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 2000000 AS doc_id,
-             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
-                             greatest(len(string_split(text, ' ')) - 4, 0)), ' '), '') AS text
-      FROM documents WHERE doc_id % 5 = 0
-    ),
-    batch AS (
-      SELECT doc_id + 1000000 AS doc_id,
-             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
-                             greatest(len(string_split(text, ' ')) - 2, 0)), ' '), '') AS text
-      FROM documents WHERE doc_id % 5 = 0
-    ),
+    WITH RECURSIVE {_SQL_INCR_FIXTURE_CTES},
     all_docs AS (SELECT * FROM base UNION ALL SELECT * FROM batch),
     {base_block},
     bedges AS (

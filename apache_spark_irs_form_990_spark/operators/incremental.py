@@ -60,6 +60,8 @@ from pyspark.sql import functions as F
 from apache_spark_irs_form_990_spark.functions.scratch import ScratchDirs
 from apache_spark_irs_form_990_spark.functions.text import shingles
 from apache_spark_irs_form_990_spark.operators.components import (
+    _SQL_INCR_FIXTURE_CTES,
+    _SQL_SHINGLE_POSTINGS,
     _incremental_cc_oracle,
     connected_components,
     connected_components_star,
@@ -224,8 +226,10 @@ def apply_batch(
     # sizes under the union cap: batch docs counted directly; standing
     # docs corrected by the shingles the batch pushed over the cap
     sizes_b = eligible_b.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # sdf <= cap is already an invariant of shit (the hot_cold probe
+    # bound above), so the crossing test reduces to udf > cap
     corr = (
-        shit.filter((F.col("sdf") <= _DF_CAP) & (F.col("udf") > _DF_CAP))
+        shit.filter(F.col("udf") > _DF_CAP)
         .groupBy("doc_id")
         .agg(F.count("*").alias("c"))
     )
@@ -352,43 +356,22 @@ def fixture_base_batch(
 def _incremental_probe_oracle() -> str:
     """DuckDB replay of the daily-merge probe-mass accounting: the
     standing per-shingle df over the base corpus, probed by the batch
-    vocabulary, split at the df cap — the same base/batch fixture
-    derivation as `_incremental_cc_oracle`."""
+    vocabulary, split at the df cap — built from the SAME shared CTE
+    text as `_incremental_cc_oracle` (fixture derivation) and the
+    jaccard edge block (shingle postings), so a fixture or shingle
+    change lands in one place."""
+    bpost = _SQL_SHINGLE_POSTINGS.replace("{name}", "bpost").replace(
+        "{corpus}", "base"
+    )
+    qpost = _SQL_SHINGLE_POSTINGS.replace("{name}", "qpost").replace(
+        "{corpus}", "batch"
+    )
     return f"""
-    WITH base AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 2000000 AS doc_id,
-             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
-                             greatest(len(string_split(text, ' ')) - 4, 0)), ' '), '') AS text
-      FROM documents WHERE doc_id % 5 = 0
-    ),
-    batch AS (
-      SELECT doc_id + 1000000 AS doc_id,
-             coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
-                             greatest(len(string_split(text, ' ')) - 2, 0)), ' '), '') AS text
-      FROM documents WHERE doc_id % 5 = 0
-    ),
-    bpost AS (
-      SELECT DISTINCT doc_id, shingle FROM (
-        SELECT doc_id,
-               unnest(list_distinct([
-                 array_to_string(list_slice(t, i, i + 2), ' ')
-                 FOR i IN generate_series(1, len(t) - 2)
-               ])) AS shingle
-        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM base)
-      )
-    ),
+    WITH {_SQL_INCR_FIXTURE_CTES},
+    {bpost},
     sdf AS (SELECT shingle, count(*) AS df FROM bpost GROUP BY shingle),
-    qvocab AS (
-      SELECT DISTINCT shingle FROM (
-        SELECT unnest(list_distinct([
-                 array_to_string(list_slice(t, i, i + 2), ' ')
-                 FOR i IN generate_series(1, len(t) - 2)
-               ])) AS shingle
-        FROM (SELECT string_split(text, ' ') AS t FROM batch)
-      )
-    ),
+    {qpost},
+    qvocab AS (SELECT DISTINCT shingle FROM qpost),
     probed AS (
       SELECT coalesce(df, 0) AS sdf
       FROM qvocab LEFT JOIN sdf USING (shingle)

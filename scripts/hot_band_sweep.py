@@ -240,10 +240,15 @@ def main() -> None:
     planted = synthesize_planted(spark)
     rows = [measure(spark, BASE), measure(spark, planted)]
     result = {"n_planted": N_PLANT, "queries": SWEEP_QUERIES, "steps": rows}
+    # write the expensive two-corpus sweep FIRST: a failure in the
+    # appended incremental step must not discard minutes of completed
+    # measurement (r9 self-review finding)
+    path = os.path.join(REPO_ROOT, "HOTBAND_r09.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
     result["incremental_hot_batch"] = measure_incremental_hot_batch(
         spark, planted
     )
-    path = os.path.join(REPO_ROOT, "HOTBAND_r09.json")
     with open(path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1))
