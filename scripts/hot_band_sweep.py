@@ -104,6 +104,7 @@ SWEEP_QUERIES = [
     "dedup_fuzzy_star_rescore",       # Σ (occ-1) hub rescores
     "dedup_fuzzy_star_components",    # star edges + O(log) components
     "dedup_semantic_ivf_cells",       # C=64 per-cell cap on embeddings
+    "dedup_incremental_probe_audit",  # the daily-merge probe bound's price
 ]
 
 
@@ -171,6 +172,15 @@ def measure(spark, sf_dir: str) -> dict:
             | (F.col("doc_id") >= 50_000_000)
         )
         .count()
+    )
+    # the registered probe audit's actual ROW on this corpus — on the
+    # planted fixture its batch (the %5 drop-2 generation) contains
+    # 1,000 copies of the megacluster text, so the row shows the
+    # sdf<=cap bound ACTIVE (r9: n_hot_shingles > 0, kept << uncapped)
+    out["incremental_probe_audit_row"] = (
+        qs["dedup_incremental_probe_audit"](spark, sf_dir)
+        .collect()[0]
+        .asDict()
     )
     return out
 
