@@ -14,11 +14,13 @@ text again:
   * ``labels``   — (id, component): the standing cluster assignment.
   * ``postings`` — (doc_id, shingle) distinct, partitioned by
     ``sbucket = pmod(xxhash64(shingle), 16)``: the inverted shingle
-    index. The merge joins it on (sbucket, shingle) against the
-    (broadcastable) batch shingle set, so dynamic partition pruning
-    can drop whole bucket directories when a small batch touches few
-    buckets — the same partition-pruned probe shape as
-    `sim_ann_index_persist_probe` (operators/similarity.py).
+    index. The merge broadcast-joins it on (sbucket, shingle) against
+    the batch shingle set and STATICALLY prunes bucket directories
+    (the materialized batch vocabulary's distinct sbuckets become an
+    isin partition filter at file-listing time; DPP does not fire on
+    this shape — the build side has no selective predicate) — the
+    same partition-pruned probe shape as `sim_ann_index_persist_probe`
+    (operators/similarity.py).
   * ``shingle_df`` — (shingle, df): per-shingle document frequency
     over the standing corpus.
   * ``sizes``    — (doc_id, n): per-doc count of shingles surviving
