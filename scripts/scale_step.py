@@ -135,6 +135,12 @@ QUERIES = [
     # r9: the hot-bucket cap pricing audit — linear by construction,
     # measured to prove it
     "dedup_banding_occupancy_audit",
+    # enrolled AFTER SCALE_STEP_r09.json was recorded (its "queries"
+    # list is the ground truth for that artifact) — first measured in
+    # the r10 refresh: the daily-merge probe-bound pricing audit and
+    # the production-code-budget PQ chain
+    "dedup_incremental_probe_audit",
+    "sim_pq_code_budget_audit",
 ]
 
 # r8 (VERDICT r7 task 3): the queries whose docstrings claim an
