@@ -128,6 +128,56 @@ def write_standing_state(
     sizes.write.mode("overwrite").parquet(os.path.join(state_dir, "sizes"))
 
 
+def _batch_hot_vocab(bpost: DataFrame, df_tbl: DataFrame) -> DataFrame:
+    """(shingle, sdf, bdf, udf, sbucket), MATERIALIZED, for the batch
+    vocabulary: union-time df exists only for batch-present shingles —
+    everything else keeps its standing df and can never form a
+    batch-incident pair anyway. |batch shingle vocabulary|-sized.
+    Broadcast is applied at every JOIN SITE downstream, never here:
+    localCheckpoint materializes to a LogicalRDD and would discard a
+    pre-checkpoint broadcast hint, silently planning the postings
+    probe as a full shuffle join (r9 self-review finding)."""
+    bdf = bpost.groupBy("shingle").agg(F.count("*").alias("bdf"))
+    return (
+        bdf.join(df_tbl, "shingle", "left")
+        .select(
+            "shingle",
+            F.coalesce(F.col("df"), F.lit(0)).alias("sdf"),
+            "bdf",
+            (F.coalesce(F.col("df"), F.lit(0)) + F.col("bdf")).alias("udf"),
+        )
+        .withColumn("sbucket", _sbucket(F.col("shingle")))
+    ).localCheckpoint()
+
+
+def _probe_standing_postings(postings: DataFrame, hot: DataFrame) -> DataFrame:
+    """The daily merge's ONLY read of the standing posting index —
+    exposed un-checkpointed so tests/test_plans.py can assert the
+    probe's physical plan on the REAL code path (apply_batch
+    materializes the result immediately): one BroadcastHashJoin of
+    the sdf-capped batch vocabulary against the index, with the
+    vocabulary's distinct sbuckets statically pruning bucket
+    directories at file-listing time (one bounded ≤ _N_SBUCKETS-int
+    collect; DPP would not fire here — the build side carries no
+    selective predicate). The sdf ≤ cap filter is the probe BOUND: a
+    shingle whose standing df already exceeds the cap can feed
+    neither eligible pairs (udf ≥ sdf > cap) nor the size correction
+    (needs sdf ≤ cap), so without it a batch containing a 1M-doc
+    boilerplate cluster's shingle would drag 1M postings rows per hot
+    shingle into the probe; with it the probe is O(Σ min(df, cap))
+    per batch shingle regardless of megacluster size (priced as data
+    by [[dedup_incremental_probe_audit]])."""
+    hot_cold = hot.filter(F.col("sdf") <= _DF_CAP)
+    hot_buckets = [
+        r["sbucket"] for r in hot_cold.select("sbucket").distinct().collect()
+    ]
+    return (
+        postings.filter(F.col("sbucket").isin(hot_buckets))
+        .join(F.broadcast(hot_cold), ["sbucket", "shingle"])
+        .select("doc_id", "shingle", "sdf", "udf")
+    )
+
+
 def apply_batch(
     spark: SparkSession,
     state_dir: str,
@@ -150,52 +200,11 @@ def apply_batch(
     sizes1 = spark.read.parquet(os.path.join(state_dir, "sizes"))
 
     bpost = _postings(batch).localCheckpoint()
-    bdf = bpost.groupBy("shingle").agg(F.count("*").alias("bdf"))
-    # union-time df exists only for batch-present shingles; everything
-    # else keeps its standing df and can never form a batch-incident
-    # pair anyway. |batch shingle vocabulary|-sized — broadcast at
-    # every JOIN SITE below, not here: localCheckpoint materializes to
-    # a LogicalRDD and would discard a pre-checkpoint broadcast hint,
-    # silently planning the postings probe as a full shuffle join
-    # (r9 self-review finding).
-    hot = (
-        bdf.join(df_tbl, "shingle", "left")
-        .select(
-            "shingle",
-            F.coalesce(F.col("df"), F.lit(0)).alias("sdf"),
-            "bdf",
-            (F.coalesce(F.col("df"), F.lit(0)) + F.col("bdf")).alias("udf"),
-        )
-        .withColumn("sbucket", _sbucket(F.col("shingle")))
-    ).localCheckpoint()
+    hot = _batch_hot_vocab(bpost, df_tbl)
     # standing postings on batch-present shingles — the ONLY standing
-    # rows the merge reads. Two bounds applied BEFORE the probe:
-    # (1) sdf <= _DF_CAP: a shingle whose standing df already exceeds
-    #     the cap can contribute to neither eligible pairs (udf >=
-    #     sdf > cap) nor the size correction (needs sdf <= cap), so
-    #     its postings rows are dead weight — without this filter a
-    #     batch containing a 1M-doc boilerplate cluster's shingle
-    #     would drag 1M postings rows per hot shingle into the probe;
-    #     with it the probe is O(Σ min(df, cap)) per batch shingle,
-    #     bounded regardless of megacluster size (r9, the incremental
-    #     analogue of the banding occupancy cap).
-    # (2) bucket-directory pruning is STATIC, not DPP: `hot` is
-    #     already materialized, so one bounded collect (≤ _N_SBUCKETS
-    #     ints) becomes an isin partition filter applied at
-    #     file-listing time — DPP would not fire here anyway (the
-    #     build side carries no selective predicate, so the planner
-    #     sees no pruning benefit; verified against the physical
-    #     plan, r9 self-review).
-    hot_cold = hot.filter(F.col("sdf") <= _DF_CAP)
-    hot_buckets = [
-        r["sbucket"] for r in hot_cold.select("sbucket").distinct().collect()
-    ]
-    shit = (
-        postings.filter(F.col("sbucket").isin(hot_buckets))
-        .join(F.broadcast(hot_cold), ["sbucket", "shingle"])
-        .select("doc_id", "shingle", "sdf", "udf")
-        .localCheckpoint()
-    )
+    # rows the merge reads; probe bound + static bucket pruning live
+    # in _probe_standing_postings (plan-asserted by tests/test_plans)
+    shit = _probe_standing_postings(postings, hot).localCheckpoint()
 
     # pair generation under the union cap: batch x standing plus
     # batch x batch, each (pair, shingle) exactly once, exactly the

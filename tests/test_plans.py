@@ -629,3 +629,36 @@ def test_aqe_splits_star_contraction_hub_round(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_incremental_probe_broadcasts_and_statically_prunes(spark):
+    """The persisted daily merge's posting-index probe (r9): the REAL
+    code path (`_batch_hot_vocab` -> `_probe_standing_postings`, the
+    exact frames apply_batch materializes) must plan the probe as ONE
+    BroadcastHashJoin — a materialized hot frame loses a
+    pre-checkpoint broadcast hint, so a regression here silently
+    becomes a full sort-merge join over the whole index — and the
+    partitioned index scan must carry the batch vocabulary's sbuckets
+    as a STATIC isin PartitionFilter (DPP does not fire on this
+    shape: no selective predicate on the build side)."""
+    import os
+
+    from apache_spark_irs_form_990_spark.operators import incremental as inc
+
+    base, batch = inc.fixture_base_batch(spark, SF_DIR)
+    sdir = inc.scratch_state_dir("plantest")
+    inc.write_standing_state(spark, base, sdir)
+    postings = spark.read.parquet(os.path.join(sdir, "postings"))
+    df_tbl = spark.read.parquet(os.path.join(sdir, "shingle_df"))
+    hot = inc._batch_hot_vocab(inc._postings(batch).localCheckpoint(), df_tbl)
+    probe = inc._probe_standing_postings(postings, hot)
+    plan = physical_plan(probe)
+    assert "BroadcastHashJoin" in plan, f"probe not broadcast:\n{plan}"
+    assert "SortMergeJoin" not in plan, (
+        f"probe shuffles the standing index:\n{plan}"
+    )
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and any(
+        "sbucket" in ln and ("INSET" in ln or " IN (" in ln)
+        for ln in part_lines
+    ), f"no static sbucket isin partition filter on the index scan:\n{plan}"
