@@ -37,7 +37,10 @@ union_df differs from standing df ONLY on shingles the batch contains
   size_union(doc) = size_standing(doc)
                     - #{s in doc : standing_df <= 100 < union_df}
 
-and the correction set is again batch-present-only. Pair generation,
+and the correction set is again batch-present-only. (The identity is
+an ADD-path contract; DELETE batches — opt-outs, takedowns, license
+revocations — violate it and get their own exact pass,
+``apply_delete_batch`` below, r10.) Pair generation,
 sizes, and the Jaccard>=0.6 predicate then reproduce
 `_incident_jaccard_edges` EXACTLY (the registered query is
 hash-checked against the same two-phase oracle), and the state update
@@ -63,6 +66,7 @@ from apache_spark_irs_form_990_spark.functions.scratch import ScratchDirs
 from apache_spark_irs_form_990_spark.functions.text import shingles
 from apache_spark_irs_form_990_spark.operators.components import (
     _SQL_INCR_FIXTURE_CTES,
+    _SQL_JACCARD_EDGE_BLOCK,
     _SQL_SHINGLE_POSTINGS,
     _incremental_cc_oracle,
     connected_components,
@@ -150,6 +154,20 @@ def _batch_hot_vocab(bpost: DataFrame, df_tbl: DataFrame) -> DataFrame:
     ).localCheckpoint()
 
 
+def _probe_postings_on(postings: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Partition-pruned broadcast probe of the standing posting index
+    by a (sbucket, shingle, ...) vocabulary frame: the vocabulary's
+    distinct sbuckets become a static isin partition filter at
+    file-listing time (one bounded ≤ _N_SBUCKETS-int collect; DPP
+    would not fire — the build side carries no selective predicate),
+    then one BroadcastHashJoin on (sbucket, shingle). Shared by the
+    daily-merge probe and the delete path's cap-crossing probe."""
+    buckets = [r["sbucket"] for r in vocab.select("sbucket").distinct().collect()]
+    return postings.filter(F.col("sbucket").isin(buckets)).join(
+        F.broadcast(vocab), ["sbucket", "shingle"]
+    )
+
+
 def _probe_standing_postings(postings: DataFrame, hot: DataFrame) -> DataFrame:
     """The daily merge's ONLY read of the standing posting index —
     exposed un-checkpointed so tests/test_plans.py can assert the
@@ -168,13 +186,8 @@ def _probe_standing_postings(postings: DataFrame, hot: DataFrame) -> DataFrame:
     per batch shingle regardless of megacluster size (priced as data
     by [[dedup_incremental_probe_audit]])."""
     hot_cold = hot.filter(F.col("sdf") <= _DF_CAP)
-    hot_buckets = [
-        r["sbucket"] for r in hot_cold.select("sbucket").distinct().collect()
-    ]
-    return (
-        postings.filter(F.col("sbucket").isin(hot_buckets))
-        .join(F.broadcast(hot_cold), ["sbucket", "shingle"])
-        .select("doc_id", "shingle", "sdf", "udf")
+    return _probe_postings_on(postings, hot_cold).select(
+        "doc_id", "shingle", "sdf", "udf"
     )
 
 
@@ -249,8 +262,13 @@ def apply_batch(
     # recount emits NO row for it, and the rolled-forward state must
     # stay byte-equivalent to the nightly writer's format (r9
     # self-review finding)
+    # no broadcast hint on corr (ADVICE r9): its row bound is
+    # #distinct standing docs holding a cap-crossing shingle — up to
+    # ~cap x |batch vocabulary|, which a very large batch could push
+    # past driver/broadcast capacity; AQE picks broadcast itself
+    # whenever corr is actually small
     sizes_s = (
-        sizes1.join(F.broadcast(corr), "doc_id", "left")
+        sizes1.join(corr, "doc_id", "left")
         .select(
             "doc_id",
             (F.col("n") - F.coalesce(F.col("c"), F.lit(0))).alias("n"),
@@ -440,4 +458,278 @@ def dedup_incremental_probe_audit(
         "n_hot_shingles",
         "probe_rows_uncapped",
         "probe_rows_kept",
+    )
+
+
+def apply_delete_batch(
+    spark: SparkSession,
+    state_dir: str,
+    deletes: DataFrame,
+    out_state_dir: str | None = None,
+) -> DataFrame:
+    """The TAKEDOWN job (VERDICT r9 task 2): remove ``deletes``
+    (doc_id) from the persisted standing state and return the
+    surviving labels — never re-shingling any surviving document.
+
+    Deletes invert the add-path's roll-forward identity (df never
+    decreases there; here it never increases), and every state table
+    is a PURE COUNT over the corpus, so the post-delete state is
+    EXACTLY what ``write_standing_state`` would produce from scratch
+    on the survivors — that strong equivalence is the registered
+    query's oracle ([[dedup_incremental_delete]]). Per table:
+
+      * postings: drop deleted docs' rows (anti-join; one column-
+        pruned scan of the index — doc_id does not prune sbucket
+        directories, and that full-index pass is the honest floor for
+        a takedown over an inverted index).
+      * shingle_df: df' = df − (deleted docs' per-shingle counts);
+        the decrement vocabulary is |delete-batch vocab|-bounded and
+        rides a broadcast, every other shingle's df is untouched.
+      * sizes: eligibility only GROWS under delete (df' ≤ df), so
+        n' = n + #{cap-CROSSING shingles in doc} where crossing means
+        df > cap ≥ df' — the mirror of the add path's correction. The
+        crossing probe reuses the partition-pruned broadcast probe
+        (`_probe_postings_on`), so its cost is O(Σ df' ≤ cap) per
+        crossing shingle, bounded exactly like the daily merge's.
+      * labels: only components containing a deleted doc or a doc
+        with a crossing shingle can change. Proof sketch (the
+        affected-set closure the relabel relies on): for a surviving
+        doc U in an unaffected component, U has no crossing shingle,
+        so n_U' = n_U and every shared-shingle count with another
+        survivor is unchanged (a crossing shingle shared with U would
+        make U affected); a NEW edge needs a newly-eligible — i.e.
+        crossing — shingle, marking both endpoints affected; a LOST
+        edge needs a grown size, marking that endpoint affected; and
+        any pre-existing passing edge from U to an affected doc
+        placed U in that (affected) component already. So the
+        affected components = components of {deleted docs} ∪ {docs
+        holding a crossing shingle}, and their induced subgraph is
+        re-clustered from the surviving postings under df' (star
+        kernel, O(log n) rounds) while every other label is carried
+        through verbatim. min-id canonical labels are preserved:
+        recomputing on the induced subgraph yields the same min
+        member id a global from-scratch pass would.
+
+    If ``out_state_dir`` is given the four survivor tables are
+    written there in the nightly writer's exact format, so delete
+    batches compose with add batches in any order
+    (tests/test_incremental_persisted.py pins add→delete replay)."""
+    labels1 = spark.read.parquet(os.path.join(state_dir, "labels"))
+    postings = spark.read.parquet(os.path.join(state_dir, "postings"))
+    df_tbl = spark.read.parquet(os.path.join(state_dir, "shingle_df"))
+    sizes1 = spark.read.parquet(os.path.join(state_dir, "sizes"))
+
+    dset = deletes.select("doc_id").distinct().localCheckpoint()
+
+    # deleted docs' postings -> per-shingle decrement (delete batches
+    # are takedown-sized: the id set broadcasts; the scan is the index)
+    dpost = postings.join(F.broadcast(dset), "doc_id")
+    ddf = dpost.groupBy("shingle").agg(F.count("*").alias("ddf"))
+    # df' on the delete vocabulary only; every other shingle unchanged
+    df_delta = (
+        df_tbl.join(F.broadcast(ddf), "shingle")
+        .select(
+            "shingle",
+            F.col("df").alias("df_old"),
+            (F.col("df") - F.col("ddf")).alias("df"),
+        )
+        .localCheckpoint()
+    )
+    # shingles the delete pulls back UNDER the cap: newly eligible
+    crossing = df_delta.filter(
+        (F.col("df_old") > _DF_CAP) & (F.col("df") <= _DF_CAP)
+    ).select("shingle", F.col("df").alias("dfp")).withColumn(
+        "sbucket", _sbucket(F.col("shingle"))
+    ).localCheckpoint()
+
+    # survivors gaining newly-eligible shingles (partition-pruned
+    # broadcast probe — same bounded shape as the daily merge's)
+    gains = (
+        _probe_postings_on(postings, crossing)
+        .join(F.broadcast(dset), "doc_id", "anti")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("g"))
+        .localCheckpoint()
+    )
+    sizes_kept = sizes1.join(F.broadcast(dset), "doc_id", "anti")
+    # full outer: a doc absent from sizes (zero eligible shingles)
+    # can enter via gains; gains is crossing-vocab x <=cap bounded,
+    # not broadcast-hinted (the ADVICE r9 corr lesson) — AQE decides
+    sizes2 = (
+        sizes_kept.join(gains, "doc_id", "outer")
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("g"), F.lit(0))).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )
+
+    # affected components: any component holding a deleted doc or a
+    # crossing-shingle doc (see proof sketch above)
+    touched = dset.unionByName(gains.select("doc_id")).distinct()
+    aff_comps = (
+        labels1.join(F.broadcast(touched), labels1["id"] == touched["doc_id"])
+        .select("component")
+        .distinct()
+        .localCheckpoint()
+    )
+    aff_docs = (
+        labels1.join(F.broadcast(aff_comps), "component")
+        .select(F.col("id").alias("doc_id"))
+        .join(F.broadcast(dset), "doc_id", "anti")
+        .localCheckpoint()
+    )
+
+    # re-cluster the affected induced subgraph from surviving postings
+    # under df' (exact survivor df): eligibility pre-filter bounds the
+    # shingle self-join occupancy at the cap, as everywhere else
+    aff_post = postings.join(F.broadcast(aff_docs), "doc_id").select(
+        "doc_id", "shingle"
+    )
+    dfp = df_tbl.join(F.broadcast(ddf), "shingle", "left").select(
+        "shingle",
+        (F.col("df") - F.coalesce(F.col("ddf"), F.lit(0))).alias("dfp"),
+    )
+    aff_elig = (
+        aff_post.join(dfp, "shingle")
+        .filter(F.col("dfp") <= _DF_CAP)
+        .select("doc_id", "shingle")
+        .localCheckpoint()
+    )
+    overlap = (
+        aff_elig.alias("a")
+        .join(
+            aff_elig.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa, sb = sizes2.alias("sa"), sizes2.alias("sb")
+    jac = F.col("shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("shared")
+    )
+    edges = (
+        overlap.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.6)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    relabeled = connected_components_star(
+        aff_docs.select(F.col("doc_id").alias("id")), edges
+    )
+    labels2 = labels1.join(F.broadcast(aff_comps), "component", "anti").select(
+        "id", "component"
+    ).unionByName(relabeled.select("id", "component"))
+
+    if out_state_dir is not None:
+        labels2.write.mode("overwrite").parquet(
+            os.path.join(out_state_dir, "labels")
+        )
+        postings.join(F.broadcast(dset), "doc_id", "anti").select(
+            "doc_id", "shingle", "sbucket"
+        ).write.mode("overwrite").partitionBy("sbucket").parquet(
+            os.path.join(out_state_dir, "postings")
+        )
+        df2 = df_tbl.join(
+            F.broadcast(df_delta.select("shingle", F.col("df").alias("dfn"))),
+            "shingle",
+            "left",
+        ).select(
+            "shingle", F.coalesce(F.col("dfn"), F.col("df")).alias("df")
+        ).filter(F.col("df") > 0)
+        df2.write.mode("overwrite").parquet(
+            os.path.join(out_state_dir, "shingle_df")
+        )
+        sizes2.write.mode("overwrite").parquet(
+            os.path.join(out_state_dir, "sizes")
+        )
+    return labels2
+
+
+def fixture_delete_set(base: DataFrame) -> DataFrame:
+    """The delete family's shared fixture: every 10th ORIGINAL doc
+    (the +2M truncation generation is excluded by the id bound), so
+    near-dup pairs {d, d+2M} with d % 10 == 0 lose their canonical
+    member and the survivor must re-label — the relabel path is
+    exercised on every run, not just when a cap crosses."""
+    return base.filter(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 2000000)
+    ).select("doc_id")
+
+
+def _incremental_delete_oracle() -> str:
+    """From-scratch clustering of the SURVIVORS — the strong
+    equivalence the delete pass is proven against: every state table
+    is a pure count over the corpus, so deletion must land exactly
+    where a full nightly rebuild of C \\ D would (unlike the add
+    path, whose per-pass df-cap contract is deliberately
+    path-dependent). Reuses the shared fixture CTEs and the one-copy
+    Jaccard edge block."""
+    edge_block = _SQL_JACCARD_EDGE_BLOCK.format(
+        p="s", corpus="surv", pair_pred=""
+    )
+    return f"""
+    WITH RECURSIVE {_SQL_INCR_FIXTURE_CTES},
+    surv AS (
+      SELECT doc_id, text FROM base
+      WHERE NOT (doc_id % 10 = 0 AND doc_id < 2000000)
+    ),
+    {edge_block},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM spairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM spairs
+    ),
+    reach(id, comp) AS (
+      SELECT doc_id, doc_id FROM surv
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, min(comp) AS component_id FROM reach GROUP BY id
+    """
+
+
+@register("dedup_incremental_delete", oracle=_incremental_delete_oracle())
+def dedup_incremental_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETES THROUGH THE PERSISTED DEDUP STATE (VERDICT r9 task 2):
+    build the standing state for the shared base corpus, then apply a
+    takedown batch (every 10th original doc) via `apply_delete_batch`
+    — postings dropped, df decremented, sizes corrected for shingles
+    falling back UNDER the cap, deleted labels retired, and affected
+    components re-clustered (splits included) from surviving postings
+    only. The oracle is a from-scratch rebuild of the survivor corpus
+    — the strongest possible contract, valid because every standing
+    table is a pure count (see `apply_delete_batch`'s proof sketch
+    for why untouched components provably keep their labels).
+
+    Cost shape at 100 TB, per takedown batch: one column-pruned
+    anti-join scan of the posting index (the unavoidable floor), a
+    |delete vocab|-bounded broadcast decrement, one partition-pruned
+    crossing probe, and a re-cluster bounded by the affected
+    components' mass — the standing corpus' text is never read."""
+    base, _ = fixture_base_batch(spark, sf_dir)
+    tag = hashlib.md5(("del|" + sf_dir).encode()).hexdigest()[:8]
+    state_dir = scratch_state_dir(tag)
+    write_standing_state(spark, base, state_dir)
+    merged = apply_delete_batch(spark, state_dir, fixture_delete_set(base))
+    return merged.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("component_id")
+    )
+
+
+def state_cluster_histogram(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Cluster-size histogram read from a persisted state's labels —
+    the corpus-health report pointed at the MUTABLE corpus (VERDICT
+    r9 task 7): after an add or delete batch lands, this is the
+    dataset-card input that tracks the standing state instead of
+    re-deriving clusters from text. (cluster_size, n_clusters)."""
+    labels = spark.read.parquet(os.path.join(state_dir, "labels"))
+    return (
+        labels.groupBy("component")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
     )

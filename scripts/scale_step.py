@@ -78,7 +78,20 @@ job stops replaying phase 1 — the split timing is the evidence); and
 `dedup_banding_occupancy_audit` (the hot-bucket cap pricing row)
 joins both subsets.
 
-Usage: python scripts/scale_step.py   (writes SCALE_STEP_r09.json)
+r10 additions (VERDICT r9 task 6 + ADVICE r9):
+- the output filename is parameterized by round (CLI arg, default
+  ROUND below) so a rerun can never clobber a committed prior-round
+  artifact whose "queries" list is declared ground truth;
+- every timed query row now carries MEMORY POSTURE next to runtime:
+  executor peak execution memory, memory+disk spill bytes, and
+  shuffle write bytes for the measured run, read from the Spark
+  status REST API (stage-diff attribution) — a 100 TB judgment needs
+  "does it spill" as data, not narrative;
+- the delete path joins the at-scale split timing: nightly write →
+  daily delete batch (`apply_delete_batch`), the takedown twin of the
+  r9 nightly/daily asymmetry measurement.
+
+Usage: python scripts/scale_step.py [round]   (writes SCALE_STEP_{round}.json, default r10)
 """
 
 from __future__ import annotations
@@ -94,7 +107,71 @@ sys.path.insert(0, REPO_ROOT)
 from pyspark.sql import functions as F  # noqa: E402
 
 SCALE_ROOT = "/tmp/spark990_scale"
+ROUND = "r10"  # default output tag; override via CLI arg (ADVICE r9)
 _SYNTH_VERSION = 3  # bump when synthesize_sf1's generated content changes
+
+
+class StageMetrics:
+    """Per-query memory posture from the Spark status REST API
+    (VERDICT r9 task 6): snapshot completed stage ids before a run,
+    then attribute every NEW completed stage to it — peak execution
+    memory (max across stages), memory+disk spill bytes and shuffle
+    write bytes (sums). Degrades to empty dicts when the UI is off."""
+
+    def __init__(self, spark) -> None:
+        self.base = None
+        try:
+            sc = spark.sparkContext
+            ui = sc.uiWebUrl
+            if ui:
+                self.base = f"{ui}/api/v1/applications/{sc.applicationId}"
+        except Exception:
+            pass
+
+    def _stages(self) -> list:
+        import urllib.request
+
+        with urllib.request.urlopen(
+            f"{self.base}/stages?status=complete", timeout=15
+        ) as r:
+            return json.load(r)
+
+    def snapshot(self) -> set:
+        if not self.base:
+            return set()
+        try:
+            return {
+                (s["stageId"], s.get("attemptId", 0)) for s in self._stages()
+            }
+        except Exception:
+            return set()
+
+    def since(self, before: set) -> dict:
+        if not self.base:
+            return {}
+        try:
+            new = [
+                s
+                for s in self._stages()
+                if (s["stageId"], s.get("attemptId", 0)) not in before
+            ]
+        except Exception:
+            return {}
+        if not new:
+            return {}
+        return {
+            "peak_mem": max(
+                int(s.get("peakExecutionMemory", 0)) for s in new
+            ),
+            "spill_bytes": sum(
+                int(s.get("memoryBytesSpilled", 0))
+                + int(s.get("diskBytesSpilled", 0))
+                for s in new
+            ),
+            "shuffle_write_bytes": sum(
+                int(s.get("shuffleWriteBytes", 0)) for s in new
+            ),
+        }
 QUERIES = [
     "dedup_minhash_banding_md5",
     "dedup_near_embedding",
@@ -357,13 +434,17 @@ def measure_at_scale(spark, sf_dir: str) -> dict:
     out["minhash_star_mass"] = int(masses.star_mass)
     out["minhash_max_bucket_occ"] = int(masses.max_occ)
     out.update(clustering_profile(spark, sf_dir, semantic=False))
+    met = StageMetrics(spark)
     for name in AT_SCALE_QUERIES:
         try:
             qs[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()  # warm
             best = float("inf")
-            for _ in range(2):
+            before = set()
+            for i in range(2):
+                if i == 1:
+                    before = met.snapshot()  # attribute the last run only
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
@@ -377,6 +458,8 @@ def measure_at_scale(spark, sf_dir: str) -> dict:
             out[f"{name}_note"] = f"refused: {exc}"[:200]
             continue
         out[f"{name}_s"] = round(best, 3)
+        for k, v in met.since(before).items():
+            out[f"{name}_{k}"] = v
     # r9: the persisted-incremental split — the whole point of the
     # persisted form is that the DAILY job stops replaying phase 1,
     # so time the nightly write and the daily merge separately
@@ -384,7 +467,9 @@ def measure_at_scale(spark, sf_dir: str) -> dict:
     # best-of-2 would re-measure a re-write, not the same work)
     from apache_spark_irs_form_990_spark.operators.incremental import (
         apply_batch,
+        apply_delete_batch,
         fixture_base_batch,
+        fixture_delete_set,
         scratch_state_dir,
         write_standing_state,
     )
@@ -399,6 +484,15 @@ def measure_at_scale(spark, sf_dir: str) -> dict:
         "overwrite"
     ).save()
     out["incremental_daily_merge_s"] = round(time.perf_counter() - t0, 3)
+    # r10: the takedown twin of the nightly/daily asymmetry — one
+    # delete batch against the same standing state (state untouched:
+    # no out_state_dir), its cost dominated by the one column-pruned
+    # anti-join index scan the docstring names as the honest floor
+    t0 = time.perf_counter()
+    apply_delete_batch(spark, sdir, fixture_delete_set(base)).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out["incremental_delete_batch_s"] = round(time.perf_counter() - t0, 3)
     return out
 
 
@@ -680,22 +774,33 @@ def measure(spark, sf_dir: str) -> dict:
     out.update(global_order_task_profile(spark, sf_dir))
     out.update(clustering_profile(spark, sf_dir))
 
+    met = StageMetrics(spark)
     for name in QUERIES:
         fn = qs[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         best = float("inf")
-        for _ in range(2):
+        before = set()
+        for i in range(2):
+            if i == 1:
+                before = met.snapshot()  # attribute the last run only
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         out[f"{name}_s"] = round(best, 3)
+        for k, v in met.since(before).items():
+            out[f"{name}_{k}"] = v
     return out
 
 
 def main() -> None:
     from apache_spark_irs_form_990_spark.session import get_session
 
-    spark = get_session(app_name="scale_step")
+    rnd = sys.argv[1] if len(sys.argv) > 1 else ROUND
+    # UI on: the status REST API is where the per-query memory/spill
+    # posture comes from (StageMetrics)
+    spark = get_session(
+        app_name="scale_step", extra_conf={"spark.ui.enabled": "true"}
+    )
     sf1 = synthesize_sf1(spark)
     sf10 = synthesize_sf10(spark)
     rows = [
@@ -712,7 +817,7 @@ def main() -> None:
         "at_scale_step": at_scale,
         "pq_budget_sf1": pq_budget,
     }
-    path = os.path.join(REPO_ROOT, "SCALE_STEP_r09.json")
+    path = os.path.join(REPO_ROOT, f"SCALE_STEP_{rnd}.json")
     with open(path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1))

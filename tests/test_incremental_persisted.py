@@ -159,3 +159,124 @@ def test_scratch_state_dir_sweeps_dead_pids(tmp_path):
     mine = scratch_state_dir("sometag")
     assert not os.path.exists(dead)
     assert "spark990_cc_state_sometag_" in mine
+
+
+def test_delete_after_merge_replay(spark, tmp_path):
+    """Takedown replay (VERDICT r9 task 2): batch 1 merges, then a
+    DELETE batch removes docs batch 1 merged (plus some standing
+    docs). The rolled-forward add-state's postings/df/sizes are exact
+    counts over base ∪ batch1 (pinned above), and the delete pass's
+    decrements are exact, so the post-delete state tables must equal
+    a from-scratch nightly write over the survivors byte-for-byte —
+    and the labels must retire every deleted id while staying
+    min-canonical over the surviving partition."""
+    from apache_spark_irs_form_990_spark.operators.incremental import (
+        apply_delete_batch,
+    )
+
+    base, batch1, _ = _corpus(spark)
+    s0, s1, s2 = (
+        str(tmp_path / "state0"),
+        str(tmp_path / "state1"),
+        str(tmp_path / "state2"),
+    )
+    write_standing_state(spark, base, s0)
+    apply_batch(spark, s0, batch1, out_state_dir=s1).collect()
+
+    union = base.unionByName(batch1).localCheckpoint()
+    deletes = union.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    labels2 = apply_delete_batch(spark, s1, deletes, out_state_dir=s2)
+
+    surv = union.join(deletes, "doc_id", "anti").localCheckpoint()
+    truth_dir = str(tmp_path / "truth")
+    write_standing_state(spark, surv, truth_dir)
+
+    for tbl, key in (("shingle_df", "shingle"), ("sizes", "doc_id")):
+        got = {
+            tuple(r) for r in spark.read.parquet(f"{s2}/{tbl}").collect()
+        }
+        want = {
+            tuple(r) for r in spark.read.parquet(f"{truth_dir}/{tbl}").collect()
+        }
+        assert got == want, tbl
+    got_post = {
+        (r["doc_id"], r["shingle"])
+        for r in spark.read.parquet(f"{s2}/postings").collect()
+    }
+    want_post = {
+        (r["doc_id"], r["shingle"])
+        for r in spark.read.parquet(f"{truth_dir}/postings").collect()
+    }
+    assert got_post == want_post
+
+    got_labels = _d(labels2)
+    deleted_ids = {r["doc_id"] for r in deletes.collect()}
+    surv_ids = {r["doc_id"] for r in surv.select("doc_id").collect()}
+    assert set(got_labels) == surv_ids
+    assert not (set(got_labels) & deleted_ids)
+    # min-canonical partition: every component id is the min of its
+    # own member set (deleted canonical members must be replaced)
+    by_comp: dict = {}
+    for i, c in got_labels.items():
+        by_comp.setdefault(c, []).append(i)
+    for c, members in by_comp.items():
+        assert c == min(members)
+
+
+def test_delete_component_split(spark, tmp_path):
+    """Deletion can DISCONNECT a cluster: a path corpus a—b—c (J(a,b)
+    and J(b,c) ≥ 0.6 but J(a,c) < 0.6) collapses to two singletons
+    when the bridge doc b is taken down. Pins the re-cluster path —
+    carrying the old component through would leave a and c falsely
+    fused."""
+    from apache_spark_irs_form_990_spark.operators.incremental import (
+        apply_delete_batch,
+    )
+
+    words = [f"w{i}" for i in range(1, 21)]
+    a_txt = " ".join(words[0:14])  # 12 shingles, all in b
+    b_txt = " ".join(words)  # 18 shingles
+    c_txt = " ".join(words[6:20])  # 12 shingles, all in b; 6 shared with a
+    corpus = spark.createDataFrame(
+        [(1, a_txt), (2, b_txt), (3, c_txt)], "doc_id long, text string"
+    )
+    sdir, s2 = str(tmp_path / "state"), str(tmp_path / "state_del")
+    write_standing_state(spark, corpus, sdir)
+    before = _d(spark.read.parquet(f"{sdir}/labels"))
+    assert before == {1: 1, 2: 1, 3: 1}  # one path-connected cluster
+
+    deletes = spark.createDataFrame([(2,)], "doc_id long")
+    after = _d(apply_delete_batch(spark, sdir, deletes, out_state_dir=s2))
+    assert after == {1: 1, 3: 3}  # split into singletons
+
+
+def test_state_cluster_histogram_tracks_deletes(spark, tmp_path):
+    """The corpus-health report reads the MUTABLE state (VERDICT r9
+    task 7): after a takedown lands, the state-backed cluster-size
+    histogram equals the histogram of a from-scratch rebuild of the
+    survivors (the delete pass's strong equivalence, aggregated)."""
+    from apache_spark_irs_form_990_spark.operators.incremental import (
+        apply_delete_batch,
+        fixture_delete_set,
+        state_cluster_histogram,
+    )
+
+    base, _, _ = _corpus(spark)
+    sdir, s2 = str(tmp_path / "state"), str(tmp_path / "state_del")
+    write_standing_state(spark, base, sdir)
+    apply_delete_batch(
+        spark, sdir, fixture_delete_set(base), out_state_dir=s2
+    ).collect()
+
+    surv = base.join(fixture_delete_set(base), "doc_id", "anti")
+    truth_dir = str(tmp_path / "truth")
+    write_standing_state(spark, surv, truth_dir)
+    got = {
+        (r["cluster_size"], r["n_clusters"])
+        for r in state_cluster_histogram(spark, s2).collect()
+    }
+    want = {
+        (r["cluster_size"], r["n_clusters"])
+        for r in state_cluster_histogram(spark, truth_dir).collect()
+    }
+    assert got == want
