@@ -123,6 +123,7 @@ def _load_all() -> None:
     from apache_spark_irs_form_990_spark.sources import (  # noqa: F401
         xml_ingest,
         sinks,
+        lakehouse,
         layout,
     )
     from apache_spark_irs_form_990_spark.streaming import (  # noqa: F401

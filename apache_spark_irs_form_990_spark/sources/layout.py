@@ -417,3 +417,124 @@ def layout_zorder_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count_distinct(F.col("o_custkey")).alias("n_customers"),
         )
     )
+
+
+@register(
+    "layout_compact_binpack",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           CAST(least(40, count(*)) AS BIGINT) AS files_before,
+           CAST(greatest(1,
+             (sum(8 + 8 + 8 + 4
+                  + octet_length(CAST(o_orderpriority AS BLOB))
+                  + octet_length(CAST(o_orderstatus AS BLOB)))
+              + {_TARGET_FILE_BYTES - 1}) // {_TARGET_FILE_BYTES})
+             AS BIGINT) AS files_after,
+           CAST(greatest(1,
+             (sum(8 + 8 + 8 + 4
+                  + octet_length(CAST(o_orderpriority AS BLOB))
+                  + octet_length(CAST(o_orderstatus AS BLOB)))
+              + {_TARGET_FILE_BYTES - 1}) // {_TARGET_FILE_BYTES})
+             AS BIGINT) AS n_target_files,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def layout_compact_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE COMPACTION PLAN EXECUTED (VERDICT r9 task 3) — the weekly
+    OPTIMIZE job every warehouse runs, closing the loop
+    [[layout_partition_size_planner]] opened: that query computes
+    128 MB-target file counts; this one takes a deliberately
+    OVER-FRAGMENTED partitioned table (each partition key written as
+    40 round-robin files — the tiny-file failure mode a nightly
+    append-heavy pipeline accumulates), bin-packs every partition back
+    to the planner's target count, rewrites, and reads the compacted
+    table back as an independent scan.
+
+    The returned row per partition key carries the physical file
+    CENSUS (before/after, counted from the written directories) next
+    to the planner's target and the read-back row count + exact-cents
+    sum — and the ORACLE recomputes all of it from plain SQL over
+    `orders`: files_before == least(40, rows) proves the fragmented
+    write's shape, files_after == n_target_files proves the rewrite
+    hit plan, and n_rows/sum_cents prove losslessness. The per-key
+    driver loop is bounded by partition-key cardinality (the
+    partition-column choice rule in [[sink_partitioned_prune]]), i.e.
+    it is a metadata loop, not a data loop; each key's rewrite is one
+    `repartition(target)` — at 100 TB, one shuffle per fragmented
+    partition, touching no healthy partition (and under the commit-log
+    table of sources/lakehouse.py the same rewrite lands as a
+    file-replacing commit, `compact_table`)."""
+    import glob as _glob
+
+    o = load(spark, sf_dir, "orders")
+    tag = _sf_tag(sf_dir)
+    frag = os.path.join(tempfile.gettempdir(), f"spark990_fragged_{tag}")
+    comp = os.path.join(tempfile.gettempdir(), f"spark990_compact_{tag}")
+    prios = sorted(
+        r["o_orderpriority"]
+        for r in o.select("o_orderpriority").distinct().collect()
+    )
+    # the planner's targets (same byte model as the registered planner)
+    row_bytes = (
+        F.lit(8 + 8 + 8 + 4)
+        + F.octet_length("o_orderpriority")
+        + F.octet_length("o_orderstatus")
+    ).cast("long")
+    est = F.sum(row_bytes)
+    targets = {
+        r["o_orderpriority"]: r["t"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(
+                    (est + (_TARGET_FILE_BYTES - 1)) / _TARGET_FILE_BYTES
+                ).cast("long"),
+            ).alias("t")
+        )
+        .collect()
+    }
+    census = []
+    for p in prios:
+        pdir_f = os.path.join(frag, f"p={p}")
+        pdir_c = os.path.join(comp, f"p={p}")
+        o.filter(F.col("o_orderpriority") == p).repartition(40).write.mode(
+            "overwrite"
+        ).parquet(pdir_f)
+        spark.read.parquet(pdir_f).repartition(int(targets[p])).write.mode(
+            "overwrite"
+        ).parquet(pdir_c)
+        census.append(
+            (
+                p,
+                len(_glob.glob(os.path.join(pdir_f, "part-*"))),
+                len(_glob.glob(os.path.join(pdir_c, "part-*"))),
+                int(targets[p]),
+            )
+        )
+    census_df = spark.createDataFrame(
+        census,
+        "o_orderpriority string, files_before long, files_after long,"
+        " n_target_files long",
+    )
+    back = spark.read.option("basePath", comp).parquet(
+        *[os.path.join(comp, f"p={p}") for p in prios]
+    )
+    agg = back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+    )
+    return agg.join(F.broadcast(census_df), "o_orderpriority").select(
+        "o_orderpriority",
+        "n_rows",
+        "files_before",
+        "files_after",
+        "n_target_files",
+        "sum_cents",
+    )

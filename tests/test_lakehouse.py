@@ -1,0 +1,186 @@
+"""Commit-log table contract (sources/lakehouse.py, VERDICT r9
+task 1): snapshot isolation, optimistic-concurrency conflict
+detection, aborted-commit invisibility, selective MERGE rewrite,
+time travel, and lossless compaction."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_spark_irs_form_990_spark.sources.lakehouse import (
+    CommitConflict,
+    _try_commit,
+    _write_data_files,
+    compact_table,
+    create_table,
+    latest_version,
+    merge_into,
+    read_snapshot,
+    snapshot_files,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _nation(spark):
+    from apache_spark_irs_form_990_spark.sources.lakehouse import _base_nation
+
+    return _base_nation(spark, SF_DIR)
+
+
+def _rows(df):
+    return {
+        (r["n_nationkey"], r["n_name"], r["n_regionkey"]) for r in df.collect()
+    }
+
+
+def test_create_read_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_table(spark, path, _nation(spark), key="n_nationkey", n_files=4)
+    assert latest_version(path) == 0
+    assert _rows(read_snapshot(spark, path)) == _rows(_nation(spark))
+    # the manifest carries disjoint per-file key ranges (what makes
+    # MERGE pruning selective)
+    stats = sorted(snapshot_files(path, 0).values(), key=lambda s: s["lo"])
+    assert len(stats) == 4
+    for a, b in zip(stats, stats[1:]):
+        assert a["hi"] < b["lo"]
+
+
+def test_merge_rewrites_only_touched_files(spark, tmp_path):
+    """A single-key update must rewrite exactly the one file whose
+    range holds the key; the other files' PATHS carry forward
+    verbatim across the commit — the O(changed partitions) claim as
+    an assertion, not narrative."""
+    path = str(tmp_path / "t")
+    create_table(spark, path, _nation(spark), key="n_nationkey", n_files=4)
+    live0 = set(snapshot_files(path, 0))
+    one = spark.createDataFrame(
+        [(3, "U", "PATCHED", 9)],
+        "n_nationkey int, op string, n_name string, n_regionkey long",
+    )
+    v = merge_into(spark, path, one)
+    assert v == 1
+    live1 = set(snapshot_files(path, 1))
+    carried = live0 & live1
+    assert len(carried) == 3  # 3 of 4 files untouched, paths identical
+    want = {
+        (k, "PATCHED" if k == 3 else n, 9 if k == 3 else r)
+        for (k, n, r) in _rows(_nation(spark))
+    }
+    assert _rows(read_snapshot(spark, path)) == want
+
+
+def test_time_travel_pins_premerge_snapshot(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_table(spark, path, _nation(spark), key="n_nationkey", n_files=4)
+    before = _rows(read_snapshot(spark, path, version=0))
+    merge_into(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(0, "D", None, None)],
+            "n_nationkey int, op string, n_name string, n_regionkey long",
+        ),
+    )
+    # latest lost key 0; version 0 still serves the original bytes
+    assert _rows(read_snapshot(spark, path, version=0)) == before
+    assert _rows(read_snapshot(spark, path)) == {
+        t for t in before if t[0] != 0
+    }
+
+
+def test_concurrent_writer_conflict_detected_and_retried(spark, tmp_path):
+    """Two writers plan against the same snapshot; the second to
+    commit MUST see the advanced log. The low-level protocol raises
+    CommitConflict on the stale link attempt; `merge_into`'s retry
+    loop re-plans against the new snapshot and lands BOTH changes."""
+    path = str(tmp_path / "t")
+    create_table(spark, path, _nation(spark), key="n_nationkey", n_files=4)
+
+    # writer A stages + commits version 1 under writer B's feet
+    a_files = _write_data_files(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(200, "A_ROW", 1)], "n_nationkey int, n_name string, n_regionkey long"
+        ),
+        "n_nationkey",
+    )
+    _try_commit(path, 1, {"op": "merge", "added": a_files, "removed": []})
+
+    # a stale direct commit at version 1 must fail...
+    with pytest.raises(CommitConflict):
+        _try_commit(path, 1, {"op": "merge", "added": {}, "removed": []})
+
+    # ...and merge_into re-plans: its change lands at version 2 with
+    # writer A's row still present
+    v = merge_into(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(3, "U", "B_PATCH", 9)],
+            "n_nationkey int, op string, n_name string, n_regionkey long",
+        ),
+    )
+    assert v == 2
+    got = _rows(read_snapshot(spark, path))
+    assert (200, "A_ROW", 1) in got
+    assert (3, "B_PATCH", 9) in got
+
+
+def test_aborted_commit_invisible(spark, tmp_path):
+    """A writer that stages data but dies before linking its manifest
+    leaves bytes on disk but NO change in any snapshot — readers list
+    files from the log, never the directory."""
+    path = str(tmp_path / "t")
+    create_table(spark, path, _nation(spark), key="n_nationkey", n_files=4)
+    before = _rows(read_snapshot(spark, path))
+    # staged, never committed
+    _write_data_files(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(999, "GHOST", 9)],
+            "n_nationkey int, n_name string, n_regionkey long",
+        ),
+        "n_nationkey",
+    )
+    assert _rows(read_snapshot(spark, path)) == before
+    assert latest_version(path) == 0
+    # the torn temp-manifest case: a .tmp file in _commits is ignored
+    with open(os.path.join(path, "_commits", ".tmp-dead"), "w") as f:
+        json.dump({"added": {"x": {}}}, f)
+    assert latest_version(path) == 0
+
+
+def test_compact_is_lossless_commit(spark, tmp_path):
+    """Compaction = a commit that replaces files without changing
+    rows: fragment the table via many tiny merges, compact to the
+    planner-ish file count, assert row-set hash equality and that the
+    live file count actually dropped — and that time travel still
+    reaches the fragmented version."""
+    path = str(tmp_path / "t")
+    create_table(spark, path, _nation(spark), key="n_nationkey", n_files=4)
+    for k in (1, 7, 13, 19):  # four single-key merges -> fragmentation
+        merge_into(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(k, "U", f"P{k}", 9)],
+                "n_nationkey int, op string, n_name string, n_regionkey long",
+            ),
+        )
+    v_frag = latest_version(path)
+    n_frag = len(snapshot_files(path, v_frag))
+    before = _rows(read_snapshot(spark, path))
+    v = compact_table(spark, path, n_files=2)
+    assert v == v_frag + 1
+    assert _rows(read_snapshot(spark, path)) == before  # lossless
+    assert len(snapshot_files(path, v)) < n_frag
+    assert len(snapshot_files(path, v)) <= 2
+    assert len(snapshot_files(path, v_frag)) == n_frag  # history intact
