@@ -118,6 +118,12 @@ EXTENDED = [
     "dedup_banding_occupancy_audit",
     "dedup_incremental_probe_audit",
     "sim_pq_code_budget_audit",
+    # r10: the mutation story — deletes through the persisted dedup
+    # state, the commit-log MERGE round trip, and the executed
+    # compaction plan — per-round tracking of the round's additions.
+    "dedup_incremental_delete",
+    "lakehouse_merge_commitlog",
+    "layout_compact_binpack",
 ]
 
 

@@ -1,0 +1,116 @@
+"""Clustered-embedding fixture study (VERDICT r9 task 5): every ANN /
+PQ recall number committed so far is bounded by the near-isotropic
+synthetic corpus (`embeddings.parquet` — the ceiling note named
+inline since r8). Real embedding corpora are CLUSTERED, and PQ/IVF
+recall is much higher on clustered data: quantization error is
+measured against local structure the codebook can actually learn.
+
+This script generates a mixture-of-Gaussians corpus with the SAME
+schema and scale as synthetic sf1 (20k vectors, 64-d): 64 anisotropic
+clusters (per-cluster, per-dimension spread in [0.05, 0.5] around
+unit-normal centers — axis-aligned anisotropy, the regime PQ's
+per-sub-space codebooks are built for), fixed seed, written once to
+/tmp. It then re-runs the PQ code-budget study (`measure_pq_budget` —
+the identical train→encode→ADC→re-rank chain, same helpers, same
+integer metric, K=64 and K=256) plus the registered IVF and PQ
+serving-contract queries on it, and writes PQ_CLUSTERED_{round}.json
+next to SCALE_STEP's isotropic numbers.
+
+Usage: python scripts/clustered_fixture.py [round]   (default r10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+OUT_DIR = "/tmp/spark990_clustered"
+_VERSION = 1  # bump when the generator changes (reuse-marker contract)
+N_VECS = 20_000
+N_CLUSTERS = 64
+DIM = 64
+SEED = 990
+
+
+def synthesize() -> str:
+    """Write the clustered corpus once (reuse-marker guarded, same
+    protocol as scale_step's synthetic decades)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    marker = os.path.join(OUT_DIR, f".complete_v{_VERSION}")
+    if os.path.exists(marker):
+        return OUT_DIR
+    os.makedirs(OUT_DIR, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+    centers = rng.normal(0.0, 1.0, (N_CLUSTERS, DIM))
+    spreads = rng.uniform(0.05, 0.5, (N_CLUSTERS, DIM))  # anisotropic
+    assign = rng.integers(0, N_CLUSTERS, N_VECS)
+    x = centers[assign] + rng.normal(0.0, 1.0, (N_VECS, DIM)) * spreads[assign]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(N_VECS), type=pa.int64()),
+            "embedding": pa.array(
+                x.astype("float32").tolist(),
+                type=pa.list_(pa.float32()),
+            ),
+            # label = true cluster id: lets the per-label serving
+            # queries group meaningfully on this corpus too
+            "label": pa.array(assign.astype("int32"), type=pa.int32()),
+        }
+    )
+    papq.write_table(tbl, os.path.join(OUT_DIR, "embeddings.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return OUT_DIR
+
+
+def main() -> None:
+    from apache_spark_irs_form_990_spark import registry
+    from apache_spark_irs_form_990_spark.session import get_session
+    from scripts.scale_step import measure_pq_budget
+
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "r10"
+    spark = get_session(app_name="clustered_fixture")
+    fdir = synthesize()
+
+    result: dict = {
+        "fixture": {
+            "n_vecs": N_VECS,
+            "n_clusters": N_CLUSTERS,
+            "dim": DIM,
+            "seed": SEED,
+            "spread_range": [0.05, 0.5],
+            "note": (
+                "mixture of 64 axis-aligned anisotropic Gaussians; the "
+                "corpus-shaped counterpart of the near-isotropic default "
+                "fixture — compare against SCALE_STEP pq_budget_sf1"
+            ),
+        }
+    }
+    # the identical K=64 / K=256 train->encode->ADC->re-rank chain the
+    # isotropic sf1 study runs (shared helpers, shared integer metric)
+    result["pq_budget_clustered"] = measure_pq_budget(spark, fdir)
+
+    qs = registry.queries()
+    for name in ("sim_pq_recall_at_k", "sim_ivf_recall_audit"):
+        try:
+            rows = qs[name](spark, fdir).collect()
+            result[name] = [r.asDict() for r in rows]
+        except Exception as exc:  # noqa: BLE001
+            result[name] = f"error: {exc}"[:300]
+
+    path = os.path.join(REPO_ROOT, f"PQ_CLUSTERED_{rnd}.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1, default=str)
+    print(json.dumps(result, indent=1, default=str))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

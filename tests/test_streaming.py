@@ -4,6 +4,9 @@ stateful dedup exactness, session shape)."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
 from apache_spark_irs_form_990_spark import registry
@@ -223,3 +226,170 @@ def test_stream_ann_probe_matches_batch_query(spark):
         tuple(r) for r in sim_ann_batch_query(spark, SF_DIR).collect()
     )
     assert streamed == batch and len(streamed) > 0
+
+
+def _stage_chunk(spark, root, chunk_df):
+    """Append one chronological chunk as a single file (distinct
+    mtime, so the file source replays arrivals in order)."""
+    import time
+
+    chunk_df.coalesce(1).write.mode("append").parquet(root)
+    time.sleep(1.1)
+
+
+def _four_chunks(spark):
+    from pyspark.sql import Window
+
+    ev = load(spark, SMOKE_SF_DIR, "events")
+    w = Window.orderBy("ts")
+    chunked = ev.withColumn("chunk", F.ntile(4).over(w))
+    return [
+        chunked.filter(F.col("chunk") == i).drop("chunk") for i in range(1, 5)
+    ]
+
+
+def _counted(df):
+    """Multiset of rows — catches duplicates, not just missing rows."""
+    from collections import Counter
+
+    return Counter(tuple(r) for r in df.collect())
+
+
+def test_crash_recovery_file_sink_exactly_once(spark, tmp_path):
+    """KILL-AND-RESTART exactly-once, file-sink path (VERDICT r9
+    task 4): the query stops after batch N (checkpoint holds the
+    committed offsets + watermark state), more data arrives, the
+    RESTARTED query resumes from the checkpoint — and the final sink
+    is byte-for-byte the uninterrupted run's sink: no lost windows,
+    no duplicated emissions (multiset compare, not set compare)."""
+    chunks = _four_chunks(spark)
+    ev_schema = load(spark, SMOKE_SF_DIR, "events").schema
+
+    def run(src_root, out, cp):
+        stream = (
+            spark.readStream.schema(ev_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_root)
+        )
+        q = (
+            _tumbling_append(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # interrupted: 2 chunks -> stop -> 2 more chunks -> restart
+    src_a = str(tmp_path / "src_a")
+    out_a, cp_a = str(tmp_path / "out_a"), str(tmp_path / "cp_a")
+    for c in chunks[:2]:
+        _stage_chunk(spark, src_a, c)
+    run(src_a, out_a, cp_a)  # "crash" between batches: query exits here
+    for c in chunks[2:]:
+        _stage_chunk(spark, src_a, c)
+    run(src_a, out_a, cp_a)  # restart from the same checkpoint
+
+    # uninterrupted twin over identical arrivals
+    src_b = str(tmp_path / "src_b")
+    out_b, cp_b = str(tmp_path / "out_b"), str(tmp_path / "cp_b")
+    for c in chunks:
+        _stage_chunk(spark, src_b, c)
+    run(src_b, out_b, cp_b)
+
+    got = _counted(spark.read.parquet(out_a))
+    want = _counted(spark.read.parquet(out_b))
+    assert got == want
+    assert sum(got.values()) > 0
+
+
+def test_crash_recovery_foreachbatch_idempotent_redelivery(spark, tmp_path):
+    """Kill MID-BATCH on the foreachBatch path: the sink fn tears a
+    partial write for batch 1 and dies before the checkpoint commits;
+    the restart RE-DELIVERS batch 1 under the SAME batch_id (the
+    exactly-once contract the checkpoint exists for), and the
+    batch_id-keyed idempotent write heals the torn output — final
+    sink equals the uninterrupted run byte-for-byte."""
+    import glob
+    import json as _json
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    chunks = _four_chunks(spark)
+    ev_schema = load(spark, SMOKE_SF_DIR, "events").schema
+
+    def agg_stream(src_root):
+        stream = (
+            spark.readStream.schema(ev_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_root)
+        )
+        return stream.groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+    def make_sink(out_dir, crash_on=None, crashed=None, deliveries=None):
+        def sink(df, bid):
+            rows = sorted(
+                (r["event_type"], r["cnt"]) for r in df.collect()
+            )
+            if deliveries is not None:
+                deliveries.append((bid, rows))
+            path = os.path.join(out_dir, f"batch-{bid}.json")
+            if crash_on == bid and crashed is not None and not crashed:
+                with open(path, "w") as f:  # torn write: half the rows
+                    _json.dump(rows[: len(rows) // 2], f)
+                crashed.append(bid)
+                raise RuntimeError("injected crash mid-batch")
+            with open(path, "w") as f:  # idempotent: keyed by batch_id
+                _json.dump(rows, f)
+
+        return sink
+
+    def run(src_root, out_dir, cp, sink):
+        os.makedirs(out_dir, exist_ok=True)
+        q = (
+            agg_stream(src_root)
+            .writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    src = str(tmp_path / "src")
+    for c in chunks:
+        _stage_chunk(spark, src, c)
+
+    # run 1 crashes inside batch 1 (after batch 0 committed)
+    out_a, cp_a = str(tmp_path / "out_a"), str(tmp_path / "cp_a")
+    crashed, deliveries = [], []
+    with pytest.raises(StreamingQueryException):
+        run(
+            src,
+            out_a,
+            cp_a,
+            make_sink(out_a, crash_on=1, crashed=crashed, deliveries=deliveries),
+        )
+    assert crashed == [1]  # died mid-batch with a torn file on disk
+
+    # restart: batch 1 must be re-delivered with the SAME id + data
+    run(src, out_a, cp_a, make_sink(out_a, deliveries=deliveries))
+    b1 = [rows for bid, rows in deliveries if bid == 1]
+    assert len(b1) == 2 and b1[0] == b1[1]
+
+    # uninterrupted twin
+    out_b, cp_b = str(tmp_path / "out_b"), str(tmp_path / "cp_b")
+    run(src, out_b, cp_b, make_sink(out_b))
+
+    def final(out_dir):
+        last = max(
+            glob.glob(os.path.join(out_dir, "batch-*.json")),
+            key=lambda p: int(os.path.basename(p)[6:-5]),
+        )
+        with open(last) as f:
+            return _json.load(f)
+
+    assert final(out_a) == final(out_b)
+    assert len(final(out_a)) > 0
