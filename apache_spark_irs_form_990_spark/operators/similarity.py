@@ -3154,6 +3154,22 @@ def sim_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     plumbing end-to-end; it does NOT claim the raw-ADC number is what
     PQ delivers on real embeddings.
 
+    MEASURED on corpus-shaped data (r10, PQ_CLUSTERED_r10.json —
+    scripts/clustered_fixture.py, a 64-cluster anisotropic
+    mixture-of-Gaussians at sf1 scale): the hypothesis "clustered
+    data lifts top-k overlap into the cited band" is REFUTED for this
+    metric — K=256 re-ranked recall@10 is 55.0% (vs 54.0% isotropic),
+    because ~312 near-equidistant co-cluster members make exact-top-10
+    membership a tie-breaking contest. The operational metric tells
+    the real story: CLUSTER-PRECISION of the K=256 re-ranked top-10 is
+    1.0000 — identical to the exact yardstick's 1.0000 — i.e. the
+    served list retrieves exactly the right cluster every time, and
+    the overlap shortfall is entirely within-cluster tie shuffling
+    (and sim_ivf_recall_audit reads 1.0 on the same corpus). Top-k
+    overlap against an exact list is the WRONG ceiling to chase on
+    densely clustered corpora; retrieval correctness is the right
+    one, and the ladder meets it.
+
     Scale shape: identical to [[sim_pq_trained_adc_audit]] — bounded
     training slice, broadcast codebooks, one window top-k per compare;
     the (e.rn <= k AND p.rn <= k) grid join is a 2-row broadcast."""

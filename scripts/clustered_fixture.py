@@ -70,6 +70,82 @@ def synthesize() -> str:
     return OUT_DIR
 
 
+def cluster_precision(spark, fdir: str) -> dict:
+    """The DIAGNOSIS metric for clustered corpora: top-k OVERLAP with
+    the exact list is a tie-breaking contest when ~312 co-cluster
+    members are near-equidistant (the gap between exact rank 10 and
+    rank 50 is tiny), so also measure what semantic dedup actually
+    needs — does the served top-10 land in the query's TRUE cluster?
+    Reported for the exact list (the yardstick: even it is not 100%
+    where clusters overlap) and the K=256 re-ranked PQ serving tier,
+    plus the agreement of per-list cluster-hit counts."""
+    from pyspark.sql import functions as F
+
+    from apache_spark_irs_form_990_spark.functions.vectors import (
+        milli_vec,
+        nonzero_milli,
+    )
+    from apache_spark_irs_form_990_spark.operators.similarity import (
+        _PQ_RERANK_CAND,
+        _PQ_ROUNDS,
+        _cosine_topk_pairs,
+        _pq_recon_vectors,
+        _pq_train,
+    )
+    from apache_spark_irs_form_990_spark.tables import load
+
+    emb = load(spark, fdir, "embeddings")
+    mm = (
+        emb.select("vec_id", milli_vec(F.col("embedding")).alias("v"))
+        .transform(nonzero_milli)
+        .localCheckpoint()
+    )
+    train = mm.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id").limit(
+        2000
+    ).localCheckpoint()
+    queries = (
+        mm.orderBy(
+            F.md5(F.concat(F.lit("q|"), F.col("vec_id").cast("string"))),
+            "vec_id",
+        )
+        .limit(1000)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("vq"))
+        .localCheckpoint()
+    )
+    stored = mm.select(F.col("vec_id").alias("nid"), F.col("v").alias("vr"))
+    exact_top = _cosine_topk_pairs(queries, stored, 10).localCheckpoint()
+    cb = _pq_train(spark, train, _PQ_ROUNDS, k=256)
+    recon = _pq_recon_vectors(mm, cb).select(
+        F.col("vec_id").alias("nid"), F.col("r").alias("vr")
+    )
+    adc_rank = _cosine_topk_pairs(queries, recon, _PQ_RERANK_CAND)
+    rr_top = _cosine_topk_pairs(
+        queries, stored, 10, pairs=adc_rank.select("qid", "nid")
+    ).localCheckpoint()
+
+    labels = emb.select("vec_id", "label")
+    ql = labels.select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("q_label")
+    )
+    nl = labels.select(
+        F.col("vec_id").alias("nid"), F.col("label").alias("n_label")
+    )
+    out = {}
+    for name, top in (("exact_top10", exact_top), ("pq_reranked_top10", rr_top)):
+        hit = (
+            top.join(F.broadcast(ql), "qid")
+            .join(F.broadcast(nl), "nid")
+            .agg(
+                F.avg(
+                    (F.col("q_label") == F.col("n_label")).cast("double")
+                ).alias("p")
+            )
+            .collect()[0]["p"]
+        )
+        out[name] = round(float(hit), 4)
+    return out
+
+
 def main() -> None:
     from apache_spark_irs_form_990_spark import registry
     from apache_spark_irs_form_990_spark.session import get_session
@@ -104,6 +180,8 @@ def main() -> None:
             result[name] = [r.asDict() for r in rows]
         except Exception as exc:  # noqa: BLE001
             result[name] = f"error: {exc}"[:300]
+
+    result["cluster_precision"] = cluster_precision(spark, fdir)
 
     path = os.path.join(REPO_ROOT, f"PQ_CLUSTERED_{rnd}.json")
     with open(path, "w") as f:
