@@ -4,10 +4,14 @@ Spark without a table format (Delta/Iceberg) has no MERGE INTO
 statement, but the *operator* is a join shape: full-outer-join the
 base table with a change set on the key, then resolve per row —
 update wins over base, insert has no base row, delete tombstones drop
-the row. At 100 TB the change set is normally <<1% of the base, so the
-join broadcasts the changes and the base never shuffles; the output
-rewrites only the partitions the keys touch (pair with the layout
-module's partitioned writes for that).
+the row. Plan honesty (r10): a FULL OUTER equi-join cannot use a
+broadcast-hash build in Spark (either side may need to emit unmatched
+rows), so the flat form costs one co-partitioned shuffle of base +
+changes — at 100 TB the way to avoid shuffling the base is to bound
+WHAT the merge reads, not the join strategy: the commit-log table
+(`sources/lakehouse.py`, `lakehouse_merge_commitlog`) prunes to the
+files whose key range holds a change key and runs this same resolve
+over that bounded subset.
 
 The whole resolution is one declarative expression — Catalyst sees a
 join + projection, not an imperative row loop — and therefore gets an
@@ -28,17 +32,21 @@ def merge_apply(
     changes: DataFrame,
     key: str,
     op_col: str = "op",
-    broadcast_changes: bool = True,
 ) -> DataFrame:
     """Apply a change set (op ∈ {'U','I','D'}) to `base` on `key`.
 
     Semantics: 'D' removes the keyed row; 'U'/'I' replace-or-add the
     row with the change's payload columns (same schema as base).
     Unknown keys with 'U' behave as upserts — the CDC-friendly choice.
+
+    No broadcast hint: broadcast-hash builds don't support FULL OUTER
+    joins, so the previous hint was silently discarded (HintErrorLogger
+    warning, found r10) while the docstring claimed a broadcast plan —
+    the join is a co-partitioned shuffle by design; see the module
+    docstring for how the lakehouse path bounds its input instead.
     """
     payload = [c for c in base.columns if c != key]
-    ch = F.broadcast(changes) if broadcast_changes else changes
-    joined = base.alias("b").join(ch.alias("c"), on=key, how="full")
+    joined = base.alias("b").join(changes.alias("c"), on=key, how="full")
     keep: Column = F.col(f"c.{op_col}").isNull() | (F.col(f"c.{op_col}") != "D")
     picked = [
         F.when(
