@@ -35,7 +35,8 @@ pairwise form (expected 0 under the cap) vs the star form (expected
 ~N_PLANT hub edges) — the recall price and its named mitigation,
 measured.
 
-Writes HOTBAND_r09.json; the adjudication narrative lives in SCALE.md.
+Writes HOTBAND_{round}.json (CLI arg, default r10 — the round-param
+fix of ADVICE r9 applied here too); adjudication narrative in SCALE.md.
 
 Usage: python scripts/hot_band_sweep.py
 """
@@ -240,12 +241,62 @@ def measure_incremental_hot_batch(spark, planted_dir: str) -> dict:
         ).count()
     )
     out["batch_planted_attached"] = attached
+    return out, sdir
+
+
+def measure_incremental_hot_delete(spark, sdir: str) -> dict:
+    """The TAKEDOWN under a megacluster (r10): delete 4,950 of the
+    5,000 planted docs from the standing state. This is the delete
+    path's adversarial extreme — the megacluster's whole vocabulary
+    (df ≈ 5,001 >> cap) falls back UNDER the cap, so every surviving
+    copy gains its shingles back, the affected set is the planted
+    component's remnant, and the re-cluster must RESTORE the edges the
+    cap had suppressed: the ~50 surviving copies (plus the seed
+    original) coalesce into one genuine cluster that the pre-delete
+    state deliberately kept as singletons. Bounds measured: the
+    crossing probe is O(Σ df' ≤ cap) per crossing shingle, the
+    re-cluster O(affected mass) — both flat in N_PLANT."""
+    from apache_spark_irs_form_990_spark.operators.incremental import (
+        _DF_CAP,
+        apply_delete_batch,
+        scratch_state_dir,
+    )
+
+    out: dict = {}
+    deletes = spark.range(4950).select(
+        (F.col("id") + 50_000_000).alias("doc_id")
+    )
+    s2 = scratch_state_dir("hotdelete")
+    t0 = time.perf_counter()
+    labels = apply_delete_batch(
+        spark, sdir, deletes, out_state_dir=s2
+    ).localCheckpoint()
+    out["hot_delete_s"] = round(time.perf_counter() - t0, 3)
+    df1 = spark.read.parquet(os.path.join(sdir, "shingle_df"))
+    df2 = spark.read.parquet(os.path.join(s2, "shingle_df"))
+    out["cap_crossing_shingles"] = (
+        df1.filter(F.col("df") > _DF_CAP)
+        .select("shingle")
+        .join(df2.filter(F.col("df") <= _DF_CAP).select("shingle"), "shingle")
+        .count()
+    )
+    # the restored cluster: component sizes over surviving planted ids
+    surv = labels.filter(F.col("id") >= 50_000_000)
+    out["surviving_planted_docs"] = surv.count()
+    comp_of_planted = (
+        surv.groupBy("component").agg(F.count("*").alias("n")).collect()
+    )
+    out["planted_components_after_delete"] = len(comp_of_planted)
+    out["largest_planted_component"] = max(
+        (r["n"] for r in comp_of_planted), default=0
+    )
     return out
 
 
 def main() -> None:
     from apache_spark_irs_form_990_spark.session import get_session
 
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "r10"
     spark = get_session(app_name="hot_band_sweep")
     planted = synthesize_planted(spark)
     rows = [measure(spark, BASE), measure(spark, planted)]
@@ -253,11 +304,16 @@ def main() -> None:
     # write the expensive two-corpus sweep FIRST: a failure in the
     # appended incremental step must not discard minutes of completed
     # measurement (r9 self-review finding)
-    path = os.path.join(REPO_ROOT, "HOTBAND_r09.json")
+    path = os.path.join(REPO_ROOT, f"HOTBAND_{rnd}.json")
     with open(path, "w") as f:
         json.dump(result, f, indent=1)
-    result["incremental_hot_batch"] = measure_incremental_hot_batch(
-        spark, planted
+    hot, sdir = measure_incremental_hot_batch(spark, planted)
+    result["incremental_hot_batch"] = hot
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+    # r10: the takedown twin, reusing the hot batch's standing state
+    result["incremental_hot_delete"] = measure_incremental_hot_delete(
+        spark, sdir
     )
     with open(path, "w") as f:
         json.dump(result, f, indent=1)
