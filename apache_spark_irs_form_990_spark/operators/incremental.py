@@ -261,18 +261,22 @@ def apply_batch(
     # over the cap by the batch corrects to n=0 — a from-scratch
     # recount emits NO row for it, and the rolled-forward state must
     # stay byte-equivalent to the nightly writer's format (r9
-    # self-review finding)
-    # no broadcast hint on corr (ADVICE r9): its row bound is
-    # #distinct standing docs holding a cap-crossing shingle — up to
-    # ~cap x |batch vocabulary|, which a very large batch could push
-    # past driver/broadcast capacity; AQE picks broadcast itself
-    # whenever corr is actually small
+    # self-review finding).
+    # UNION-AGGREGATE, not a join (r10): the correction frame corr is
+    # bounded by ~cap x |batch vocabulary| — too big to blindly
+    # broadcast (ADVICE r9) — and at sf10 the AQE shuffle-join
+    # replacement fed connected_components_star a plan whose
+    # localCheckpoint tripped Spark's "PartitioningCollection requires
+    # all of its partitionings have the same numPartitions" (found by
+    # the r10 sweep; invisible at small SF where AQE auto-broadcasts).
+    # Every corr doc has >=1 under-cap shingle, so corr docs are a
+    # subset of sizes1 docs and the left-join-minus IS a summed union:
+    # one map-side-combinable shuffle, no broadcast decision at all.
     sizes_s = (
-        sizes1.join(corr, "doc_id", "left")
-        .select(
-            "doc_id",
-            (F.col("n") - F.coalesce(F.col("c"), F.lit(0))).alias("n"),
-        )
+        sizes1.select("doc_id", "n")
+        .unionByName(corr.select("doc_id", (-F.col("c")).alias("n")))
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("n"))
         .filter(F.col("n") > 0)
     )
     sizes_u = sizes_s.unionByName(sizes_b)
@@ -552,15 +556,15 @@ def apply_delete_batch(
         .localCheckpoint()
     )
     sizes_kept = sizes1.join(F.broadcast(dset), "doc_id", "anti")
-    # full outer: a doc absent from sizes (zero eligible shingles)
-    # can enter via gains; gains is crossing-vocab x <=cap bounded,
-    # not broadcast-hinted (the ADVICE r9 corr lesson) — AQE decides
+    # union-aggregate, not an outer join (same reasoning as the add
+    # path's sizes_s, r10): a doc absent from sizes (zero eligible
+    # shingles) enters via its gains row; one summed shuffle, no
+    # broadcast decision, no PartitioningCollection-prone join shape
     sizes2 = (
-        sizes_kept.join(gains, "doc_id", "outer")
-        .select(
-            "doc_id",
-            (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("g"), F.lit(0))).alias("n"),
-        )
+        sizes_kept.select("doc_id", "n")
+        .unionByName(gains.select("doc_id", F.col("g").alias("n")))
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("n"))
         .filter(F.col("n") > 0)
     )
 

@@ -803,23 +803,28 @@ def main() -> None:
     )
     sf1 = synthesize_sf1(spark)
     sf10 = synthesize_sf10(spark)
-    rows = [
-        measure(spark, "/root/testdata/sf0.01"),
-        measure(spark, "/root/testdata/sf0.1"),
-        measure(spark, sf1),
-    ]
-    at_scale = measure_at_scale(spark, sf10)
-    pq_budget = measure_pq_budget(spark, sf1)
+    path = os.path.join(REPO_ROOT, f"SCALE_STEP_{rnd}.json")
     result = {
         "queries": QUERIES,
         "at_scale_queries": AT_SCALE_QUERIES,
-        "steps": rows,
-        "at_scale_step": at_scale,
-        "pq_budget_sf1": pq_budget,
+        "steps": [],
     }
-    path = os.path.join(REPO_ROOT, f"SCALE_STEP_{rnd}.json")
-    with open(path, "w") as f:
-        json.dump(result, f, indent=1)
+
+    def dump() -> None:
+        # dump after EVERY completed phase: a crash in a late phase
+        # must not discard an hour of completed measurement (the
+        # hot_band_sweep r9 finding, applied here after the r10 sweep
+        # lost its first run to exactly that)
+        with open(path, "w") as f:
+            json.dump(result, f, indent=1)
+
+    for d in ("/root/testdata/sf0.01", "/root/testdata/sf0.1", sf1):
+        result["steps"].append(measure(spark, d))
+        dump()
+    result["at_scale_step"] = measure_at_scale(spark, sf10)
+    dump()
+    result["pq_budget_sf1"] = measure_pq_budget(spark, sf1)
+    dump()
     print(json.dumps(result, indent=1))
     print(f"wrote {path}")
 
