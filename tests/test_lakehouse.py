@@ -229,3 +229,71 @@ print(f"committed at {v}")
     assert (3, "WRITER_A", 9) in got
     assert (20, "WRITER_B", 9) in got
     assert len(got) == len(_rows(_nation(spark)))  # no dup, no loss
+
+
+def test_streaming_foreachbatch_merge_sink_exactly_once(spark, tmp_path):
+    """The capstone of tasks 1+4: a STREAM lands CDC batches into the
+    commit-log table via foreachBatch(merge_into), and the crash falls
+    in the nastiest window — AFTER the table commit, BEFORE the
+    checkpoint commit. The restart re-delivers the in-flight batch and
+    merge_into applies it AGAIN; exactly-once must emerge from MERGE
+    idempotence (re-applying the same U/I/D set is a semantic no-op),
+    so the final table equals the uninterrupted expectation while the
+    log honestly records the duplicate delivery as an extra version."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    path = str(tmp_path / "t")
+    create_table(spark, path, _nation(spark), key="n_nationkey", n_files=4)
+
+    # two chronological CDC chunks: batch 0 updates keys 1,2; batch 1
+    # updates keys 7,9 and deletes key 14
+    src = str(tmp_path / "cdc")
+    chunks = [
+        [(1, "U", "S1", 7), (2, "U", "S2", 7)],
+        [(7, "U", "S7", 7), (9, "U", "S9", 7), (14, "D", None, None)],
+    ]
+    schema = "n_nationkey int, op string, n_name string, n_regionkey long"
+    import time as _t
+
+    for c in chunks:
+        spark.createDataFrame(c, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _t.sleep(1.1)
+
+    crash_marker = str(tmp_path / "crashed_once")
+
+    def sink(df, bid):
+        if df.isEmpty():
+            return
+        merge_into(spark, path, df)  # the table commit lands...
+        if bid == 1 and not os.path.exists(crash_marker):
+            with open(crash_marker, "w") as f:
+                f.write("")
+            raise RuntimeError("crash AFTER table commit, BEFORE checkpoint")
+
+    def run():
+        q = (
+            spark.readStream.schema(spark.createDataFrame([], schema).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(StreamingQueryException):
+        run()
+    v_crash = latest_version(path)  # batch 1's merge DID commit
+    run()  # restart: batch 1 re-delivered, merged again (idempotent)
+    assert latest_version(path) == v_crash + 1  # the duplicate is logged
+
+    want = {
+        (k, {1: "S1", 2: "S2", 7: "S7", 9: "S9"}.get(k, n),
+         7 if k in (1, 2, 7, 9) else r)
+        for (k, n, r) in _rows(_nation(spark))
+        if k != 14
+    }
+    assert _rows(read_snapshot(spark, path)) == want
