@@ -196,7 +196,9 @@ def _touched_files(
 ) -> list[str]:
     """Files whose [min, max] key range holds at least one change key.
     Computed as one broadcast range-join of the (metadata-sized) file
-    list against the change keys — never collecting the change set."""
+    list against the change keys — never collecting the change set.
+    Integer merge keys only (the stats frame is typed long); a string-
+    keyed table would need the schema derived from the stats values."""
     stats = spark.createDataFrame(
         [(rel, s["lo"], s["hi"]) for rel, s in live.items()],
         "rel string, lo long, hi long",
