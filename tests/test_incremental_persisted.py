@@ -280,3 +280,37 @@ def test_state_cluster_histogram_tracks_deletes(spark, tmp_path):
         for r in state_cluster_histogram(spark, truth_dir).collect()
     }
     assert got == want
+
+
+def test_delete_edge_cases(spark, tmp_path):
+    """Two takedown edges: deleting ids that don't exist is a no-op
+    (state tables and labels byte-identical — a replayed tombstone
+    batch must not drift the state), and deleting the ENTIRE corpus
+    (a whole-source license revocation) returns an empty label set
+    without erroring."""
+    from apache_spark_irs_form_990_spark.operators.incremental import (
+        apply_delete_batch,
+    )
+
+    words = [f"w{i}" for i in range(1, 21)]
+    corpus = spark.createDataFrame(
+        [(1, " ".join(words[0:14])), (2, " ".join(words)), (3, " ".join(words[6:20]))],
+        "doc_id long, text string",
+    )
+    sdir = str(tmp_path / "state")
+    write_standing_state(spark, corpus, sdir)
+    before_labels = _d(spark.read.parquet(f"{sdir}/labels"))
+
+    # nonexistent ids: full no-op
+    ghosts = spark.createDataFrame([(99,), (100,)], "doc_id long")
+    out1 = str(tmp_path / "after_ghosts")
+    got = _d(apply_delete_batch(spark, sdir, ghosts, out_state_dir=out1))
+    assert got == before_labels
+    for tbl in ("shingle_df", "sizes"):
+        a = {tuple(r) for r in spark.read.parquet(f"{sdir}/{tbl}").collect()}
+        b = {tuple(r) for r in spark.read.parquet(f"{out1}/{tbl}").collect()}
+        assert a == b, tbl
+
+    # total takedown: empty survivor set, no error
+    everyone = corpus.select("doc_id")
+    assert apply_delete_batch(spark, sdir, everyone).count() == 0
