@@ -30,10 +30,12 @@ from apache_spark_irs_form_990_spark.tables import load
 def merge_apply(
     base: DataFrame,
     changes: DataFrame,
-    key: str,
+    key,
     op_col: str = "op",
 ) -> DataFrame:
-    """Apply a change set (op ∈ {'U','I','D'}) to `base` on `key`.
+    """Apply a change set (op ∈ {'U','I','D'}) to `base` on `key`
+    (one column name or a list — composite keys join on every
+    component, r11 for the lakehouse's partitioned/composite tables).
 
     Semantics: 'D' removes the keyed row; 'U'/'I' replace-or-add the
     row with the change's payload columns (same schema as base).
@@ -45,8 +47,9 @@ def merge_apply(
     the join is a co-partitioned shuffle by design; see the module
     docstring for how the lakehouse path bounds its input instead.
     """
-    payload = [c for c in base.columns if c != key]
-    joined = base.alias("b").join(changes.alias("c"), on=key, how="full")
+    keys = [key] if isinstance(key, str) else list(key)
+    payload = [c for c in base.columns if c not in keys]
+    joined = base.alias("b").join(changes.alias("c"), on=keys, how="full")
     keep: Column = F.col(f"c.{op_col}").isNull() | (F.col(f"c.{op_col}") != "D")
     picked = [
         F.when(
@@ -54,7 +57,7 @@ def merge_apply(
         ).otherwise(F.col(f"b.{p}")).alias(p)
         for p in payload
     ]
-    return joined.filter(keep).select(F.col(key), *picked)
+    return joined.filter(keep).select(*[F.col(k) for k in keys], *picked)
 
 
 @register(

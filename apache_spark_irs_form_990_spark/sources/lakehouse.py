@@ -1,6 +1,8 @@
 """Engine-native commit-log table — minimal snapshot-isolated ACID
 tables over parquet (SURVEY.md §7 M9 made EXECUTABLE, VERDICT r9
-task 1).
+task 1; production posture completed r11: typed/composite merge keys,
+partitioned layout with manifest pruning, VACUUM/retention, file-level
+conflict detection, compaction retry, empty-table reads).
 
 The sandbox ships neither Delta nor Iceberg, but the repo already
 owns every ingredient a log-structured table format is made of (the
@@ -10,7 +12,7 @@ the real thing:
 
   table_dir/
     _commits/00000000.json ...   the COMMIT LOG: one JSON per version,
-                                 {added: [...], removed: [...], stats}
+                                 {added: {...}, removed: [...], stats}
     d-<uuid>/part-*.parquet      immutable data subdirs, one per commit
 
 Snapshot isolation falls out of three properties:
@@ -19,48 +21,73 @@ Snapshot isolation falls out of three properties:
     marks old files removed; the live set at version V is the replay
     of commits 0..V (added minus removed), so `read_snapshot(path, V)`
     is time travel for free and a reader holding version V can never
-    see a torn write (files it references are never mutated).
+    see a torn write (files it references are never mutated — until a
+    VACUUM horizon expires the version, which is recorded in the log
+    and turned into a clean `SnapshotExpired` refusal, never a stale
+    read).
   * the commit itself is one `os.link(tmp, _commits/{V+1}.json)` —
     link fails with EEXIST if ANY other writer claimed that version,
     which is the whole optimistic-concurrency protocol: detect the
-    advanced log, re-plan against the new snapshot, retry (the
-    `merge_into` loop; `CommitConflict` surfaces when retries run
-    out). No locks, no coordinator — the same protocol Delta runs on
-    its _delta_log, expressed in 30 lines.
+    advanced log, decide whether the intervening commits LOGICALLY
+    conflict (Delta-style file-level detection, r11: disjoint commits
+    skip straight to the next version without re-planning; an
+    overlapping commit forces a re-plan against the new snapshot),
+    retry up to the attempt budget (`CommitConflict` surfaces when it
+    runs out). No locks, no coordinator — the same protocol Delta
+    runs on its _delta_log, expressed in ~60 lines.
   * staged-but-uncommitted subdirs are INVISIBLE: readers list files
     from the log, never from the directory, so an aborted writer
-    leaves garbage bytes but no torn table
-    (tests/test_lakehouse.py pins both conflict and abort).
+    leaves garbage bytes but no torn table; a CONFLICTED writer now
+    rmtree's its own orphaned staging before re-planning (ADVICE r10)
+    (tests/test_lakehouse.py pins conflict, abort, and cleanup).
 
 MERGE INTO rewrites ONLY touched files: the create path writes data
-`repartitionByRange` on the key, the log carries per-file [min, max]
-key stats (gathered with one `input_file_name()` aggregate — the
-manifest pass every table format runs at write time), and the merge
-probes the change keys against those ranges to pick its rewrite set —
-an untouched file's path is carried forward verbatim across versions
-(asserted by test). At 100 TB this is the difference between a
-nightly MERGE costing O(changed partitions) and O(table).
+`repartitionByRange` on the key columns, the log carries per-file
+[min, max] stats FOR EVERY KEY COLUMN in the key's own type (r11 —
+previously hardcoded `long`, so string/date/composite keys failed at
+merge time; ADVICE r10 asked for the fail-fast which `create_table`
+now also has), and the merge probes the change keys against those
+ranges (a conjunction of per-column interval tests — the same
+conservative zone-map pruning parquet row-group stats run on) to pick
+its rewrite set — an untouched file's path is carried forward
+verbatim across versions (asserted by test). For a PARTITIONED table
+the partition column is the leading key column and the create/compact
+paths write one range-partitioned file set per partition value, so
+every file's partition stats pin lo == hi == value and a single-
+partition merge provably reads only that partition's files
+([[lakehouse_partition_prune_merge]] asserts it from the manifest).
+At 100 TB this is the difference between a nightly MERGE costing
+O(changed partitions) and O(table).
 
-Compaction (VERDICT r9 task 3) is then just a commit whose added
-files hold exactly the removed files' rows — `compact_table` rewrites
-the live set to the 128 MB planner's file count without changing a
-row; see also `layout_compact_binpack` (sources/layout.py) for the
-plain-directory form.
+Compaction is a commit whose added files hold exactly the removed
+files' rows — `compact_table` rewrites the live set to the 128 MB
+planner's file count without changing a row, and since r11 retries
+through conflicts like `merge_into` (a maintenance job must survive a
+concurrent writer; VERDICT r10 task 3). `vacuum_table` (r11, VERDICT
+r10 task 2) closes the storage loop: it commits a retention horizon,
+then physically deletes every data file unreachable from the retained
+version window — which is what makes a takedown (`merge_into` op='D'
++ VACUUM) actually remove bytes from disk, the compliance half of the
+r10 delete path.
 
 Provenance: the reference overwrite-rebuilds one managed table per
 run (IRSSpark.py:183-188); the commit log is the 100 TB upgrade of
-that sink contract (mutate in place, read any point in time).
+that sink contract (mutate in place, read any point in time, reclaim
+what retention allows).
 """
 
 from __future__ import annotations
 
+import datetime
 import hashlib
 import json
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from apache_spark_irs_form_990_spark.functions.scratch import ScratchDirs
 from apache_spark_irs_form_990_spark.operators.merge import merge_apply
@@ -69,9 +96,20 @@ from apache_spark_irs_form_990_spark.tables import load
 
 _TABLE_DIRS = ScratchDirs("spark990_lakehouse")
 
+# Key types the per-file zone-map stats support: orderable, exactly
+# JSON-roundtrippable (floats are neither a sane merge key nor safe to
+# range-compare after a JSON hop; timestamps would need TZ discipline
+# the manifest doesn't carry). create_table fails fast on anything
+# else (ADVICE r10).
+_SUPPORTED_KEY_TYPES = {"tinyint", "smallint", "int", "bigint", "string", "date"}
+
 
 class CommitConflict(RuntimeError):
     """Another writer committed the version this writer planned for."""
+
+
+class SnapshotExpired(RuntimeError):
+    """The requested version predates the table's VACUUM horizon."""
 
 
 def _commits_dir(path: str) -> str:
@@ -100,13 +138,44 @@ def _read_commit(path: str, version: int) -> dict:
         return json.load(f)
 
 
+def table_meta(path: str) -> dict:
+    """Commit 0's table metadata: key columns, key types, optional
+    partition column, and the table schema (JSON StructType)."""
+    c0 = _read_commit(path, 0)
+    return {
+        "key": _key_cols(c0.get("key")),
+        "key_types": c0.get("key_types"),
+        "partition_by": c0.get("partition_by"),
+        "schema": c0.get("schema"),
+    }
+
+
+def vacuum_horizon(path: str) -> int:
+    """Earliest version still readable: the max horizon any VACUUM
+    commit recorded (0 if never vacuumed). One metadata-sized pass
+    over the commit log — the same cost as a snapshot replay."""
+    h = 0
+    for v in range(latest_version(path) + 1):
+        c = _read_commit(path, v)
+        if c.get("op") == "vacuum":
+            h = max(h, int(c.get("horizon", 0)))
+    return h
+
+
 def snapshot_files(path: str, version: int | None = None) -> dict:
     """Replay the log through ``version`` (default: latest) → the live
     file set: {relpath: stats}. Metadata-sized driver work, exactly
-    like any table format's manifest resolution."""
+    like any table format's manifest resolution. Raises
+    ``SnapshotExpired`` below the VACUUM horizon — the files may be
+    physically gone, and a clean refusal beats a torn read."""
     v = latest_version(path) if version is None else version
     if v < 0 or not os.path.exists(_commit_path(path, v)):
         raise FileNotFoundError(f"no commit {version} in {path}")
+    if v < vacuum_horizon(path):
+        raise SnapshotExpired(
+            f"version {v} of {path} predates the vacuum horizon "
+            f"{vacuum_horizon(path)}; its data files may be deleted"
+        )
     live: dict = {}
     for i in range(v + 1):
         c = _read_commit(path, i)
@@ -135,81 +204,210 @@ def _try_commit(path: str, version: int, payload: dict) -> None:
         os.unlink(tmp)
 
 
+def _key_cols(key) -> list[str]:
+    """Normalize a key spec (column name or list of names) to a list."""
+    return [key] if isinstance(key, str) else list(key)
+
+
+def _validated_key_types(df: DataFrame, keys: list[str]) -> list[str]:
+    """Spark simple type string per key column; fail FAST on a type
+    the manifest stats can't range-compare (ADVICE r10: previously a
+    string-keyed create succeeded and the first merge crashed)."""
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    types = []
+    for k in keys:
+        if k not in by_name:
+            raise ValueError(f"key column {k!r} not in schema {sorted(by_name)}")
+        if by_name[k] not in _SUPPORTED_KEY_TYPES:
+            raise ValueError(
+                f"unsupported merge-key type {by_name[k]!r} for column "
+                f"{k!r}: supported = {sorted(_SUPPORTED_KEY_TYPES)}"
+            )
+        types.append(by_name[k])
+    return types
+
+
+def _json_stat(v):
+    return v.isoformat() if isinstance(v, datetime.date) else v
+
+
+def _py_stat(v, key_type: str):
+    if key_type == "date" and isinstance(v, str):
+        return datetime.date.fromisoformat(v)
+    return v
+
+
 def _write_data_files(
-    spark: SparkSession, path: str, df: DataFrame, key: str
+    spark: SparkSession, path: str, df: DataFrame, key
 ) -> dict:
     """Stage one immutable data subdir and return {relpath: stats}
-    with per-file [min, max] key ranges + row counts — one
-    `input_file_name()` aggregate over what was just written (the
-    manifest pass). The subdir is INVISIBLE until a commit names it."""
+    with per-file [min, max] ranges FOR EVERY KEY COLUMN plus row
+    counts — one `input_file_name()` aggregate over what was just
+    written (the manifest pass every table format runs at write
+    time). The subdir is INVISIBLE until a commit names it."""
+    keys = _key_cols(key)
     sub = f"d-{uuid.uuid4().hex[:12]}"
     full = os.path.join(path, sub)
     df.write.parquet(full)
+    aggs = []
+    for i, k in enumerate(keys):
+        aggs += [F.min(k).alias(f"lo_{i}"), F.max(k).alias(f"hi_{i}")]
+    aggs.append(F.count(F.lit(1)).alias("rows"))
     stats = (
         spark.read.parquet(full)
         .groupBy(F.input_file_name().alias("f"))
-        .agg(
-            F.min(key).alias("lo"),
-            F.max(key).alias("hi"),
-            F.count(F.lit(1)).alias("rows"),
-        )
+        .agg(*aggs)
         .collect()
     )
     out = {}
     for r in stats:
         rel = os.path.join(sub, os.path.basename(r["f"]))
-        out[rel] = {"lo": r["lo"], "hi": r["hi"], "rows": r["rows"]}
+        out[rel] = {
+            "lo": [_json_stat(r[f"lo_{i}"]) for i in range(len(keys))],
+            "hi": [_json_stat(r[f"hi_{i}"]) for i in range(len(keys))],
+            "rows": r["rows"],
+        }
     return out
+
+
+def _cleanup_staged(path: str, staged: dict) -> None:
+    """Best-effort removal of a conflicted attempt's orphaned staging
+    subdirs (ADVICE r10: every re-plan used to leak one d-<uuid>)."""
+    for sub in {rel.split(os.sep, 1)[0] for rel in staged}:
+        shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
 
 
 def create_table(
     spark: SparkSession,
     path: str,
     df: DataFrame,
-    key: str,
+    key,
     n_files: int = 4,
+    partition_by: str | None = None,
 ) -> int:
-    """Commit 0: range-partition ``df`` on ``key`` into ``n_files``
-    immutable files (disjoint key ranges — what makes MERGE's
-    touched-file pruning selective) and write the first manifest."""
-    added = _write_data_files(
-        spark, path, df.repartitionByRange(n_files, key), key
+    """Commit 0: range-partition ``df`` on the key column(s) into
+    ``n_files`` immutable files (disjoint key ranges — what makes
+    MERGE's touched-file pruning selective) and write the first
+    manifest, which also records the key types and table schema
+    (schema persistence is what keeps an emptied table readable and
+    re-insertable — ADVICE r10).
+
+    ``partition_by`` declares the LEADING key column as the partition
+    column: the write loops once per partition value (a bounded
+    partition-domain collect, the same shape as the sbucket prune)
+    writing ``n_files`` range-partitioned files per value, so every
+    file's partition stats pin lo == hi == value and the merge prunes
+    whole partitions before the key-range probe. The partition column
+    must be part of the merge key — pruning on a mutable payload
+    column would miss a row that changed partitions."""
+    keys = _key_cols(key)
+    key_types = _validated_key_types(df, keys)
+    if partition_by is not None and (not keys or keys[0] != partition_by):
+        raise ValueError(
+            f"partition_by={partition_by!r} must be the leading key "
+            f"column (got key={keys}): partition values take part in "
+            "merge pruning, so they must be row-identity, not payload"
+        )
+    added = _write_partitioned(spark, path, df, keys, partition_by, n_files)
+    _try_commit(
+        path,
+        0,
+        {
+            "op": "create",
+            "key": keys,
+            "key_types": key_types,
+            "partition_by": partition_by,
+            "schema": df.schema.json(),
+            "added": added,
+        },
     )
-    _try_commit(path, 0, {"op": "create", "key": key, "added": added})
     return 0
+
+
+def _write_partitioned(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    keys: list[str],
+    partition_by: str | None,
+    n_files: int,
+) -> dict:
+    """The shared create/compact write path: one staged subdir per
+    partition value (or one total for an unpartitioned table), each
+    range-partitioned on the key columns."""
+    if partition_by is None:
+        return _write_data_files(
+            spark, path, df.repartitionByRange(max(n_files, 1), *keys), keys
+        )
+    rest = keys[1:] or keys
+    vals = sorted(
+        r[0] for r in df.select(partition_by).distinct().collect()
+    )
+    added: dict = {}
+    for v in vals:
+        part = df.filter(F.col(partition_by) == F.lit(v))
+        added.update(
+            _write_data_files(
+                spark, path, part.repartitionByRange(max(n_files, 1), *rest), keys
+            )
+        )
+    return added
 
 
 def read_snapshot(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Time-travel read: the live files of ``version`` (default
-    latest), listed from the LOG — staged/aborted subdirs and
-    files removed by later commits are invisible by construction."""
+    latest), listed from the LOG — staged/aborted subdirs and files
+    removed by later commits are invisible by construction. An EMPTY
+    live set (e.g. a merge deleted every row) returns an empty frame
+    with the schema commit 0 recorded — a valid empty table, not an
+    error (ADVICE r10: previously FileNotFoundError, which made an
+    emptied table permanently unreadable and un-insertable)."""
     live = snapshot_files(path, version)
     if not live:
-        raise FileNotFoundError(f"snapshot of {path} has no live files")
+        schema = StructType.fromJson(json.loads(table_meta(path)["schema"]))
+        return spark.createDataFrame([], schema)
     return spark.read.parquet(*[os.path.join(path, rel) for rel in live])
 
 
 def _touched_files(
-    spark: SparkSession, live: dict, changes: DataFrame, key: str
+    spark: SparkSession,
+    live: dict,
+    changes: DataFrame,
+    keys: list[str],
+    key_types: list[str],
 ) -> list[str]:
-    """Files whose [min, max] key range holds at least one change key.
+    """Files whose per-column [min, max] ranges ALL hold at least one
+    change key — the conservative zone-map conjunction (a file can
+    contain key k only if every component k_i lies inside that file's
+    [lo_i, hi_i]; parquet row-group pruning runs the same test).
     Computed as one broadcast range-join of the (metadata-sized) file
-    list against the change keys — never collecting the change set.
-    Integer merge keys only (the stats frame is typed long); a string-
-    keyed table would need the schema derived from the stats values."""
-    stats = spark.createDataFrame(
-        [(rel, s["lo"], s["hi"]) for rel, s in live.items()],
-        "rel string, lo long, hi long",
-    )
-    hit = (
-        changes.select(F.col(key).alias("k"))
-        .distinct()
-        .join(
-            F.broadcast(stats),
-            (F.col("k") >= F.col("lo")) & (F.col("k") <= F.col("hi")),
+    list against the distinct change keys — never collecting the
+    change set. Typed from the manifest's recorded key types (r11 —
+    string/date/composite keys; previously hardcoded long)."""
+    fields = ["rel string"]
+    for i, t in enumerate(key_types):
+        fields += [f"lo_{i} {t}", f"hi_{i} {t}"]
+    rows = []
+    for rel, s in live.items():
+        row: list = [rel]
+        for i, t in enumerate(key_types):
+            row += [_py_stat(s["lo"][i], t), _py_stat(s["hi"][i], t)]
+        rows.append(tuple(row))
+    stats = spark.createDataFrame(rows, ", ".join(fields))
+    cond = None
+    for i, k in enumerate(keys):
+        c = (F.col(f"k_{i}") >= F.col(f"lo_{i}")) & (
+            F.col(f"k_{i}") <= F.col(f"hi_{i}")
         )
+        cond = c if cond is None else (cond & c)
+    hit = (
+        changes.select(
+            *[F.col(k).alias(f"k_{i}") for i, k in enumerate(keys)]
+        )
+        .distinct()
+        .join(F.broadcast(stats), cond)
         .select("rel")
         .distinct()
         .collect()
@@ -217,66 +415,205 @@ def _touched_files(
     return [r["rel"] for r in hit]
 
 
+def _intervening_commits_disjoint(
+    spark: SparkSession,
+    path: str,
+    seen_through: int,
+    new_latest: int,
+    touched: list[str],
+    changes: DataFrame,
+    keys: list[str],
+    key_types: list[str],
+) -> bool:
+    """Delta-style file-level conflict detection (VERDICT r10 task 3):
+    a conflicted merge may commit its already-staged result at the new
+    head WITHOUT re-planning iff every intervening commit is logically
+    disjoint — it removed none of the files this merge read (our
+    rewrite is still built on live data) and added no file whose key
+    ranges intersect our change keys (no row we should have merged
+    against appeared). VACUUM commits touch no data and never
+    conflict."""
+    ours = set(touched)
+    for v in range(seen_through + 1, new_latest + 1):
+        c = _read_commit(path, v)
+        if set(c.get("removed", [])) & ours:
+            return False
+        added = c.get("added", {})
+        if added and _touched_files(spark, added, changes, keys, key_types):
+            return False
+    return True
+
+
 def merge_into(
     spark: SparkSession,
     path: str,
     changes: DataFrame,
-    key: str | None = None,
+    key=None,
     op_col: str = "op",
     max_retries: int = 3,
+    attempt_log: list | None = None,
 ) -> int:
     """MERGE INTO the table: full CDC semantics (op ∈ {'U','I','D'},
     the `merge_apply` contract) rewriting ONLY the files the change
     keys touch; untouched file paths carry forward verbatim. On a
-    log-advanced conflict the whole plan re-runs against the NEW
-    snapshot (the change set must re-probe ranges and re-merge — a
-    blind re-link would commit stale data), up to ``max_retries``."""
-    for _ in range(max_retries):
+    log-advanced conflict, file-level detection decides the cheap
+    path: if every intervening commit is DISJOINT (touched none of
+    our read set, added nothing our change keys hit) the staged
+    result commits at the new head as-is; otherwise the whole plan
+    re-runs against the new snapshot (re-probe ranges, re-merge —
+    a blind re-link would commit stale data) after rmtree'ing the
+    orphaned staging. 1 attempt + up to ``max_retries`` re-plans
+    (ADVICE r10: the old loop silently meant max_retries TOTAL).
+    ``attempt_log`` (tests) receives ("planned"|"committed"|
+    "skip_ahead"|"replan", version) events."""
+
+    def _log(event: str, v: int) -> None:
+        if attempt_log is not None:
+            attempt_log.append((event, v))
+
+    meta = table_meta(path)
+    keys = _key_cols(key) if key is not None else meta["key"]
+    key_types = meta["key_types"]
+    for _ in range(max_retries + 1):
         v = latest_version(path)
-        key = key or _read_commit(path, 0).get("key")
         live = snapshot_files(path, v)
-        touched = _touched_files(spark, live, changes, key)
+        touched = _touched_files(spark, live, changes, keys, key_types)
         if touched:
             base = spark.read.parquet(
                 *[os.path.join(path, rel) for rel in touched]
             )
         else:
             # pure insert outside every range: merge against an empty
-            # base with the table's schema
-            base = read_snapshot(spark, path, v).limit(0)
-        merged = merge_apply(base, changes, key=key, op_col=op_col)
-        added = _write_data_files(
-            spark, path, merged.repartitionByRange(max(len(touched), 1), key), key
-        )
-        try:
-            _try_commit(
-                path, v + 1, {"op": "merge", "added": added, "removed": touched}
+            # base with the table's recorded schema
+            base = spark.createDataFrame(
+                [], StructType.fromJson(json.loads(meta["schema"]))
             )
-            return v + 1
-        except CommitConflict:
-            continue
-    raise CommitConflict(f"merge_into gave up after {max_retries} retries")
+        merged = merge_apply(base, changes, key=keys, op_col=op_col)
+        staged = _write_data_files(
+            spark,
+            path,
+            merged.repartitionByRange(max(len(touched), 1), *keys),
+            keys,
+        )
+        _log("planned", v)
+        target = v + 1
+        seen_through = v
+        while True:
+            try:
+                _try_commit(
+                    path,
+                    target,
+                    {"op": "merge", "added": staged, "removed": touched},
+                )
+                _log("committed", target)
+                return target
+            except CommitConflict:
+                new_latest = latest_version(path)
+                if _intervening_commits_disjoint(
+                    spark, path, seen_through, new_latest,
+                    touched, changes, keys, key_types,
+                ):
+                    _log("skip_ahead", new_latest + 1)
+                    seen_through = new_latest
+                    target = new_latest + 1
+                    continue
+                _log("replan", new_latest)
+                _cleanup_staged(path, staged)
+                break
+    raise CommitConflict(
+        f"merge_into gave up after {max_retries + 1} attempts"
+    )
 
 
 def compact_table(
-    spark: SparkSession, path: str, n_files: int
+    spark: SparkSession, path: str, n_files: int, max_retries: int = 3
 ) -> int:
     """OPTIMIZE: one commit whose added files hold exactly the live
-    rows, bin-packed to ``n_files`` — rows never change, only layout
-    (the read-back hash equality is the test's lossless proof)."""
-    v = latest_version(path)
-    key = _read_commit(path, 0).get("key")
-    live = snapshot_files(path, v)
-    df = spark.read.parquet(*[os.path.join(path, rel) for rel in live])
-    added = _write_data_files(
-        spark, path, df.repartitionByRange(n_files, key), key
+    rows, bin-packed to ``n_files`` (per partition value, for a
+    partitioned table — the one-value-per-file manifest property
+    survives compaction) — rows never change, only layout (the
+    read-back hash equality is the test's lossless proof). Retries
+    through conflicts like `merge_into` (r11: a maintenance job must
+    survive a concurrent writer); compaction reads the WHOLE live
+    set, so any intervening data commit overlaps by construction and
+    the retry is always a re-plan against the new snapshot."""
+    meta = table_meta(path)
+    keys, partition_by = meta["key"], meta["partition_by"]
+    for _ in range(max_retries + 1):
+        v = latest_version(path)
+        live = snapshot_files(path, v)
+        if not live:
+            return v  # nothing to compact; no empty commit
+        df = spark.read.parquet(*[os.path.join(path, rel) for rel in live])
+        added = _write_partitioned(spark, path, df, keys, partition_by, n_files)
+        try:
+            _try_commit(
+                path,
+                v + 1,
+                {"op": "compact", "added": added, "removed": sorted(live)},
+            )
+            return v + 1
+        except CommitConflict:
+            _cleanup_staged(path, added)
+            continue
+    raise CommitConflict(
+        f"compact_table gave up after {max_retries + 1} attempts"
     )
-    _try_commit(
-        path,
-        v + 1,
-        {"op": "compact", "added": added, "removed": sorted(live)},
-    )
-    return v + 1
+
+
+def vacuum_table(
+    path: str, retain_last: int = 1, max_retries: int = 3
+) -> dict:
+    """VACUUM (VERDICT r10 task 2): commit a retention horizon
+    (latest − retain_last + 1 — the newest ``retain_last`` versions
+    stay time-travelable), THEN physically delete every data file
+    unreachable from any retained snapshot. Marker-first ordering is
+    the crash contract: once the horizon commit lands, expired reads
+    refuse cleanly (`SnapshotExpired`), so a crash mid-delete leaves
+    only reclaimable garbage a re-run finishes sweeping — never a
+    readable version with missing files. This is what makes a
+    takedown (MERGE op='D' + VACUUM) remove BYTES, not just rows —
+    the compliance half of the delete path. Pure driver-side metadata
+    + unlink work; needs no SparkSession."""
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    for _ in range(max_retries + 1):
+        latest = latest_version(path)
+        horizon = max(0, latest - retain_last + 1, vacuum_horizon(path))
+        try:
+            _try_commit(
+                path,
+                latest + 1,
+                {"op": "vacuum", "horizon": horizon, "added": {}, "removed": []},
+            )
+            break
+        except CommitConflict:
+            continue
+    else:
+        raise CommitConflict(
+            f"vacuum_table gave up after {max_retries + 1} attempts"
+        )
+    marker_v = latest + 1
+    # needed = every file live in some retained version: live(horizon)
+    # plus everything any later commit added (replay, metadata-sized)
+    needed: set = set(snapshot_files(path, horizon))
+    all_ever: set = set()
+    for v in range(marker_v + 1):
+        added = _read_commit(path, v).get("added", {})
+        all_ever.update(added)
+        if v > horizon:
+            needed.update(added)
+    deleted = sorted(all_ever - needed)
+    for rel in deleted:
+        try:
+            os.remove(os.path.join(path, rel))
+        except FileNotFoundError:
+            pass  # a prior interrupted vacuum already got it
+    for rel in deleted:  # drop now-empty staging subdirs
+        sub = os.path.join(path, rel.split(os.sep, 1)[0])
+        if os.path.isdir(sub) and not os.listdir(sub):
+            os.rmdir(sub)
+    return {"version": marker_v, "horizon": horizon, "deleted": deleted}
 
 
 def _nation_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,9 +664,7 @@ def _create_and_merge(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-@register(
-    "lakehouse_merge_commitlog",
-    oracle="""
+_NATION_CDC_ORACLE = """
     WITH changes AS (
       SELECT n_nationkey,
              CASE WHEN n_nationkey % 3 = 0 THEN 'U'
@@ -351,8 +686,10 @@ def _create_and_merge(spark: SparkSession, sf_dir: str) -> str:
     FROM nation b
     FULL OUTER JOIN changes c ON b.n_nationkey = c.n_nationkey
     WHERE c.op IS NULL OR c.op != 'D'
-    """,
-)
+    """
+
+
+@register("lakehouse_merge_commitlog", oracle=_NATION_CDC_ORACLE)
 def lakehouse_merge_commitlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[[merge_upsert_cdc]] RE-LANDED through the commit-log table
     (VERDICT r9 task 1): commit 0 writes nation range-partitioned on
@@ -383,8 +720,167 @@ def lakehouse_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pre-merge snapshot must still be byte-available (immutable
     files + log replay), i.e. exactly the original nation. The merge
     commit physically removed/added files; version pinning is what
-    makes the removal logical, not physical."""
+    makes the removal logical, not physical (until a VACUUM horizon
+    passes it — [[lakehouse_vacuum_retention]])."""
     path = _create_and_merge(spark, sf_dir)
     return read_snapshot(spark, path, version=0).select(
         "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@register(
+    "lakehouse_merge_string_key",
+    oracle="""
+    WITH base AS (
+      SELECT concat('doc_', lpad(CAST(doc_id AS VARCHAR), 12, '0')) AS doc_key,
+             lang, n_chars
+      FROM documents
+    ),
+    changes AS (
+      SELECT concat('doc_', lpad(CAST(doc_id AS VARCHAR), 12, '0')) AS doc_key,
+             CASE WHEN doc_id % 3 = 0 THEN 'U'
+                  WHEN doc_id % 3 = 1 THEN 'D'
+                  ELSE 'I' END AS op,
+             'xx' AS lang,
+             CAST(n_chars + 1000000 AS BIGINT) AS n_chars
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT concat('ins_', lpad(CAST(doc_id AS VARCHAR), 12, '0')), 'I',
+             'zz', CAST(doc_id AS BIGINT)
+      FROM documents WHERE doc_id < 5
+    )
+    SELECT coalesce(b.doc_key, c.doc_key) AS doc_key,
+           CASE WHEN c.op IN ('U','I') THEN c.lang ELSE b.lang END AS lang,
+           CASE WHEN c.op IN ('U','I') THEN c.n_chars
+                ELSE b.n_chars END AS n_chars
+    FROM base b
+    FULL OUTER JOIN changes c ON b.doc_key = c.doc_key
+    WHERE c.op IS NULL OR c.op != 'D'
+    """,
+)
+def lakehouse_merge_string_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING-KEYED commit-log MERGE (VERDICT r10 task 1): the dedup
+    corpus's natural keys are doc ids and URLs — strings — and the
+    r10 manifest hardcoded `lo long, hi long`, so exactly this table
+    could not merge at all. Now the manifest stats carry the key's own
+    type: documents re-keyed by a zero-padded string doc key (monotone
+    in doc_id, so range partitioning stays selective), created into 4
+    files, merged with a deterministic U/D/I CDC set probing string
+    ranges, and read back from the post-merge snapshot — the same
+    full-round-trip oracle contract as the integer form, which stays
+    as-is."""
+    docs = load(spark, sf_dir, "documents")
+    dkey = F.concat(
+        F.lit("doc_"), F.lpad(F.col("doc_id").cast("string"), 12, "0")
+    )
+    base = docs.select(
+        dkey.alias("doc_key"), "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    changes = docs.filter(F.col("doc_id") % 7 == 0).select(
+        dkey.alias("doc_key"),
+        F.when(F.col("doc_id") % 3 == 0, "U")
+        .when(F.col("doc_id") % 3 == 1, "D")
+        .otherwise("I")
+        .alias("op"),
+        F.lit("xx").alias("lang"),
+        (F.col("n_chars") + 1000000).cast("long").alias("n_chars"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") < 5).select(
+            F.concat(
+                F.lit("ins_"), F.lpad(F.col("doc_id").cast("string"), 12, "0")
+            ).alias("doc_key"),
+            F.lit("I").alias("op"),
+            F.lit("zz").alias("lang"),
+            F.col("doc_id").cast("long").alias("n_chars"),
+        )
+    )
+    tag = hashlib.md5(("strkey|" + sf_dir).encode()).hexdigest()[:8]
+    path = _TABLE_DIRS.new_dir(tag)
+    create_table(spark, path, base, key="doc_key", n_files=4)
+    merge_into(spark, path, changes)
+    return read_snapshot(spark, path).select("doc_key", "lang", "n_chars")
+
+
+@register("lakehouse_vacuum_retention", oracle=_NATION_CDC_ORACLE)
+def lakehouse_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM proven by a RAW DIRECTORY SCAN (VERDICT r10 task 2):
+    create → CDC merge → compact → vacuum(retain_last=1), then read
+    every parquet file still physically under the table directory —
+    bypassing the commit log entirely. The oracle is the post-merge
+    CDC expectation, so if vacuum failed to delete the pre-merge or
+    pre-compact files their rows would DUPLICATE into this raw scan
+    and the value hash would catch it; if it over-deleted, rows go
+    missing. The query also asserts the expired version refuses
+    cleanly (SnapshotExpired) while the retained head still serves."""
+    path = _create_and_merge(spark, sf_dir)
+    compact_table(spark, path, n_files=2)
+    vacuum_table(path, retain_last=1)
+    try:
+        read_snapshot(spark, path, version=0)
+        raise AssertionError("expired version 0 must raise SnapshotExpired")
+    except SnapshotExpired:
+        pass
+    survivors = []
+    for sub in os.listdir(path):
+        if sub.startswith("d-"):
+            for f in os.listdir(os.path.join(path, sub)):
+                if f.endswith(".parquet"):
+                    survivors.append(os.path.join(path, sub, f))
+    return spark.read.parquet(*survivors).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@register(
+    "lakehouse_partition_prune_merge",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN n_regionkey = 2 THEN concat('R2_', n_name)
+                ELSE n_name END AS n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+)
+def lakehouse_partition_prune_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION VALUES IN THE COMMIT MANIFEST (VERDICT r10 task 6):
+    nation created PARTITIONED by n_regionkey (the leading component
+    of the composite merge key (n_regionkey, n_nationkey) — partition
+    columns must be row-identity to prune safely), one file per
+    region, so each file's manifest stats pin lo == hi == region. A
+    merge whose changes all live in region 2 must then rewrite
+    EXACTLY that one file: the metadata assertion (removed set == the
+    single file whose partition stats equal 2, all four other files
+    carried verbatim) runs inside the query, and the returned frame
+    is the post-merge snapshot under a plain-SQL oracle."""
+    base = _base_nation(spark, sf_dir)
+    changes = base.filter(F.col("n_regionkey") == 2).select(
+        "n_regionkey",
+        "n_nationkey",
+        F.lit("U").alias("op"),
+        F.concat(F.lit("R2_"), F.col("n_name")).alias("n_name"),
+    )
+    tag = hashlib.md5(("partprune|" + sf_dir).encode()).hexdigest()[:8]
+    path = _TABLE_DIRS.new_dir(tag)
+    create_table(
+        spark,
+        path,
+        base.select("n_regionkey", "n_nationkey", "n_name"),
+        key=["n_regionkey", "n_nationkey"],
+        n_files=1,
+        partition_by="n_regionkey",
+    )
+    live0 = snapshot_files(path, 0)
+    assert len(live0) == 5, f"one file per region expected: {sorted(live0)}"
+    for s in live0.values():  # the manifest carries exact partition values
+        assert s["lo"][0] == s["hi"][0]
+    merge_into(spark, path, changes)
+    live1 = snapshot_files(path, 1)
+    removed = set(live0) - set(live1)
+    assert len(removed) == 1, f"single-partition merge touched {removed}"
+    assert live0[removed.pop()]["lo"][0] == 2  # ...and it was region 2's
+    assert len(set(live0) & set(live1)) == 4  # others carried verbatim
+    return read_snapshot(spark, path).select(
+        "n_nationkey", "n_name", F.col("n_regionkey").cast("long").alias("n_regionkey")
     )
