@@ -569,16 +569,24 @@ def apply_delete_batch(
     )
 
     # affected components: any component holding a deleted doc or a
-    # crossing-shingle doc (see proof sketch above)
+    # crossing-shingle doc (see proof sketch above). NO broadcast
+    # hints from aff_comps onward (ADVICE r10): their size is the
+    # affected components' total MASS, not the delete-batch size —
+    # deleting one doc inside a megacluster would broadcast the whole
+    # component, the same blind-broadcast hazard the r10 union-
+    # aggregate rewrite removed from the add path. The planner (AQE)
+    # picks the strategy from observed sizes; only the genuinely
+    # batch-bounded frames (dset, ddf/df_delta/crossing — delete-vocab
+    # sized) keep explicit hints.
     touched = dset.unionByName(gains.select("doc_id")).distinct()
     aff_comps = (
-        labels1.join(F.broadcast(touched), labels1["id"] == touched["doc_id"])
+        labels1.join(touched, labels1["id"] == touched["doc_id"])
         .select("component")
         .distinct()
         .localCheckpoint()
     )
     aff_docs = (
-        labels1.join(F.broadcast(aff_comps), "component")
+        labels1.join(aff_comps, "component")
         .select(F.col("id").alias("doc_id"))
         .join(F.broadcast(dset), "doc_id", "anti")
         .localCheckpoint()
@@ -587,7 +595,7 @@ def apply_delete_batch(
     # re-cluster the affected induced subgraph from surviving postings
     # under df' (exact survivor df): eligibility pre-filter bounds the
     # shingle self-join occupancy at the cap, as everywhere else
-    aff_post = postings.join(F.broadcast(aff_docs), "doc_id").select(
+    aff_post = postings.join(aff_docs, "doc_id").select(
         "doc_id", "shingle"
     )
     dfp = df_tbl.join(F.broadcast(ddf), "shingle", "left").select(
@@ -623,7 +631,7 @@ def apply_delete_batch(
     relabeled = connected_components_star(
         aff_docs.select(F.col("doc_id").alias("id")), edges
     )
-    labels2 = labels1.join(F.broadcast(aff_comps), "component", "anti").select(
+    labels2 = labels1.join(aff_comps, "component", "anti").select(
         "id", "component"
     ).unionByName(relabeled.select("id", "component"))
 
@@ -721,6 +729,97 @@ def dedup_incremental_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         F.col("id").alias("doc_id"), F.col("component").alias("component_id")
     )
+
+
+def _takedown_e2e_oracle() -> str:
+    """The combined contract: the survivor rebuild (labels — same CTE
+    chain as `_incremental_delete_oracle`) INNER-joined with the
+    survivor corpus itself (text length) — so one oracle checks that
+    table rows, corpus text, and index state all agree after the same
+    takedown. The Spark side returns a FULL OUTER join of the two
+    independently-mutated stores; any doc present in only one of them
+    surfaces as a null column and fails the value hash."""
+    edge_block = _SQL_JACCARD_EDGE_BLOCK.format(
+        p="s", corpus="surv", pair_pred=""
+    )
+    return f"""
+    WITH RECURSIVE {_SQL_INCR_FIXTURE_CTES},
+    surv AS (
+      SELECT doc_id, text FROM base
+      WHERE NOT (doc_id % 10 = 0 AND doc_id < 2000000)
+    ),
+    {edge_block},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM spairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM spairs
+    ),
+    reach(id, comp) AS (
+      SELECT doc_id, doc_id FROM surv
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    labels AS (
+      SELECT id AS doc_id, min(comp) AS component_id FROM reach GROUP BY id
+    )
+    SELECT l.doc_id, l.component_id,
+           CAST(length(s.text) AS BIGINT) AS text_len
+    FROM labels l JOIN surv s USING (doc_id)
+    """
+
+
+@register("lakehouse_takedown_e2e", oracle=_takedown_e2e_oracle())
+def lakehouse_takedown_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAKEDOWN THROUGH THE LAKEHOUSE (VERDICT r10 task 7): r10 built
+    deletes for the dedup state (`apply_delete_batch`) and MERGE 'D'
+    ops for the commit log separately; this registers the combined
+    job a real takedown runs — ONE delete batch flows through BOTH
+    mutation paths:
+
+      * the corpus TABLE: commit-log table holding (doc_id, text),
+        MERGE INTO op='D' for every takedown id (selective file
+        rewrite, time-travelable, vacuum-reclaimable);
+      * the dedup INDEX STATE: `apply_delete_batch` over the persisted
+        postings/df/sizes/labels.
+
+    The returned frame FULL-OUTER-joins the post-takedown snapshot
+    read (doc_id, text length) with the post-takedown surviving labels
+    (doc_id, component) — and the oracle is the from-scratch survivor
+    rebuild joined with the survivor corpus, so a doc surviving in one
+    store but not the other, a stale text, or a wrong relabel all
+    break the hash. Disagreement between the two stores is exactly
+    the failure mode a split mutation path invites; this query makes
+    it a standing differential."""
+    from apache_spark_irs_form_990_spark.sources.lakehouse import (
+        _TABLE_DIRS,
+        create_table,
+        merge_into,
+        read_snapshot,
+    )
+
+    base, _ = fixture_base_batch(spark, sf_dir)
+    tag = hashlib.md5(("takedown|" + sf_dir).encode()).hexdigest()[:8]
+    state_dir = scratch_state_dir(tag)
+    tpath = _TABLE_DIRS.new_dir(tag)
+    create_table(spark, tpath, base, key="doc_id", n_files=8)
+    write_standing_state(spark, base, state_dir)
+    dels = fixture_delete_set(base).localCheckpoint()
+    merge_into(
+        spark,
+        tpath,
+        dels.select(
+            "doc_id",
+            F.lit("D").alias("op"),
+            F.lit(None).cast("string").alias("text"),
+        ),
+    )
+    labels2 = apply_delete_batch(spark, state_dir, dels)
+    tbl = read_snapshot(spark, tpath).select(
+        "doc_id", F.length("text").cast("long").alias("text_len")
+    )
+    return labels2.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("component_id")
+    ).join(tbl, "doc_id", "full")
 
 
 def state_cluster_histogram(spark: SparkSession, state_dir: str) -> DataFrame:

@@ -124,6 +124,14 @@ EXTENDED = [
     "dedup_incremental_delete",
     "lakehouse_merge_commitlog",
     "layout_compact_binpack",
+    # r11: the lakehouse production posture — string-keyed MERGE,
+    # VACUUM proven by raw directory scan, manifest partition pruning,
+    # and the combined table+index takedown — per-round tracking of
+    # the round's registered additions.
+    "lakehouse_merge_string_key",
+    "lakehouse_vacuum_retention",
+    "lakehouse_partition_prune_merge",
+    "lakehouse_takedown_e2e",
 ]
 
 

@@ -297,3 +297,390 @@ def test_streaming_foreachbatch_merge_sink_exactly_once(spark, tmp_path):
         if k != 14
     }
     assert _rows(read_snapshot(spark, path)) == want
+
+
+# ---------------------------------------------------------------- r11
+# Production posture: typed/composite keys, vacuum/retention,
+# file-level conflict detection, compaction retry, empty-table reads.
+
+from apache_spark_irs_form_990_spark.sources.lakehouse import (  # noqa: E402
+    SnapshotExpired,
+    vacuum_horizon,
+    vacuum_table,
+)
+
+
+def test_string_keyed_merge_roundtrip(spark, tmp_path):
+    """The r10 gap (VERDICT r10 task 1): a string-keyed table must
+    create, MERGE, and read back — manifest stats in the key's own
+    type, range pruning on string intervals."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(f"url_{i:04d}", i) for i in range(20)], "u string, n int"
+    )
+    create_table(spark, path, base, key="u", n_files=4)
+    stats = next(iter(snapshot_files(path, 0).values()))
+    assert isinstance(stats["lo"][0], str)  # typed manifest, not long
+    live0 = set(snapshot_files(path, 0))
+    changes = spark.createDataFrame(
+        [("url_0003", "U", 999), ("url_0007", "D", None), ("url_9999", "I", 1)],
+        "u string, op string, n int",
+    )
+    merge_into(spark, path, changes)
+    got = {(r["u"], r["n"]) for r in read_snapshot(spark, path).collect()}
+    want = {(f"url_{i:04d}", i) for i in range(20) if i != 7}
+    want.discard(("url_0003", 3))
+    want |= {("url_0003", 999), ("url_9999", 1)}
+    assert got == want
+    # string ranges prune too: a 2-key change must not rewrite all 4
+    carried = live0 & set(snapshot_files(path, 1))
+    assert len(carried) >= 1
+
+
+def test_composite_key_merge(spark, tmp_path):
+    """Composite merge key (region, nation): pruning is the per-column
+    zone-map conjunction; merge_apply joins on both components."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(r, n, f"v{r}{n}") for r in range(3) for n in range(5)],
+        "r int, n int, payload string",
+    )
+    create_table(spark, path, base, key=["r", "n"], n_files=3)
+    changes = spark.createDataFrame(
+        [(1, 2, "U", "PATCH"), (2, 4, "D", None)],
+        "r int, n int, op string, payload string",
+    )
+    merge_into(spark, path, changes)
+    got = {tuple(x) for x in read_snapshot(spark, path).collect()}
+    want = {
+        (r, n, "PATCH" if (r, n) == (1, 2) else f"v{r}{n}")
+        for r in range(3)
+        for n in range(5)
+        if (r, n) != (2, 4)
+    }
+    assert got == want
+
+
+def test_unsupported_key_type_fails_fast(spark, tmp_path):
+    """ADVICE r10: create_table must refuse a key type the manifest
+    stats can't range-compare, instead of crashing at first merge."""
+    df = spark.createDataFrame([(1.5, "x")], "k double, v string")
+    with pytest.raises(ValueError, match="unsupported merge-key type"):
+        create_table(spark, str(tmp_path / "t"), df, key="k")
+
+
+def test_emptied_table_stays_readable_and_insertable(spark, tmp_path):
+    """ADVICE r10 (medium): a merge that deletes EVERY live row must
+    leave a valid empty table — readable with the recorded schema and
+    re-insertable — not a permanently broken snapshot."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    create_table(spark, path, base, key="k", n_files=1)
+    merge_into(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "D", None), (2, "D", None)], "k int, op string, v string"
+        ),
+    )
+    empty = read_snapshot(spark, path)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["k", "v"]
+    merge_into(
+        spark,
+        path,
+        spark.createDataFrame([(5, "I", "back")], "k int, op string, v string"),
+    )
+    assert {tuple(r) for r in read_snapshot(spark, path).collect()} == {
+        (5, "back")
+    }
+
+
+def test_vacuum_removes_expired_files_and_refuses_expired_reads(
+    spark, tmp_path
+):
+    """VERDICT r10 task 2 (a)-(c): vacuum deletes exactly the files
+    only expired versions reference; a retained AS OF still
+    byte-matches; an expired AS OF raises SnapshotExpired."""
+    path = str(tmp_path / "t")
+    create_table(spark, path, _nation(spark), key="n_nationkey", n_files=4)
+    merge_into(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(3, "U", "PATCHED", 9)],
+            "n_nationkey int, op string, n_name string, n_regionkey long",
+        ),
+    )
+    live0, live1 = snapshot_files(path, 0), snapshot_files(path, 1)
+    want_latest = _rows(read_snapshot(spark, path, version=1))
+    res = vacuum_table(path, retain_last=1)
+    assert res["horizon"] == 1
+    assert vacuum_horizon(path) == 1
+    # exactly the version-0-only files are gone from disk
+    v0_only = set(live0) - set(live1)
+    assert set(res["deleted"]) == v0_only
+    for rel in v0_only:
+        assert not os.path.exists(os.path.join(path, rel))
+    for rel in live1:
+        assert os.path.exists(os.path.join(path, rel))
+    # retained version still serves, byte-identical
+    assert _rows(read_snapshot(spark, path, version=1)) == want_latest
+    assert _rows(read_snapshot(spark, path)) == want_latest
+    # expired version refuses cleanly
+    with pytest.raises(SnapshotExpired):
+        read_snapshot(spark, path, version=0)
+
+
+def test_takedown_plus_vacuum_leaves_zero_bytes(spark, tmp_path):
+    """VERDICT r10 task 2 (d), the compliance loop on the r10 delete
+    path: after MERGE op='D' + vacuum, a raw scan of every parquet
+    file still on disk holds ZERO rows of the deleted keys."""
+    path = str(tmp_path / "t")
+    create_table(spark, path, _nation(spark), key="n_nationkey", n_files=4)
+    doomed = [0, 5, 10]
+    merge_into(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(k, "D", None, None) for k in doomed],
+            "n_nationkey int, op string, n_name string, n_regionkey long",
+        ),
+    )
+    vacuum_table(path, retain_last=1)
+    raw_files = [
+        os.path.join(path, sub, f)
+        for sub in os.listdir(path)
+        if sub.startswith("d-")
+        for f in os.listdir(os.path.join(path, sub))
+        if f.endswith(".parquet")
+    ]
+    raw = spark.read.parquet(*raw_files)
+    assert raw.filter(F.col("n_nationkey").isin(doomed)).count() == 0
+    assert raw.count() == 25 - len(doomed)
+
+
+def _racing_commit(monkeypatch, spark, path, committer):
+    """Arrange for ``committer()`` to land ANOTHER writer's commit in
+    the window between a merge's staging write and its commit attempt
+    — the true conflict window — by wrapping _write_data_files once."""
+    import apache_spark_irs_form_990_spark.sources.lakehouse as lh
+
+    orig = lh._write_data_files
+    fired = {"done": False}
+
+    def wrapper(*a, **k):
+        out = orig(*a, **k)
+        if not fired["done"]:
+            fired["done"] = True
+            committer()
+        return out
+
+    monkeypatch.setattr(lh, "_write_data_files", wrapper)
+
+
+def test_disjoint_conflict_commits_without_replan(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r10 task 3: a conflicted merge whose intervening commit
+    touched DISJOINT files (and whose added files miss our change
+    keys) must skip straight to the new head — no re-plan."""
+    path = str(tmp_path / "t")
+    create_table(spark, path, _nation(spark), key="n_nationkey", n_files=4)
+    live0 = snapshot_files(path, 0)
+    # key 3 lives in the first range file; key 20 in the last
+    lo_file = min(live0, key=lambda r: live0[r]["lo"])
+    hi_file = max(live0, key=lambda r: live0[r]["hi"])
+    assert lo_file != hi_file
+
+    # writer A's rewrite of the HI file (full contents, key 20
+    # patched), staged now, committed in B's conflict window
+    a_files = _write_data_files(
+        spark,
+        path,
+        spark.read.parquet(os.path.join(path, hi_file)).select(
+            "n_nationkey",
+            F.when(F.col("n_nationkey") == 20, "A20")
+            .otherwise(F.col("n_name"))
+            .alias("n_name"),
+            F.when(F.col("n_nationkey") == 20, F.lit(9).cast("long"))
+            .otherwise(F.col("n_regionkey"))
+            .alias("n_regionkey"),
+        ),
+        "n_nationkey",
+    )
+    _racing_commit(
+        monkeypatch,
+        spark,
+        path,
+        lambda: _try_commit(
+            path, 1, {"op": "merge", "added": a_files, "removed": [hi_file]}
+        ),
+    )
+    log: list = []
+    v = merge_into(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(3, "U", "B3", 9)],
+            "n_nationkey int, op string, n_name string, n_regionkey long",
+        ),
+        attempt_log=log,
+    )
+    assert v == 2
+    events = [e for e, _ in log]
+    assert "skip_ahead" in events and "replan" not in events
+    got = _rows(read_snapshot(spark, path))
+    assert (3, "B3", 9) in got
+    assert (20, "A20", 9) in got
+
+
+def test_overlapping_conflict_still_replans(spark, tmp_path, monkeypatch):
+    """The other half of file-level detection: an intervening commit
+    that rewrote the SAME file (or added our change keys) forces a
+    full re-plan against the new snapshot — and both changes land."""
+    path = str(tmp_path / "t")
+    create_table(spark, path, _nation(spark), key="n_nationkey", n_files=4)
+    live0 = snapshot_files(path, 0)
+    lo_file = min(live0, key=lambda r: live0[r]["lo"])
+    c_files = _write_data_files(
+        spark,
+        path,
+        spark.read.parquet(os.path.join(path, lo_file)).select(
+            "n_nationkey",
+            F.when(F.col("n_nationkey") == 1, "C1")
+            .otherwise(F.col("n_name"))
+            .alias("n_name"),
+            F.when(F.col("n_nationkey") == 1, F.lit(9).cast("long"))
+            .otherwise(F.col("n_regionkey"))
+            .alias("n_regionkey"),
+        ),
+        "n_nationkey",
+    )
+    _racing_commit(
+        monkeypatch,
+        spark,
+        path,
+        lambda: _try_commit(
+            path, 1, {"op": "merge", "added": c_files, "removed": [lo_file]}
+        ),
+    )
+    log: list = []
+    v = merge_into(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(2, "U", "D2", 9)],  # key 2 lives in the same LO file
+            "n_nationkey int, op string, n_name string, n_regionkey long",
+        ),
+        attempt_log=log,
+    )
+    assert v == 2
+    assert "replan" in [e for e, _ in log]
+    got = _rows(read_snapshot(spark, path))
+    assert (1, "C1", 9) in got and (2, "D2", 9) in got
+    assert len(got) == 25
+
+
+def test_replan_cleans_orphaned_staging(spark, tmp_path):
+    """ADVICE r10: a conflicted re-plan must rmtree its orphaned
+    staged subdir — the table directory ends with exactly the
+    committed subdirs, no leaked d-<uuid>."""
+    path = str(tmp_path / "t")
+    create_table(spark, path, _nation(spark), key="n_nationkey", n_files=4)
+    live0 = snapshot_files(path, 0)
+    lo_file = min(live0, key=lambda r: live0[r]["lo"])
+    c_files = _write_data_files(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "C1", 9)], "n_nationkey int, n_name string, n_regionkey long"
+        ),
+        "n_nationkey",
+    )
+    _try_commit(path, 1, {"op": "merge", "added": c_files, "removed": [lo_file]})
+    merge_into(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(2, "U", "B2", 9)],
+            "n_nationkey int, op string, n_name string, n_regionkey long",
+        ),
+    )
+    committed_subs = {
+        rel.split(os.sep, 1)[0]
+        for v in range(latest_version(path) + 1)
+        for rel in _read_commit_added(path, v)
+    }
+    on_disk = {d for d in os.listdir(path) if d.startswith("d-")}
+    assert on_disk == committed_subs  # no orphaned staging survived
+
+
+def _read_commit_added(path, v):
+    import json as _json
+
+    with open(os.path.join(path, "_commits", f"{v:08d}.json")) as f:
+        return _json.load(f).get("added", {})
+
+
+def test_two_process_compact_vs_merge_race_both_land(spark, tmp_path):
+    """VERDICT r10 task 3's two-process case: OPTIMIZE and a merge
+    race from separate driver processes; compaction's conflict retry
+    re-plans (it reads the whole live set, so any data commit
+    overlaps) and BOTH land — the maintenance job no longer dies to a
+    concurrent writer."""
+    import subprocess
+    import sys
+
+    path = str(tmp_path / "t")
+    create_table(spark, path, _nation(spark), key="n_nationkey", n_files=4)
+    for k in (1, 7, 13, 19):  # fragment so compaction has work
+        merge_into(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(k, "U", f"P{k}", 9)],
+                "n_nationkey int, op string, n_name string, n_regionkey long",
+            ),
+        )
+    v_frag = latest_version(path)
+
+    compact_script = """
+import sys
+sys.path.insert(0, "/root/repo")
+from apache_spark_irs_form_990_spark.session import get_session
+from apache_spark_irs_form_990_spark.sources.lakehouse import compact_table
+spark = get_session(app_name="compactor", shuffle_partitions=4)
+v = compact_table(spark, sys.argv[1], n_files=2, max_retries=10)
+print(f"compacted at {v}")
+"""
+    merge_script = """
+import sys
+sys.path.insert(0, "/root/repo")
+from apache_spark_irs_form_990_spark.session import get_session
+from apache_spark_irs_form_990_spark.sources.lakehouse import merge_into
+spark = get_session(app_name="merger", shuffle_partitions=4)
+changes = spark.createDataFrame(
+    [(22, "U", "RACED", 9)],
+    "n_nationkey int, op string, n_name string, n_regionkey long",
+)
+v = merge_into(spark, sys.argv[1], changes, max_retries=10)
+print(f"merged at {v}")
+"""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", s, path],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+        )
+        for s in (compact_script, merge_script)
+    ]
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    assert latest_version(path) == v_frag + 2  # both landed
+    got = _rows(read_snapshot(spark, path))
+    assert (22, "RACED", 9) in got
+    for k in (1, 7, 13, 19):
+        assert (k, f"P{k}", 9) in got
+    assert len(got) == 25  # no dup, no loss through the race
