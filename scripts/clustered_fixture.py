@@ -170,8 +170,14 @@ def main() -> None:
         }
     }
     # the identical K=64 / K=256 train->encode->ADC->re-rank chain the
-    # isotropic sf1 study runs (shared helpers, shared integer metric)
-    result["pq_budget_clustered"] = measure_pq_budget(spark, fdir)
+    # isotropic sf1 study runs (shared helpers, shared integer metric),
+    # r11: plus the shortlist-width curve at K=256 (VERDICT r10 task 5
+    # — the committed r10 gap was re-ranked recall@10 = 0.55 at width
+    # 50; the curve prices what a wider constant-per-query shortlist
+    # buys before reaching for OPQ)
+    result["pq_budget_clustered"] = measure_pq_budget(
+        spark, fdir, rerank_curve=(50, 100, 200, 400)
+    )
 
     qs = registry.queries()
     for name in ("sim_pq_recall_at_k", "sim_ivf_recall_audit"):

@@ -496,7 +496,7 @@ def measure_at_scale(spark, sf_dir: str) -> dict:
     return out
 
 
-def measure_pq_budget(spark, sf1_dir: str) -> dict:
+def measure_pq_budget(spark, sf1_dir: str, rerank_curve=()) -> dict:
     """PQ code budget AT SF1 (r9, the sf1 half of VERDICT r8 task 2):
     the registered [[sim_pq_code_budget_audit]] commits K=64 on a
     1000-vector slice — but sf0.1 only HAS 2000 vectors, so the
@@ -582,6 +582,34 @@ def measure_pq_budget(spark, sf1_dir: str) -> dict:
             out[f"k{k_budget}_{row['variant']}_recall_at_{row['k']}"] = float(
                 row["recall"]
             )
+        # r11 (VERDICT r10 task 5): the SHORTLIST-WIDTH curve — how
+        # much re-ranked recall a wider ADC shortlist buys at the SAME
+        # code budget. One ADC ranking at the widest width, then each
+        # narrower width is a prefix filter (rn <= w) re-ranked
+        # against the stored vectors; still constant work per query.
+        if rerank_curve and k_budget == 256:
+            wide = _cosine_topk_pairs(
+                queries, recon, max(rerank_curve)
+            ).localCheckpoint()
+            for w in sorted(rerank_curve):
+                rr_w = _cosine_topk_pairs(
+                    queries,
+                    stored,
+                    _PQ_RECALL_K,
+                    pairs=wide.filter(F.col("rn") <= w).select("qid", "nid"),
+                ).withColumn("variant", F.lit("rr"))
+                t_w = _recall_vs_exact_table(
+                    spark,
+                    exact_top,
+                    rr_w,
+                    ks=(1, _PQ_RECALL_K),
+                    variant_col="variant",
+                    variant_values=("rr",),
+                )
+                for row in t_w.collect():
+                    out[
+                        f"k{k_budget}_rerank_w{w}_recall_at_{row['k']}"
+                    ] = float(row["recall"])
     return out
 
 
