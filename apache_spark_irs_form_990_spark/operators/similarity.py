@@ -3207,7 +3207,15 @@ sim_pq_recall_at_k.__doc__ = sim_pq_recall_at_k.__doc__.replace(
     "{K}", str(_PQ_RECALL_K)
 ).replace("{R}", str(_PQ_ROUNDS)).replace("{CBK}", str(_PQ_K))
 
-_PQ_RERANK_CAND = 50
+# Re-rank shortlist width. 50 through r10; 200 since r11: the
+# clustered-corpus study (PQ_CLUSTERED_r11.json, VERDICT r10 task 5)
+# measured the width curve at K=256 on the corpus-shaped fixture —
+# re-ranked recall@10 = 0.55 @ w=50, 0.76 @ w=100, 0.95 @ w=200,
+# 1.00 @ w=400 — the r10 gap was pure shortlist width (ties among
+# ~312 near-equidistant co-cluster members), not code budget. Still
+# constant work per query (|Q| x 200 exact re-scores); the DuckDB
+# oracles interpolate this constant, so both sides move together.
+_PQ_RERANK_CAND = 200
 
 
 def _pq_rerank_oracle() -> str:

@@ -684,3 +684,30 @@ print(f"merged at {v}")
     for k in (1, 7, 13, 19):
         assert (k, f"P{k}", 9) in got
     assert len(got) == 25  # no dup, no loss through the race
+
+
+def test_vacuum_commit_is_disjoint_for_racing_merge(
+    spark, tmp_path, monkeypatch
+):
+    """A VACUUM marker that lands in a merge's conflict window touches
+    no data files, so file-level detection must classify it disjoint:
+    the merge skips to the new head without re-planning."""
+    path = str(tmp_path / "t")
+    create_table(spark, path, _nation(spark), key="n_nationkey", n_files=4)
+    _racing_commit(
+        monkeypatch, spark, path, lambda: vacuum_table(path, retain_last=1)
+    )
+    log: list = []
+    v = merge_into(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(3, "U", "B3", 9)],
+            "n_nationkey int, op string, n_name string, n_regionkey long",
+        ),
+        attempt_log=log,
+    )
+    assert v == 2  # vacuum claimed 1, merge skipped ahead
+    events = [e for e, _ in log]
+    assert "skip_ahead" in events and "replan" not in events
+    assert (3, "B3", 9) in _rows(read_snapshot(spark, path))
