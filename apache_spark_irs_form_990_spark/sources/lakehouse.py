@@ -498,7 +498,10 @@ def merge_into(
         _log("planned", v)
         target = v + 1
         seen_through = v
-        while True:
+        # each skip-ahead consumes another writer's committed version,
+        # so progress is system-wide; the cap only bounds how long ONE
+        # writer chases a commit storm before re-planning afresh
+        for _skip in range(16):
             try:
                 _try_commit(
                     path,
@@ -520,6 +523,8 @@ def merge_into(
                 _log("replan", new_latest)
                 _cleanup_staged(path, staged)
                 break
+        else:  # skip-ahead cap hit: re-plan afresh like any conflict
+            _cleanup_staged(path, staged)
     raise CommitConflict(
         f"merge_into gave up after {max_retries + 1} attempts"
     )
