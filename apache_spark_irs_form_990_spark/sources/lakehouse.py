@@ -354,6 +354,23 @@ def _write_partitioned(
     return added
 
 
+def _current_schema(path: str, version: int | None = None) -> tuple[StructType, bool]:
+    """The table schema AS OF ``version`` (default latest) and whether
+    it ever EVOLVED on the way there: the last commit ≤ version that
+    recorded a "schema" wins (commit 0 always records one; an
+    evolving merge records the widened one — r11 schema evolution).
+    Metadata-sized log replay, same cost as snapshot resolution."""
+    v = latest_version(path) if version is None else version
+    schema_json, evolved = None, False
+    for i in range(v + 1):
+        c = _read_commit(path, i)
+        if c.get("schema"):
+            if schema_json is not None:
+                evolved = True
+            schema_json = c["schema"]
+    return StructType.fromJson(json.loads(schema_json)), evolved
+
+
 def read_snapshot(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
@@ -363,12 +380,159 @@ def read_snapshot(
     live set (e.g. a merge deleted every row) returns an empty frame
     with the schema commit 0 recorded — a valid empty table, not an
     error (ADVICE r10: previously FileNotFoundError, which made an
-    emptied table permanently unreadable and un-insertable)."""
+    emptied table permanently unreadable and un-insertable).
+
+    Schema evolution (r11): the schema AS OF the requested version is
+    the last one any commit ≤ version recorded; when the history
+    evolved, files written before the widening lack the new columns,
+    so the scan reads with ``mergeSchema`` and backfills any column a
+    file predates as NULL — the same read contract Delta/Iceberg give
+    an evolved table. Un-evolved tables keep the single-footer fast
+    path (no mergeSchema cost)."""
     live = snapshot_files(path, version)
+    schema, evolved = _current_schema(path, version)
+    cols = [f.name for f in schema.fields]
     if not live:
-        schema = StructType.fromJson(json.loads(table_meta(path)["schema"]))
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*[os.path.join(path, rel) for rel in live])
+    paths = [os.path.join(path, rel) for rel in live]
+    if not evolved:
+        return spark.read.parquet(*paths)
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    return df.select(
+        *[
+            F.col(c) if c in df.columns
+            else F.lit(None).cast(schema[c].dataType).alias(c)
+            for c in cols
+        ]
+    )
+
+
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    v_from: int = 0,
+    v_to: int | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED (r11): the logical row changes each commit in
+    [v_from, v_to] made, reconstructed from the commit's OWN files —
+    never a full-snapshot diff. Per merge commit the removed files
+    (the pre-image of everything the merge read) full-outer-join the
+    added files (its post-image) on the merge key:
+
+      * key only in added            → ``insert``
+      * key only in removed          → ``delete``
+      * key in both, payload differs → ``update_preimage`` +
+                                       ``update_postimage``
+      * key in both, payload equal   → a CARRIED row (the rewrite
+        copied it verbatim) — not a change, emitted nowhere.
+
+    ``create`` commits emit every row as ``insert``; ``compact`` and
+    ``vacuum`` commits change no rows and emit nothing. Output schema
+    is the table schema (as of each commit) plus ``_change_type
+    string`` and ``_commit_version long`` — the Delta CDF contract.
+
+    Cost shape at 100 TB: each commit's feed reads O(files that commit
+    touched), not O(table) — a nightly MERGE over 0.1% of partitions
+    yields a CDF scan of 0.1% of the table, which is what makes
+    downstream incremental consumers (the persisted dedup state, a
+    streaming tail) affordable. Driver work is one metadata-sized log
+    replay; everything row-shaped stays in Spark.
+
+    Raises ``SnapshotExpired`` when a commit's pre-image predates the
+    VACUUM horizon (its removed files may be physically gone)."""
+    meta = table_meta(path)
+    keys = meta["key"]
+    last = latest_version(path) if v_to is None else v_to
+    horizon = vacuum_horizon(path)
+    frames: list[DataFrame] = []
+    for v in range(v_from, last + 1):
+        c = _read_commit(path, v)
+        op = c.get("op")
+        if op in ("vacuum", "compact"):
+            continue  # layout/retention commits: zero logical changes
+        schema, _ = _current_schema(path, v)
+        cols = [f.name for f in schema.fields]
+        payload = [x for x in cols if x not in keys]
+        added = sorted(c.get("added", {}))
+        removed = sorted(c.get("removed", []))
+        if removed and v - 1 < horizon:
+            raise SnapshotExpired(
+                f"change feed for version {v} of {path} needs its "
+                f"pre-image (version {v - 1}), which predates the "
+                f"vacuum horizon {horizon}"
+            )
+
+        def _read(rels: list[str]) -> DataFrame:
+            if not rels:
+                return spark.createDataFrame([], schema)
+            df = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(path, rel) for rel in rels]
+            )
+            return df.select(
+                *[
+                    F.col(x) if x in df.columns
+                    else F.lit(None).cast(schema[x].dataType).alias(x)
+                    for x in cols
+                ]
+            )
+
+        ver = F.lit(v).cast("long").alias("_commit_version")
+        post = _read(added)
+        if op == "create":
+            frames.append(
+                post.select(
+                    *cols, F.lit("insert").alias("_change_type"), ver
+                )
+            )
+            continue
+        pre = _read(removed)
+
+        # the lit marker makes side-presence detectable even for a
+        # key-only table (struct() with zero fields is invalid)
+        def _mark(d: DataFrame) -> DataFrame:
+            return d.select(
+                *[F.col(k) for k in keys],
+                F.struct(
+                    F.lit(1).alias("_m"), *[F.col(p) for p in payload]
+                ).alias("_s"),
+            )
+
+        j = _mark(pre).alias("p").join(
+            _mark(post).alias("q"), on=keys, how="full"
+        )
+        p_s, q_s = F.col("p._s"), F.col("q._s")
+
+        def _emit(sel: DataFrame, side: str, ctype: str) -> DataFrame:
+            return sel.select(
+                *[F.col(k) for k in keys],
+                *[F.col(f"{side}._s.{p}").alias(p) for p in payload],
+                F.lit(ctype).alias("_change_type"),
+                ver,
+            ).select(*cols, "_change_type", "_commit_version")
+
+        frames.append(_emit(j.filter(p_s.isNull()), "q", "insert"))
+        frames.append(_emit(j.filter(q_s.isNull()), "p", "delete"))
+        changed = j.filter(
+            p_s.isNotNull() & q_s.isNotNull() & ~p_s.eqNullSafe(q_s)
+        )
+        frames.append(_emit(changed, "p", "update_preimage"))
+        frames.append(_emit(changed, "q", "update_postimage"))
+    schema, _ = _current_schema(path, last)
+    if not frames:
+        empty = spark.createDataFrame([], schema)
+        return empty.select(
+            "*",
+            F.lit("").alias("_change_type"),
+            F.lit(0).cast("long").alias("_commit_version"),
+        ).limit(0)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    # normalize to the final schema's column order (a mid-range
+    # evolution leaves earlier frames narrower; the union backfills)
+    return out.select(
+        *[f.name for f in schema.fields], "_change_type", "_commit_version"
+    )
 
 
 def _touched_files(
@@ -452,6 +616,7 @@ def merge_into(
     op_col: str = "op",
     max_retries: int = 3,
     attempt_log: list | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     """MERGE INTO the table: full CDC semantics (op ∈ {'U','I','D'},
     the `merge_apply` contract) rewriting ONLY the files the change
@@ -465,7 +630,20 @@ def merge_into(
     orphaned staging. 1 attempt + up to ``max_retries`` re-plans
     (ADVICE r10: the old loop silently meant max_retries TOTAL).
     ``attempt_log`` (tests) receives ("planned"|"committed"|
-    "skip_ahead"|"replan", version) events."""
+    "skip_ahead"|"replan", version) events.
+
+    Schema evolution (r11): with ``evolve_schema=True`` a change set
+    carrying payload columns the table lacks WIDENS the table — the
+    base files this merge reads get the new columns backfilled as
+    NULL before the resolve, and the commit records the widened
+    schema, which `read_snapshot` / `read_changes` honor per version.
+    Untouched files are still carried verbatim (old footers; the
+    evolved read path backfills them at scan time — rewriting 100 TB
+    to add a column is exactly what evolution exists to avoid).
+    Without the flag an extra column is a loud error, never a silent
+    drop. An evolving change set must still carry every EXISTING
+    payload column — evolution adds columns, it does not make the
+    CDC contract partial."""
 
     def _log(event: str, v: int) -> None:
         if attempt_log is not None:
@@ -474,20 +652,43 @@ def merge_into(
     meta = table_meta(path)
     keys = _key_cols(key) if key is not None else meta["key"]
     key_types = meta["key_types"]
+    schema, _ = _current_schema(path)
+    table_cols = [f.name for f in schema.fields]
+    by_name = {f.name: f for f in changes.schema.fields}
+    new_cols = [
+        c for c in changes.columns
+        if c not in table_cols and c != op_col
+    ]
+    if new_cols and not evolve_schema:
+        raise ValueError(
+            f"change set carries columns {new_cols} the table lacks; "
+            "pass evolve_schema=True to widen the table schema"
+        )
+    if new_cols:
+        schema = StructType(
+            list(schema.fields) + [by_name[c] for c in new_cols]
+        )
     for _ in range(max_retries + 1):
         v = latest_version(path)
         live = snapshot_files(path, v)
         touched = _touched_files(spark, live, changes, keys, key_types)
         if touched:
-            base = spark.read.parquet(
+            base = spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(path, rel) for rel in touched]
             )
         else:
             # pure insert outside every range: merge against an empty
-            # base with the table's recorded schema
-            base = spark.createDataFrame(
-                [], StructType.fromJson(json.loads(meta["schema"]))
-            )
+            # base with the table's (possibly just-widened) schema
+            base = spark.createDataFrame([], schema)
+        # backfill any column the read files predate (new this merge,
+        # or evolved by an earlier one) as typed NULL
+        base = base.select(
+            *[
+                F.col(f.name) if f.name in base.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
         merged = merge_apply(base, changes, key=keys, op_col=op_col)
         staged = _write_data_files(
             spark,
@@ -506,7 +707,14 @@ def merge_into(
                 _try_commit(
                     path,
                     target,
-                    {"op": "merge", "added": staged, "removed": touched},
+                    {
+                        "op": "merge",
+                        "added": staged,
+                        "removed": touched,
+                        # an evolving merge records the widened schema;
+                        # _current_schema replays the latest one
+                        **({"schema": schema.json()} if new_cols else {}),
+                    },
                 )
                 _log("committed", target)
                 return target
@@ -549,7 +757,10 @@ def compact_table(
         live = snapshot_files(path, v)
         if not live:
             return v  # nothing to compact; no empty commit
-        df = spark.read.parquet(*[os.path.join(path, rel) for rel in live])
+        # read_snapshot (not a bare parquet read) so an EVOLVED table's
+        # pre-widening files get their new columns backfilled — the
+        # compaction rewrite then homogenizes the footers as a bonus
+        df = read_snapshot(spark, path, v)
         added = _write_partitioned(spark, path, df, keys, partition_by, n_files)
         try:
             _try_commit(
@@ -888,4 +1099,159 @@ def lakehouse_partition_prune_merge(
     assert len(set(live0) & set(live1)) == 4  # others carried verbatim
     return read_snapshot(spark, path).select(
         "n_nationkey", "n_name", F.col("n_regionkey").cast("long").alias("n_regionkey")
+    )
+
+
+@register(
+    "lakehouse_change_feed",
+    oracle="""
+    WITH changes AS (
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 3 = 0 THEN 'U'
+                  WHEN n_nationkey % 3 = 1 THEN 'D'
+                  ELSE 'I' END AS op,
+             concat('UPD_', CAST(n_nationkey AS VARCHAR)) AS n_name,
+             CAST((n_nationkey + 1) % 5 AS BIGINT) AS n_regionkey
+      FROM nation WHERE n_nationkey % 2 = 0
+      UNION ALL
+      SELECT 100 + n_nationkey, 'I',
+             concat('NEW_', CAST(n_nationkey AS VARCHAR)),
+             CAST(n_nationkey % 5 AS BIGINT)
+      FROM nation WHERE n_nationkey < 3
+    ),
+    base AS (
+      SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+      FROM nation
+    ),
+    matched AS (
+      SELECT b.n_nationkey,
+             b.n_name AS pre_name, b.n_regionkey AS pre_region,
+             c.n_name AS post_name, c.n_regionkey AS post_region, c.op
+      FROM base b JOIN changes c ON b.n_nationkey = c.n_nationkey
+    )
+    SELECT n_nationkey, pre_name AS n_name, pre_region AS n_regionkey,
+           'update_preimage' AS _change_type,
+           CAST(1 AS BIGINT) AS _commit_version
+    FROM matched
+    WHERE op IN ('U','I')
+      AND (pre_name IS DISTINCT FROM post_name
+           OR pre_region IS DISTINCT FROM post_region)
+    UNION ALL
+    SELECT n_nationkey, post_name, post_region, 'update_postimage',
+           CAST(1 AS BIGINT)
+    FROM matched
+    WHERE op IN ('U','I')
+      AND (pre_name IS DISTINCT FROM post_name
+           OR pre_region IS DISTINCT FROM post_region)
+    UNION ALL
+    SELECT c.n_nationkey, c.n_name, c.n_regionkey, 'insert',
+           CAST(1 AS BIGINT)
+    FROM changes c LEFT JOIN base b ON b.n_nationkey = c.n_nationkey
+    WHERE b.n_nationkey IS NULL AND c.op IN ('U','I')
+    UNION ALL
+    SELECT n_nationkey, pre_name, pre_region, 'delete', CAST(1 AS BIGINT)
+    FROM matched WHERE op = 'D'
+    """,
+)
+def lakehouse_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED (r11): after the standard create→CDC-merge
+    history, `read_changes` reconstructs the merge commit's logical
+    row changes from that commit's OWN removed/added files — inserts,
+    deletes, and update pre/post image pairs, with CARRIED rows (the
+    file-rewrite copies of untouched keys) correctly emitting nothing.
+    The oracle derives the same feed relationally from nation + the
+    deterministic CDC set, so a spurious carried-row echo, a missed
+    delete, or a wrong image side all break the value hash. This is
+    the Delta CDF contract — the piece that lets downstream consumers
+    (the persisted dedup state, a streaming tail) update from O(commit
+    files) instead of re-reading the table.
+
+    The change set here mutates PAYLOADS for real (UPD_ names, shifted
+    region keys) — the synthetic nation table's names are already
+    NATION_k, so the shared `_nation_changes` fixture's updates are
+    payload no-ops, which the feed must (and does — pinned by test)
+    classify as carried rows, not updates."""
+    base = _base_nation(spark, sf_dir)
+    n = load(spark, sf_dir, "nation")
+    changes = n.filter(F.col("n_nationkey") % 2 == 0).select(
+        "n_nationkey",
+        F.when(F.col("n_nationkey") % 3 == 0, "U")
+        .when(F.col("n_nationkey") % 3 == 1, "D")
+        .otherwise("I")
+        .alias("op"),
+        F.concat(F.lit("UPD_"), F.col("n_nationkey").cast("string")).alias(
+            "n_name"
+        ),
+        ((F.col("n_nationkey") + 1) % 5).cast("long").alias("n_regionkey"),
+    ).unionByName(
+        n.filter(F.col("n_nationkey") < 3).select(
+            (F.col("n_nationkey") + 100).alias("n_nationkey"),
+            F.lit("I").alias("op"),
+            F.concat(F.lit("NEW_"), F.col("n_nationkey").cast("string")).alias(
+                "n_name"
+            ),
+            (F.col("n_nationkey") % 5).cast("long").alias("n_regionkey"),
+        )
+    )
+    tag = hashlib.md5(("cdf|" + sf_dir).encode()).hexdigest()[:8]
+    path = _TABLE_DIRS.new_dir(tag)
+    create_table(spark, path, base, key="n_nationkey", n_files=4)
+    merge_into(spark, path, changes)
+    return read_changes(spark, path, v_from=1)
+
+
+@register(
+    "lakehouse_schema_evolution",
+    oracle="""
+    WITH changes AS (
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 3 = 0 THEN 'U'
+                  WHEN n_nationkey % 3 = 1 THEN 'D'
+                  ELSE 'I' END AS op,
+             concat('NATION_', CAST(n_nationkey AS VARCHAR)) AS n_name,
+             CAST(n_nationkey % 5 AS BIGINT) AS n_regionkey
+      FROM nation WHERE n_nationkey % 2 = 0
+      UNION ALL
+      SELECT 100 + n_nationkey, 'I',
+             concat('NEW_', CAST(n_nationkey AS VARCHAR)),
+             CAST(n_nationkey % 5 AS BIGINT)
+      FROM nation WHERE n_nationkey < 3
+    )
+    SELECT coalesce(b.n_nationkey, c.n_nationkey) AS n_nationkey,
+           CASE WHEN c.op IN ('U','I') THEN c.n_name ELSE b.n_name END AS n_name,
+           CASE WHEN c.op IN ('U','I') THEN c.n_regionkey
+                ELSE b.n_regionkey END AS n_regionkey,
+           CASE WHEN c.op IN ('U','I')
+                THEN concat('src_batch_', CAST(c.n_nationkey % 4 AS VARCHAR))
+                ELSE NULL END AS provenance
+    FROM nation b
+    FULL OUTER JOIN changes c ON b.n_nationkey = c.n_nationkey
+    WHERE c.op IS NULL OR c.op != 'D'
+    """,
+)
+def lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION (r11): the same CDC merge, but the change set
+    carries a `provenance` column the table never had. With
+    `evolve_schema=True` the merge widens the table schema in its
+    commit; files the merge didn't touch keep their old footers and
+    the snapshot read backfills their `provenance` as NULL at scan
+    time (rewriting a 100 TB table to add a column is exactly what
+    evolution avoids). The oracle expects provenance on every row the
+    merge wrote and NULL on every carried/untouched row — a backfill
+    that leaked values, or an evolved read that dropped the column
+    for old files, breaks the hash. Without the flag the same change
+    set is a loud ValueError (pinned by tests/test_lakehouse.py)."""
+    base = _base_nation(spark, sf_dir)
+    changes = _nation_changes(spark, sf_dir).withColumn(
+        "provenance",
+        F.concat(
+            F.lit("src_batch_"), (F.col("n_nationkey") % 4).cast("string")
+        ),
+    )
+    tag = hashlib.md5(("evolve|" + sf_dir).encode()).hexdigest()[:8]
+    path = _TABLE_DIRS.new_dir(tag)
+    create_table(spark, path, base, key="n_nationkey", n_files=4)
+    merge_into(spark, path, changes, evolve_schema=True)
+    return read_snapshot(spark, path).select(
+        "n_nationkey", "n_name", "n_regionkey", "provenance"
     )

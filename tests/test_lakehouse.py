@@ -711,3 +711,193 @@ def test_vacuum_commit_is_disjoint_for_racing_merge(
     events = [e for e, _ in log]
     assert "skip_ahead" in events and "replan" not in events
     assert (3, "B3", 9) in _rows(read_snapshot(spark, path))
+
+
+# ---------------------------------------------------------------- r11:
+# change data feed + schema evolution
+
+from apache_spark_irs_form_990_spark.sources.lakehouse import (  # noqa: E402
+    SnapshotExpired,
+    read_changes,
+    vacuum_table,
+)
+
+
+def _feed(df):
+    return {
+        (
+            r["n_nationkey"],
+            r["n_name"],
+            r["n_regionkey"],
+            r["_change_type"],
+            r["_commit_version"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_change_feed_classifies_all_four_types(spark, tmp_path):
+    """One merge producing an insert, a delete, a real update, and a
+    payload-identical no-op 'update' — the feed must emit insert,
+    delete, and the pre/post image PAIR, and must emit NOTHING for
+    the no-op (its row is carried verbatim by the file rewrite)."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 0), (4, "d", 0)],
+        "n_nationkey int, n_name string, n_regionkey long",
+    )
+    create_table(spark, path, base, key="n_nationkey", n_files=2)
+    changes = spark.createDataFrame(
+        [
+            (2, "U", "b2", 7),   # real update
+            (3, "D", None, None),  # delete
+            (9, "I", "new", 1),  # insert
+            (4, "U", "d", 0),    # payload-identical: NOT a change
+        ],
+        "n_nationkey int, op string, n_name string, n_regionkey long",
+    )
+    merge_into(spark, path, changes)
+    assert _feed(read_changes(spark, path, v_from=1)) == {
+        (2, "b", 0, "update_preimage", 1),
+        (2, "b2", 7, "update_postimage", 1),
+        (3, "c", 0, "delete", 1),
+        (9, "new", 1, "insert", 1),
+    }
+
+
+def test_change_feed_create_and_compact_commits(spark, tmp_path):
+    """From v0 the feed replays the create as inserts; a compaction
+    commit (rows identical, layout only) emits zero changes."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0)],
+        "n_nationkey int, n_name string, n_regionkey long",
+    )
+    create_table(spark, path, base, key="n_nationkey", n_files=2)
+    compact_table(spark, path, n_files=1)
+    feed = read_changes(spark, path, v_from=0)
+    assert _feed(feed) == {
+        (1, "a", 0, "insert", 0),
+        (2, "b", 0, "insert", 0),
+    }
+
+
+def test_change_feed_refuses_below_vacuum_horizon(spark, tmp_path):
+    """A commit whose pre-image snapshot was vacuumed away must raise
+    SnapshotExpired, never silently read missing files."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0)],
+        "n_nationkey int, n_name string, n_regionkey long",
+    )
+    create_table(spark, path, base, key="n_nationkey", n_files=1)
+    merge_into(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "U", "a2", 5)],
+            "n_nationkey int, op string, n_name string, n_regionkey long",
+        ),
+    )
+    vacuum_table(path, retain_last=1)
+    with pytest.raises(SnapshotExpired):
+        read_changes(spark, path, v_from=1).collect()
+
+
+def test_schema_evolution_requires_flag(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 0)], "n_nationkey int, n_name string, n_regionkey long"
+    )
+    create_table(spark, path, base, key="n_nationkey", n_files=1)
+    widened = spark.createDataFrame(
+        [(1, "U", "a2", 0, "x")],
+        "n_nationkey int, op string, n_name string, n_regionkey long, extra string",
+    )
+    with pytest.raises(ValueError, match="evolve_schema"):
+        merge_into(spark, path, widened)
+
+
+def test_schema_evolution_backfills_and_time_travels(spark, tmp_path):
+    """An evolving merge widens the schema for the NEW snapshot
+    (untouched files backfill NULL at scan time), while AS OF the
+    pre-evolution version still serves the ORIGINAL narrow schema;
+    a later plain merge on the evolved table must keep the column."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 0), (20, "b", 0)],
+        "n_nationkey int, n_name string, n_regionkey long",
+    )
+    # 2 files, disjoint ranges: the merge below touches only file 1
+    create_table(spark, path, base, key="n_nationkey", n_files=2)
+    widened = spark.createDataFrame(
+        [(1, "U", "a2", 5, "x")],
+        "n_nationkey int, op string, n_name string, n_regionkey long, extra string",
+    )
+    merge_into(spark, path, widened, evolve_schema=True)
+    snap = read_snapshot(spark, path)
+    assert snap.columns == ["n_nationkey", "n_name", "n_regionkey", "extra"]
+    got = {
+        (r["n_nationkey"], r["n_name"], r["n_regionkey"], r["extra"])
+        for r in snap.collect()
+    }
+    assert got == {(1, "a2", 5, "x"), (20, "b", 0, None)}  # carried file: NULL
+    # time travel below the evolution: the narrow schema, verbatim
+    v0 = read_snapshot(spark, path, version=0)
+    assert v0.columns == ["n_nationkey", "n_name", "n_regionkey"]
+    # a later NON-evolving merge keeps the evolved width
+    merge_into(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(20, "U", "b2", 1, "y")],
+            "n_nationkey int, op string, n_name string, n_regionkey long, extra string",
+        ),
+    )
+    got2 = {
+        (r["n_nationkey"], r["extra"])
+        for r in read_snapshot(spark, path).collect()
+    }
+    assert got2 == {(1, "x"), (20, "y")}
+    # compaction reads the evolved schema and homogenizes footers
+    compact_table(spark, path, n_files=1)
+    assert read_snapshot(spark, path).columns == [
+        "n_nationkey", "n_name", "n_regionkey", "extra",
+    ]
+
+
+def test_change_feed_across_evolution_boundary(spark, tmp_path):
+    """A feed spanning an evolving commit normalizes earlier (narrow)
+    changes to the final schema with NULL backfill."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 0)], "n_nationkey int, n_name string, n_regionkey long"
+    )
+    create_table(spark, path, base, key="n_nationkey", n_files=1)
+    merge_into(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(2, "I", "b", 0)],
+            "n_nationkey int, op string, n_name string, n_regionkey long",
+        ),
+    )
+    merge_into(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(3, "I", "c", 0, "z")],
+            "n_nationkey int, op string, n_name string, n_regionkey long, extra string",
+        ),
+        evolve_schema=True,
+    )
+    feed = read_changes(spark, path, v_from=1)
+    assert feed.columns == [
+        "n_nationkey", "n_name", "n_regionkey", "extra",
+        "_change_type", "_commit_version",
+    ]
+    got = {
+        (r["n_nationkey"], r["extra"], r["_change_type"], r["_commit_version"])
+        for r in feed.collect()
+    }
+    assert got == {(2, None, "insert", 1), (3, "z", "insert", 2)}
