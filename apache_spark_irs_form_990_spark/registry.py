@@ -124,6 +124,7 @@ def _load_all() -> None:
         xml_ingest,
         sinks,
         lakehouse,
+        lakehouse_stream,
         layout,
     )
     from apache_spark_irs_form_990_spark.streaming import (  # noqa: F401
