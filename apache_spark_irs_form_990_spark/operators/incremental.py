@@ -822,6 +822,155 @@ def lakehouse_takedown_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(tbl, "doc_id", "full")
 
 
+def _cdf_consumer_oracle() -> str:
+    """Two-phase oracle for the CDF-driven state update — the same
+    contract chain as `_incremental_cc_oracle`, with the standing
+    corpus REPLACED by the post-delete survivors (valid because the
+    delete pass is from-scratch-equivalent on survivors — the
+    [[dedup_incremental_delete]] contract) and the batch REPLACED by
+    everything the change feed routed to the add path (inserts +
+    update post-images): phase 1 closes survivor edges under the
+    survivor df cap, phase 2 adds newdoc-incident edges under the
+    union cap and re-closes. Final select joins labels with the
+    post-merge corpus text, so table rows and index state must agree
+    doc-for-doc."""
+    surv_block = _SQL_JACCARD_EDGE_BLOCK.format(
+        p="b", corpus="surv", pair_pred=""
+    )
+    inc_block = _SQL_JACCARD_EDGE_BLOCK.format(
+        p="a",
+        corpus="all_docs",
+        pair_pred="WHERE (a.doc_id IN (SELECT doc_id FROM newdocs) "
+        "OR b.doc_id IN (SELECT doc_id FROM newdocs))",
+    )
+    return f"""
+    WITH RECURSIVE {_SQL_INCR_FIXTURE_CTES},
+    surv AS (
+      SELECT doc_id, text FROM base
+      WHERE NOT (doc_id % 10 = 0 AND doc_id < 2000000)
+        AND NOT (doc_id % 100 = 7 AND doc_id < 1000000)
+    ),
+    newdocs AS (
+      SELECT doc_id, text FROM batch
+      UNION ALL
+      SELECT doc_id, 'UPDATED ' || text AS text FROM base
+      WHERE doc_id % 100 = 7 AND doc_id < 1000000
+    ),
+    all_docs AS (SELECT * FROM surv UNION ALL SELECT * FROM newdocs),
+    {surv_block},
+    bedges AS (
+      SELECT id_a AS src, id_b AS dst FROM bpairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM bpairs
+    ),
+    reach1(id, comp) AS (
+      SELECT doc_id, doc_id FROM surv
+      UNION
+      SELECT e.dst, r.comp FROM reach1 r JOIN bedges e ON e.src = r.id
+    ),
+    labels1 AS MATERIALIZED (
+      SELECT id, min(comp) AS comp FROM reach1 GROUP BY id
+    ),
+    {inc_block},
+    alledges AS (
+      SELECT comp AS src, id AS dst FROM labels1 WHERE id <> comp
+      UNION SELECT id, comp FROM labels1 WHERE id <> comp
+      UNION SELECT id_a, id_b FROM apairs
+      UNION SELECT id_b, id_a FROM apairs
+    ),
+    reach2(id, comp) AS (
+      SELECT doc_id, doc_id FROM all_docs
+      UNION
+      SELECT e.dst, r.comp FROM reach2 r JOIN alledges e ON e.src = r.id
+    ),
+    labels AS (
+      SELECT id AS doc_id, min(comp) AS component_id FROM reach2 GROUP BY id
+    )
+    SELECT l.doc_id, l.component_id,
+           CAST(length(a.text) AS BIGINT) AS text_len
+    FROM labels l JOIN all_docs a USING (doc_id)
+    """
+
+
+@register("lakehouse_cdf_drives_state", oracle=_cdf_consumer_oracle())
+def lakehouse_cdf_drives_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE CDF CONSUMER (r11): the persisted dedup state updated FROM
+    the lakehouse change feed — the loop [[lakehouse_change_feed]]
+    exists to close. One CDC merge lands deletes (every 10th original
+    doc), inserts (the shared drop-2 batch), and text UPDATES (every
+    100th-ish original doc re-prefixed) on the commit-log corpus
+    table; the state job then reads `read_changes` for that commit —
+    NEVER the table — and routes by change type:
+
+      * delete + update_preimage  → `apply_delete_batch`
+      * insert + update_postimage → `apply_batch`
+
+    (an update is delete-then-add by construction, which is exactly
+    how an inverted-index state must treat a text change). The
+    returned frame full-outer-joins the merged labels with the
+    post-merge snapshot's text lengths; the oracle is the two-phase
+    rebuild over survivors + routed adds joined with the same corpus
+    — a mis-routed change type, a carried-row echo (which would
+    delete-and-re-add every untouched row in the rewritten files), or
+    stores disagreeing on any doc all break the hash.
+
+    Cost shape at 100 TB, per nightly CDC batch: the feed reads
+    O(files the commit touched); the state update costs what the
+    delete+add passes cost on the routed rows — standing corpus text
+    is read by NEITHER."""
+    from apache_spark_irs_form_990_spark.sources.lakehouse import (
+        _TABLE_DIRS,
+        create_table,
+        merge_into,
+        read_changes,
+        read_snapshot,
+    )
+
+    base, batch = fixture_base_batch(spark, sf_dir)
+    tag = hashlib.md5(("cdfstate|" + sf_dir).encode()).hexdigest()[:8]
+    state_dir = scratch_state_dir(tag)
+    state_dir2 = scratch_state_dir(tag + "_postdel")
+    tpath = _TABLE_DIRS.new_dir(tag)
+    create_table(spark, tpath, base, key="doc_id", n_files=8)
+    write_standing_state(spark, base, state_dir)
+
+    dels = fixture_delete_set(base)
+    upds = base.filter(
+        (F.col("doc_id") % 100 == 7) & (F.col("doc_id") < 1000000)
+    ).select(
+        "doc_id",
+        F.concat(F.lit("UPDATED "), F.col("text")).alias("text"),
+    )
+    changes = (
+        dels.select(
+            "doc_id",
+            F.lit("D").alias("op"),
+            F.lit(None).cast("string").alias("text"),
+        )
+        .unionByName(batch.select("doc_id", F.lit("I").alias("op"), "text"))
+        .unionByName(upds.select("doc_id", F.lit("U").alias("op"), "text"))
+    )
+    merge_into(spark, tpath, changes)
+
+    # the state job's ONLY input: the commit's change feed
+    feed = read_changes(spark, tpath, v_from=1).localCheckpoint()
+    del_ids = feed.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select("doc_id")
+    adds = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("doc_id", "text")
+    apply_delete_batch(spark, state_dir, del_ids, out_state_dir=state_dir2)
+    labels = apply_batch(spark, state_dir2, adds)
+
+    tbl = read_snapshot(spark, tpath).select(
+        "doc_id", F.length("text").cast("long").alias("text_len")
+    )
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("component_id")
+    ).join(tbl, "doc_id", "full")
+
+
 def state_cluster_histogram(spark: SparkSession, state_dir: str) -> DataFrame:
     """Cluster-size histogram read from a persisted state's labels —
     the corpus-health report pointed at the MUTABLE corpus (VERDICT

@@ -501,22 +501,42 @@ def read_changes(
             _mark(post).alias("q"), on=keys, how="full"
         )
         p_s, q_s = F.col("p._s"), F.col("q._s")
-
-        def _emit(sel: DataFrame, side: str, ctype: str) -> DataFrame:
-            return sel.select(
+        # ONE pass over the joined pre/post rows: classify into a
+        # 0/1/2-element array of (change_type, payload-side) and
+        # explode — four filtered branches would re-scan the commit's
+        # files four times (measured 4x on the CDF consumer)
+        kinds = (
+            F.when(
+                p_s.isNull(),
+                F.array(F.struct(F.lit("insert").alias("t"), q_s.alias("s"))),
+            )
+            .when(
+                q_s.isNull(),
+                F.array(F.struct(F.lit("delete").alias("t"), p_s.alias("s"))),
+            )
+            .when(
+                ~p_s.eqNullSafe(q_s),
+                F.array(
+                    F.struct(
+                        F.lit("update_preimage").alias("t"), p_s.alias("s")
+                    ),
+                    F.struct(
+                        F.lit("update_postimage").alias("t"), q_s.alias("s")
+                    ),
+                ),
+            )
+            # carried verbatim: NULL array — explode() emits nothing
+            .otherwise(F.lit(None))
+        )
+        ex = j.select(*[F.col(k) for k in keys], F.explode(kinds).alias("_e"))
+        frames.append(
+            ex.select(
                 *[F.col(k) for k in keys],
-                *[F.col(f"{side}._s.{p}").alias(p) for p in payload],
-                F.lit(ctype).alias("_change_type"),
+                *[F.col(f"_e.s.{p}").alias(p) for p in payload],
+                F.col("_e.t").alias("_change_type"),
                 ver,
             ).select(*cols, "_change_type", "_commit_version")
-
-        frames.append(_emit(j.filter(p_s.isNull()), "q", "insert"))
-        frames.append(_emit(j.filter(q_s.isNull()), "p", "delete"))
-        changed = j.filter(
-            p_s.isNotNull() & q_s.isNotNull() & ~p_s.eqNullSafe(q_s)
         )
-        frames.append(_emit(changed, "p", "update_preimage"))
-        frames.append(_emit(changed, "q", "update_postimage"))
     schema, _ = _current_schema(path, last)
     if not frames:
         empty = spark.createDataFrame([], schema)

@@ -132,6 +132,13 @@ EXTENDED = [
     "lakehouse_vacuum_retention",
     "lakehouse_partition_prune_merge",
     "lakehouse_takedown_e2e",
+    # r11 consumer half: the change data feed, schema evolution, the
+    # streaming tail, and the CDF-driven dedup-state update —
+    # per-round tracking of the round's registered additions.
+    "lakehouse_change_feed",
+    "lakehouse_schema_evolution",
+    "stream_lakehouse_tail",
+    "lakehouse_cdf_drives_state",
 ]
 
 

@@ -901,3 +901,60 @@ def test_change_feed_across_evolution_boundary(spark, tmp_path):
         for r in feed.collect()
     }
     assert got == {(2, None, "insert", 1), (3, "z", "insert", 2)}
+
+
+def test_change_feed_replay_reconstructs_snapshot(spark, tmp_path):
+    """THE CDF invariant: snapshot(v0) + the replayed feed == the
+    latest snapshot, across a multi-commit history with inserts,
+    deletes, updates, an evolving merge, and a compaction. A feed
+    that echoes carried rows, misses a change, or mis-orders images
+    cannot reconstruct the table."""
+    import random
+
+    rng = random.Random(990)
+    path = str(tmp_path / "t")
+    state = {k: ("n_" + str(k), k % 7) for k in range(40)}
+    base = spark.createDataFrame(
+        [(k, n, r) for k, (n, r) in state.items()],
+        "n_nationkey int, n_name string, n_regionkey long",
+    )
+    create_table(spark, path, base, key="n_nationkey", n_files=4)
+    schema = "n_nationkey int, op string, n_name string, n_regionkey long"
+    for commit in range(3):
+        rows = []
+        for k in rng.sample(sorted(state), 8):
+            if rng.random() < 0.3:
+                rows.append((k, "D", None, None))
+            else:
+                rows.append((k, "U", f"u{commit}_{k}", rng.randrange(9)))
+        for k in range(100 + 10 * commit, 103 + 10 * commit):
+            rows.append((k, "I", f"i{commit}_{k}", rng.randrange(9)))
+        merge_into(spark, path, spark.createDataFrame(rows, schema))
+        if commit == 1:
+            compact_table(spark, path, n_files=2)
+    merge_into(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(5, "U", "widened", 1, "extra_val")],
+            schema + ", note string",
+        ),
+        evolve_schema=True,
+    )
+    # replay: fold the feed over snapshot(v0), version by version
+    replayed = {
+        (r["n_nationkey"]): (r["n_name"], r["n_regionkey"], None)
+        for r in read_snapshot(spark, path, version=0).collect()
+    }
+    feed = read_changes(spark, path, v_from=1).collect()
+    for r in sorted(feed, key=lambda r: r["_commit_version"]):
+        k = r["n_nationkey"]
+        if r["_change_type"] == "delete":
+            del replayed[k]
+        elif r["_change_type"] in ("insert", "update_postimage"):
+            replayed[k] = (r["n_name"], r["n_regionkey"], r["note"])
+    latest = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"], r["note"])
+        for r in read_snapshot(spark, path).collect()
+    }
+    assert replayed == latest
