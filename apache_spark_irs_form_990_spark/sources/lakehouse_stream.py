@@ -89,7 +89,15 @@ class CommitLogStreamSource(DataSource):
     table. Options: ``path`` (table dir, required), ``startingVersion``
     (first commit to emit, default 0 = replay the create),
     ``skipChangeCommits`` ("true" to silently skip non-append commits
-    instead of failing the query)."""
+    instead of failing the query).
+
+    NO rate-limit option (Delta's maxFilesPerTrigger): the Python
+    DataSource API's ``latestOffset()`` takes no start offset (no
+    admission control), so any reader-side pacing state can desync
+    from the engine's committed offset — a prototype paced with a
+    driver-side watermark DELIVERED DUPLICATES under the engine's
+    actual call order and was removed; a backlog replays as one batch
+    until the API grows admission control."""
 
     @classmethod
     def name(cls) -> str:
