@@ -3481,3 +3481,120 @@ sim_pq_code_budget_audit.__doc__ = sim_pq_code_budget_audit.__doc__.replace(
 ).replace("{BCAP}", str(_PQ_BUDGET_CAP)).replace(
     "{CAND}", str(_PQ_RERANK_CAND)
 ).replace("{K}", str(_PQ_RECALL_K))
+
+
+def _cdf_maintain_oracle() -> str:
+    """DuckDB twin of [[sim_index_cdf_maintain]]: replay the SAME
+    deterministic CDC on the milli corpus relationally, then bucket
+    the POST state with the identical plane literals — the from-
+    scratch rebuild the incremental path must hash-match."""
+    return f"""
+    WITH {_SQL_MILLI},
+    base AS (SELECT vec_id, v FROM m),
+    changed AS (
+      SELECT vec_id, 'D' AS op, v FROM base WHERE vec_id % 11 = 0
+      UNION ALL
+      SELECT vec_id, 'U' AS op,
+             list_transform(v, x -> -x) AS v
+      FROM base WHERE vec_id % 11 = 1
+      UNION ALL
+      SELECT vec_id + 5000000 AS vec_id, 'I' AS op, v
+      FROM base WHERE vec_id % 11 = 2
+    ),
+    post AS (
+      SELECT b.vec_id, b.v FROM base b
+      LEFT JOIN changed c ON b.vec_id = c.vec_id
+      WHERE c.vec_id IS NULL
+      UNION ALL
+      SELECT vec_id, v FROM changed WHERE op IN ('U', 'I')
+    ),
+    {_flat_lsh_sql("post")}
+    SELECT vec_id, bucket, n FROM bucketed
+    """
+
+
+@register("sim_index_cdf_maintain", oracle=_cdf_maintain_oracle())
+def sim_index_cdf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN INDEX MAINTAINED FROM THE CHANGE FEED (r11 §20.2): the
+    similarity side of [[lakehouse_cdf_drives_state]]. The embedding
+    corpus lives in a commit-log table (key vec_id); one CDC merge
+    deletes every 11th vector, RE-EMBEDS every 11th+1 (negated — all
+    8 signature bits flip, so a stale index row is guaranteed to sit
+    in the WRONG bucket), and inserts re-keyed copies. The standing
+    flat-LSH signature index (vec_id, v, bucket, n — the uncapped
+    base `sim_ann_index_persist_probe`'s capped serving view derives
+    from) is then updated from `read_changes` ONLY: delete +
+    update_preimage ids anti-join out, insert + update_postimage rows
+    are signed and appended — the corpus table itself is never
+    re-read. Both index generations are real parquet sinks (write →
+    independent read-back), and the returned frame is the READ-BACK
+    incremental index under the from-scratch rebuild oracle: a missed
+    delete, a stale pre-update bucket, or a dropped insert each break
+    the hash.
+
+    Cost shape at 100 TB: the nightly index job is O(feed) = O(files
+    the merge touched) for signatures plus one anti-join against the
+    standing index on a broadcastable id set — never O(corpus). The
+    capped per-bucket serving sample only needs re-ranking in buckets
+    the feed touched (bucket ids are IN the routed rows).
+
+    Provenance: Delta's CDF → downstream-index pattern; the reference
+    has no index maintenance at all (full rebuild per run,
+    IRSSpark.py:183-188)."""
+    import hashlib as _hl
+
+    from apache_spark_irs_form_990_spark.sources.lakehouse import (
+        _TABLE_DIRS,
+        create_table,
+        merge_into,
+        read_changes,
+    )
+
+    corpus = emb_milli_corpus(spark, sf_dir)
+    tag = _hl.md5(("cdfann|" + sf_dir).encode()).hexdigest()[:8]
+    tbl = _TABLE_DIRS.new_dir(tag)
+    create_table(spark, tbl, corpus, key="vec_id", n_files=4)
+
+    changes = (
+        corpus.filter(F.col("vec_id") % 11 == 0)
+        .select("vec_id", F.lit("D").alias("op"), "v")
+        .unionByName(
+            corpus.filter(F.col("vec_id") % 11 == 1).select(
+                "vec_id",
+                F.lit("U").alias("op"),
+                F.transform(F.col("v"), lambda x: -x).alias("v"),
+            )
+        )
+        .unionByName(
+            corpus.filter(F.col("vec_id") % 11 == 2).select(
+                (F.col("vec_id") + 5000000).alias("vec_id"),
+                F.lit("I").alias("op"),
+                "v",
+            )
+        )
+    )
+    merge_into(spark, tbl, changes)
+
+    # generation 0: the standing index, persisted (build-once)
+    sign = lambda df: df.withColumn(  # noqa: E731 — one shared signer
+        "bucket", _bucket_udf(_PLANES)(F.col("v")).getItem(0)
+    ).withColumn("n", sq_norm(F.col("v")))
+    idx_dir0 = _INDEX_DIRS.new_dir(tag + "g0")
+    sign(corpus).write.parquet(idx_dir0)
+
+    # nightly maintenance: routed feed rows ONLY — no corpus re-read
+    feed = read_changes(spark, tbl, v_from=1)
+    gone = feed.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select("vec_id")
+    adds = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("vec_id", "v")
+    idx_dir1 = _INDEX_DIRS.new_dir(tag + "g1")
+    (
+        spark.read.parquet(idx_dir0)
+        .join(gone, "vec_id", "left_anti")
+        .unionByName(sign(adds))
+        .write.parquet(idx_dir1)
+    )
+    return spark.read.parquet(idx_dir1).select("vec_id", "bucket", "n")

@@ -83,6 +83,7 @@ import hashlib
 import json
 import os
 import shutil
+import struct
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -147,6 +148,7 @@ def table_meta(path: str) -> dict:
         "key_types": c0.get("key_types"),
         "partition_by": c0.get("partition_by"),
         "schema": c0.get("schema"),
+        "bloom": c0.get("bloom"),
     }
 
 
@@ -160,6 +162,67 @@ def vacuum_horizon(path: str) -> int:
         if c.get("op") == "vacuum":
             h = max(h, int(c.get("horizon", 0)))
     return h
+
+
+def snapshot_dv(path: str, version: int | None = None) -> dict:
+    """Replay the log through ``version`` → the DELETION-VECTOR state:
+    {data relpath: [dv subdir, ...]} for every live file with
+    merge-on-read deletes pending. A file's DV list accumulates across
+    `delete_keys_mor` commits and is CLEARED the moment any commit
+    removes (rewrites) the file — compaction materializes deletes for
+    free, a copy-on-write merge can't resurrect them. Metadata-sized
+    driver work, same shape as `snapshot_files`."""
+    v = latest_version(path) if version is None else version
+    dv: dict[str, list[str]] = {}
+    for i in range(v + 1):
+        c = _read_commit(path, i)
+        for r in c.get("removed", []):
+            dv.pop(r, None)
+        if c.get("dv"):
+            for rel in c["dv"]["files"]:
+                dv.setdefault(rel, []).append(c["dv"]["dir"])
+    return dv
+
+
+def _rel_expr():
+    """`_metadata.file_path` → the manifest's relpath (subdir/file) —
+    the join key between scanned rows and DV positions."""
+    parts = F.split(F.col("_metadata.file_path"), "/")
+    return F.concat_ws("/", F.element_at(parts, -2), F.element_at(parts, -1))
+
+
+def _apply_dv(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    dv_dirs: set[str],
+    keep_tags: bool = False,
+) -> DataFrame:
+    """Filter out DV'd rows: anti-join the scan (tagged with its file
+    relpath + parquet `_metadata.row_index`) against the union of the
+    referenced DV parquet dirs on (file, position). Position-based —
+    the Delta/Iceberg merge-on-read contract — so it needs no key
+    columns and costs one distributed anti-join of O(deleted rows),
+    never a rewrite. ``df`` must still expose `_metadata` (i.e. be a
+    raw file scan, pre-select). ``keep_tags`` keeps the
+    `_dv_rel`/`_dv_pos` tag columns (underscored: never collide with
+    table columns) for callers that need the surviving rows'
+    positions — `_metadata` itself is unreachable after the select."""
+    if not dv_dirs and not keep_tags:
+        return df
+    tagged = df.select(
+        "*",
+        _rel_expr().alias("_dv_rel"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    )
+    if dv_dirs:
+        pos = spark.read.parquet(
+            *[os.path.join(path, d) for d in sorted(dv_dirs)]
+        ).select(
+            F.col("rel").alias("_dv_rel"), F.col("pos").alias("_dv_pos")
+        )
+        tagged = tagged.join(pos, ["_dv_rel", "_dv_pos"], "left_anti")
+    return tagged if keep_tags else tagged.drop("_dv_rel", "_dv_pos")
 
 
 def snapshot_files(path: str, version: int | None = None) -> dict:
@@ -237,14 +300,40 @@ def _py_stat(v, key_type: str):
     return v
 
 
+def _bloom_key_expr(keys: list[str]):
+    """The hashed key representation both bloom sides share: the key
+    columns cast to string, unit-separator-joined. Must be IDENTICAL
+    at write (position aggregation) and probe (membership test) —
+    both go through this one expression."""
+    return F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+
+
+def _pack_bits(positions, m: int) -> bytes:
+    """Set bit positions → little-endian uint64-word bitset bytes."""
+    words = [0] * (m // 64)
+    for p in positions:
+        words[p >> 6] |= 1 << (p & 63)
+    return struct.pack(f"<{len(words)}Q", *words)
+
+
 def _write_data_files(
-    spark: SparkSession, path: str, df: DataFrame, key
+    spark: SparkSession, path: str, df: DataFrame, key, bloom: dict | None = None
 ) -> dict:
     """Stage one immutable data subdir and return {relpath: stats}
     with per-file [min, max] ranges FOR EVERY KEY COLUMN plus row
     counts — one `input_file_name()` aggregate over what was just
     written (the manifest pass every table format runs at write
-    time). The subdir is INVISIBLE until a commit names it."""
+    time). The subdir is INVISIBLE until a commit names it.
+
+    With ``bloom`` (the table's {"m": bits, "k": hashes} config,
+    r11 §20.2) the SAME aggregate also collects each file's set of
+    bloom bit positions — bounded by m per file regardless of row
+    count (collect_set of pmod values), so the driver-side packing is
+    O(m), never O(rows) — and writes one `<file>.bloom` bitset
+    sidecar per data file (the Iceberg-puffin shape: the JSON
+    manifest stays metadata-sized, membership bits live beside the
+    data). The stats row records "bloom": true so the probe knows
+    which files can be membership-tested."""
     keys = _key_cols(key)
     sub = f"d-{uuid.uuid4().hex[:12]}"
     full = os.path.join(path, sub)
@@ -253,6 +342,16 @@ def _write_data_files(
     for i, k in enumerate(keys):
         aggs += [F.min(k).alias(f"lo_{i}"), F.max(k).alias(f"hi_{i}")]
     aggs.append(F.count(F.lit(1)).alias("rows"))
+    if bloom:
+        kc = _bloom_key_expr(keys)
+        for s in range(bloom["k"]):
+            aggs.append(
+                F.collect_set(
+                    F.pmod(F.xxhash64(kc, F.lit(s)), F.lit(bloom["m"])).cast(
+                        "int"
+                    )
+                ).alias(f"bp_{s}")
+            )
     stats = (
         spark.read.parquet(full)
         .groupBy(F.input_file_name().alias("f"))
@@ -267,6 +366,13 @@ def _write_data_files(
             "hi": [_json_stat(r[f"hi_{i}"]) for i in range(len(keys))],
             "rows": r["rows"],
         }
+        if bloom:
+            positions: set = set()
+            for s in range(bloom["k"]):
+                positions.update(r[f"bp_{s}"])
+            with open(os.path.join(path, rel + ".bloom"), "wb") as fh:
+                fh.write(_pack_bits(positions, bloom["m"]))
+            out[rel]["bloom"] = True
     return out
 
 
@@ -284,6 +390,8 @@ def create_table(
     key,
     n_files: int = 4,
     partition_by: str | None = None,
+    bloom_m_bits: int | None = None,
+    bloom_k: int = 4,
 ) -> int:
     """Commit 0: range-partition ``df`` on the key column(s) into
     ``n_files`` immutable files (disjoint key ranges — what makes
@@ -299,7 +407,17 @@ def create_table(
     file's partition stats pin lo == hi == value and the merge prunes
     whole partitions before the key-range probe. The partition column
     must be part of the merge key — pruning on a mutable payload
-    column would miss a row that changed partitions."""
+    column would miss a row that changed partitions.
+
+    ``bloom_m_bits`` (r11 §20.2) enables per-file KEY-MEMBERSHIP bloom
+    sidecars of that many bits (power of two; ``bloom_k`` hash
+    functions): for a hash-distributed key (content digests, UUIDs —
+    the dedup corpus's natural identity) every file's [min, max] spans
+    the whole domain and range stats prune NOTHING, so a sparse merge
+    or takedown would rewrite every file; the bloom probe restores
+    O(true touched files). ~10 bits/key at the planner's file target
+    is the classic 1% FP point — a false positive only costs one
+    needless file read, never a wrong result."""
     keys = _key_cols(key)
     key_types = _validated_key_types(df, keys)
     if partition_by is not None and (not keys or keys[0] != partition_by):
@@ -308,7 +426,16 @@ def create_table(
             f"column (got key={keys}): partition values take part in "
             "merge pruning, so they must be row-identity, not payload"
         )
-    added = _write_partitioned(spark, path, df, keys, partition_by, n_files)
+    bloom = None
+    if bloom_m_bits is not None:
+        if bloom_m_bits < 64 or bloom_m_bits & (bloom_m_bits - 1):
+            raise ValueError(
+                f"bloom_m_bits must be a power of two >= 64, got {bloom_m_bits}"
+            )
+        bloom = {"m": int(bloom_m_bits), "k": int(bloom_k)}
+    added = _write_partitioned(
+        spark, path, df, keys, partition_by, n_files, bloom
+    )
     _try_commit(
         path,
         0,
@@ -318,6 +445,7 @@ def create_table(
             "key_types": key_types,
             "partition_by": partition_by,
             "schema": df.schema.json(),
+            "bloom": bloom,
             "added": added,
         },
     )
@@ -331,13 +459,18 @@ def _write_partitioned(
     keys: list[str],
     partition_by: str | None,
     n_files: int,
+    bloom: dict | None = None,
 ) -> dict:
     """The shared create/compact write path: one staged subdir per
     partition value (or one total for an unpartitioned table), each
     range-partitioned on the key columns."""
     if partition_by is None:
         return _write_data_files(
-            spark, path, df.repartitionByRange(max(n_files, 1), *keys), keys
+            spark,
+            path,
+            df.repartitionByRange(max(n_files, 1), *keys),
+            keys,
+            bloom,
         )
     rest = keys[1:] or keys
     vals = sorted(
@@ -348,7 +481,11 @@ def _write_partitioned(
         part = df.filter(F.col(partition_by) == F.lit(v))
         added.update(
             _write_data_files(
-                spark, path, part.repartitionByRange(max(n_files, 1), *rest), keys
+                spark,
+                path,
+                part.repartitionByRange(max(n_files, 1), *rest),
+                keys,
+                bloom,
             )
         )
     return added
@@ -388,16 +525,27 @@ def read_snapshot(
     so the scan reads with ``mergeSchema`` and backfills any column a
     file predates as NULL — the same read contract Delta/Iceberg give
     an evolved table. Un-evolved tables keep the single-footer fast
-    path (no mergeSchema cost)."""
+    path (no mergeSchema cost).
+
+    Deletion vectors (r11 §20.2): rows MOR-deleted as of the
+    requested version are filtered by one position anti-join
+    (`_apply_dv`); a DV-free table skips the join entirely."""
     live = snapshot_files(path, version)
     schema, evolved = _current_schema(path, version)
     cols = [f.name for f in schema.fields]
     if not live:
         return spark.createDataFrame([], schema)
     paths = [os.path.join(path, rel) for rel in live]
+    dvm = snapshot_dv(path, version)
+    dv_dirs = {d for dirs in dvm.values() for d in dirs}
     if not evolved:
-        return spark.read.parquet(*paths)
-    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        return _apply_dv(spark, path, spark.read.parquet(*paths), dv_dirs)
+    df = _apply_dv(
+        spark,
+        path,
+        spark.read.option("mergeSchema", "true").parquet(*paths),
+        dv_dirs,
+    )
     return df.select(
         *[
             F.col(c) if c in df.columns
@@ -455,12 +603,52 @@ def read_changes(
         payload = [x for x in cols if x not in keys]
         added = sorted(c.get("added", {}))
         removed = sorted(c.get("removed", []))
+        if v < horizon:
+            raise SnapshotExpired(
+                f"change feed for version {v} of {path} predates the "
+                f"vacuum horizon {horizon}; its files may be deleted"
+            )
         if removed and v - 1 < horizon:
             raise SnapshotExpired(
                 f"change feed for version {v} of {path} needs its "
                 f"pre-image (version {v - 1}), which predates the "
                 f"vacuum horizon {horizon}"
             )
+        if op == "delete_mor":
+            ver = F.lit(v).cast("long").alias("_commit_version")
+            # the commit's DV holds exactly its NEWLY deleted
+            # positions (the write path excludes already-DV'd rows),
+            # so the pre-image is one semi-join of the still-live
+            # data files against that one DV dir — O(commit), like
+            # every other feed branch
+            dvinfo = c["dv"]
+            scan = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(path, r) for r in dvinfo["files"]]
+            )
+            tagged = scan.select(
+                "*",
+                _rel_expr().alias("_dv_rel"),
+                F.col("_metadata.row_index").alias("_dv_pos"),
+            )
+            pos = spark.read.parquet(
+                os.path.join(path, dvinfo["dir"])
+            ).select(
+                F.col("rel").alias("_dv_rel"),
+                F.col("pos").alias("_dv_pos"),
+            )
+            dead = tagged.join(pos, ["_dv_rel", "_dv_pos"], "leftsemi")
+            frames.append(
+                dead.select(
+                    *[
+                        F.col(x) if x in scan.columns
+                        else F.lit(None).cast(schema[x].dataType).alias(x)
+                        for x in cols
+                    ],
+                    F.lit("delete").alias("_change_type"),
+                    ver,
+                )
+            )
+            continue
 
         def _read(rels: list[str]) -> DataFrame:
             if not rels:
@@ -478,7 +666,7 @@ def read_changes(
 
         ver = F.lit(v).cast("long").alias("_commit_version")
         post = _read(added)
-        if op == "create":
+        if op in ("create", "append"):  # whole commit = inserts
             frames.append(
                 post.select(
                     *cols, F.lit("insert").alias("_change_type"), ver
@@ -561,6 +749,8 @@ def _touched_files(
     changes: DataFrame,
     keys: list[str],
     key_types: list[str],
+    path: str | None = None,
+    bloom: dict | None = None,
 ) -> list[str]:
     """Files whose per-column [min, max] ranges ALL hold at least one
     change key — the conservative zone-map conjunction (a file can
@@ -569,7 +759,17 @@ def _touched_files(
     Computed as one broadcast range-join of the (metadata-sized) file
     list against the distinct change keys — never collecting the
     change set. Typed from the manifest's recorded key types (r11 —
-    string/date/composite keys; previously hardcoded long)."""
+    string/date/composite keys; previously hardcoded long).
+
+    With a table ``bloom`` config (r11 §20.2), range survivors that
+    carry a bloom sidecar get a second, MEMBERSHIP probe: the
+    candidate files' bitsets (loaded driver-side — O(range survivors
+    × m/8 bytes), never O(live files)) broadcast-join the distinct
+    change keys on the k-fold bit test; a file survives only if some
+    key hits all k bits. For hash-distributed keys — where every
+    range spans the whole domain and phase 1 prunes nothing — this is
+    what keeps a sparse merge O(true touched files). Files without a
+    sidecar (pre-bloom history) stay conservatively touched."""
     fields = ["rel string"]
     for i, t in enumerate(key_types):
         fields += [f"lo_{i} {t}", f"hi_{i} {t}"]
@@ -586,17 +786,43 @@ def _touched_files(
             F.col(f"k_{i}") <= F.col(f"hi_{i}")
         )
         cond = c if cond is None else (cond & c)
-    hit = (
-        changes.select(
-            *[F.col(k).alias(f"k_{i}") for i, k in enumerate(keys)]
+    dkeys = changes.select(
+        *[F.col(k).alias(f"k_{i}") for i, k in enumerate(keys)]
+    ).distinct()
+    hit = dkeys.join(F.broadcast(stats), cond).select("rel").distinct().collect()
+    candidates = [r["rel"] for r in hit]
+    if not bloom or path is None or not candidates:
+        return candidates
+    testable = [rel for rel in candidates if live[rel].get("bloom")]
+    if not testable:
+        return candidates
+    m, k_hashes = bloom["m"], bloom["k"]
+    brows = []
+    for rel in testable:
+        with open(os.path.join(path, rel + ".bloom"), "rb") as fh:
+            raw = fh.read()
+        words = struct.unpack(f"<{len(raw) // 8}Q", raw)
+        brows.append((rel, [w - (1 << 64) if w >= 1 << 63 else w for w in words]))
+    bits = spark.createDataFrame(brows, "rel string, bits array<long>")
+    probe = dkeys.select(
+        _bloom_key_expr([f"k_{i}" for i in range(len(keys))]).alias("_bk")
+    )
+    member = None
+    for s in range(k_hashes):
+        t = F.expr(
+            f"(bits[CAST(pmod(xxhash64(_bk, {s}), {m}) / 64 AS INT)] & "
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pmod(xxhash64(_bk, {s}), {m}) % 64 AS INT))) != 0"
         )
-        .distinct()
-        .join(F.broadcast(stats), cond)
+        member = t if member is None else (member & t)
+    surviving = {
+        r["rel"]
+        for r in probe.join(F.broadcast(bits), member)
         .select("rel")
         .distinct()
         .collect()
-    )
-    return [r["rel"] for r in hit]
+    }
+    return [rel for rel in candidates if rel not in set(testable) - surviving]
 
 
 def _intervening_commits_disjoint(
@@ -608,6 +834,7 @@ def _intervening_commits_disjoint(
     changes: DataFrame,
     keys: list[str],
     key_types: list[str],
+    bloom: dict | None = None,
 ) -> bool:
     """Delta-style file-level conflict detection (VERDICT r10 task 3):
     a conflicted merge may commit its already-staged result at the new
@@ -622,8 +849,15 @@ def _intervening_commits_disjoint(
         c = _read_commit(path, v)
         if set(c.get("removed", [])) & ours:
             return False
+        # a merge-on-read delete LOGICALLY modified the file even
+        # though it removed nothing — our staged rewrite read the
+        # pre-DV rows, so committing it would resurrect them
+        if c.get("dv") and set(c["dv"]["files"]) & ours:
+            return False
         added = c.get("added", {})
-        if added and _touched_files(spark, added, changes, keys, key_types):
+        if added and _touched_files(
+            spark, added, changes, keys, key_types, path, bloom
+        ):
             return False
     return True
 
@@ -691,10 +925,22 @@ def merge_into(
     for _ in range(max_retries + 1):
         v = latest_version(path)
         live = snapshot_files(path, v)
-        touched = _touched_files(spark, live, changes, keys, key_types)
+        touched = _touched_files(
+            spark, live, changes, keys, key_types, path, meta.get("bloom")
+        )
         if touched:
-            base = spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(path, rel) for rel in touched]
+            # apply any pending deletion vectors on the files this
+            # merge rewrites — a copy-on-write rewrite must not
+            # resurrect MOR-deleted rows (the rewrite then CLEARS the
+            # DV: the file leaves the live set, snapshot_dv drops it)
+            dvm = snapshot_dv(path, v)
+            base = _apply_dv(
+                spark,
+                path,
+                spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(path, rel) for rel in touched]
+                ),
+                {d for rel in touched for d in dvm.get(rel, [])},
             )
         else:
             # pure insert outside every range: merge against an empty
@@ -715,6 +961,7 @@ def merge_into(
             path,
             merged.repartitionByRange(max(len(touched), 1), *keys),
             keys,
+            meta.get("bloom"),
         )
         _log("planned", v)
         target = v + 1
@@ -743,6 +990,7 @@ def merge_into(
                 if _intervening_commits_disjoint(
                     spark, path, seen_through, new_latest,
                     touched, changes, keys, key_types,
+                    meta.get("bloom"),
                 ):
                     _log("skip_ahead", new_latest + 1)
                     seen_through = new_latest
@@ -755,6 +1003,155 @@ def merge_into(
             _cleanup_staged(path, staged)
     raise CommitConflict(
         f"merge_into gave up after {max_retries + 1} attempts"
+    )
+
+
+def append_table(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    n_files: int = 1,
+    max_retries: int = 3,
+) -> int:
+    """BLIND APPEND (r11 §20.2): stage ``df`` as new range-partitioned
+    files and commit added-only — no touched-file probe, no rewrite,
+    O(batch) regardless of table size. This is the streaming-ingest
+    workhorse (and the streaming tail's native commit type: appends
+    stream, merges refuse). Keys are NOT deduplicated against the
+    standing table — like Delta's INSERT/append, identity is the
+    ingest pipeline's contract; use `merge_into` for upserts.
+
+    Each append batch spans its own key range, so after N appends the
+    per-file [min, max] zones overlap and range pruning degrades
+    toward O(all files) — exactly the shape the per-file bloom
+    sidecars (written here too, when the table is bloom-enabled)
+    exist to restore to O(true files).
+
+    A blind append never logically conflicts with anything — on a
+    version race it re-claims the next head with the SAME staged
+    files (no re-plan, no re-write)."""
+    meta = table_meta(path)
+    schema, _ = _current_schema(path)
+    want = [f.name for f in schema.fields]
+    if sorted(df.columns) != sorted(want):
+        raise ValueError(
+            f"append schema {sorted(df.columns)} != table {sorted(want)}"
+        )
+    staged = _write_data_files(
+        spark,
+        path,
+        df.select(*want).repartitionByRange(max(n_files, 1), *meta["key"]),
+        meta["key"],
+        meta.get("bloom"),
+    )
+    for _ in range(max_retries + 1):
+        v = latest_version(path)
+        try:
+            _try_commit(path, v + 1, {"op": "append", "added": staged})
+            return v + 1
+        except CommitConflict:
+            continue
+    _cleanup_staged(path, staged)
+    raise CommitConflict(
+        f"append_table gave up after {max_retries + 1} attempts"
+    )
+
+
+def delete_keys_mor(
+    spark: SparkSession,
+    path: str,
+    del_keys: DataFrame,
+    max_retries: int = 3,
+) -> int:
+    """MERGE-ON-READ DELETE (r11 §20.2): remove the keyed rows by
+    committing per-file DELETION VECTORS — parquet position lists
+    (rel, `_metadata.row_index`) staged under a `dv-<uuid>` subdir —
+    instead of rewriting data files. The commit adds NO data files and
+    removes NONE; `read_snapshot`/`read_changes`/`merge_into` apply
+    the vectors at scan time, `compact_table` materializes them (its
+    rewrite drops the rows and clears the DV state), `vacuum_table`
+    reclaims DV dirs no retained version references.
+
+    This is the takedown shape the CDF scale probe priced: a sparse
+    uniform delete batch under copy-on-write rewrites every file whose
+    key range it clips (at 5M rows: 250/250 files, 24.7 s —
+    CDF_SCALE_r11.json); under merge-on-read the same batch writes
+    O(batch) positions and touches zero data files. Delta's deletion
+    vectors and Iceberg's position deletes are the same trade:
+    write-cheap deletes, one extra anti-join per read, until
+    compaction folds them in.
+
+    Cost shape: one touched-file probe (range + bloom zone maps, the
+    same pruning MERGE uses), one scan of the touched files only
+    (column-pruned to the key columns + metadata), one semi-join
+    against the distinct delete keys. Rows already DV'd are excluded,
+    so each commit's vector holds exactly the NEWLY deleted positions
+    — which is what lets the change feed emit per-commit deletes
+    without a set difference. Returns the committed version, or the
+    current version unchanged when no live row matches (no empty
+    commit, idempotent re-delete)."""
+    meta = table_meta(path)
+    keys, key_types = meta["key"], meta["key_types"]
+    for _ in range(max_retries + 1):
+        v = latest_version(path)
+        live = snapshot_files(path, v)
+        touched = _touched_files(
+            spark, live, del_keys, keys, key_types, path, meta.get("bloom")
+        )
+        if not touched:
+            return v
+        dvm = snapshot_dv(path, v)
+        scan = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, rel) for rel in touched]
+        )
+        base = _apply_dv(
+            spark,
+            path,
+            scan,
+            {d for r in touched for d in dvm.get(r, [])},
+            keep_tags=True,
+        ).select(
+            *keys,
+            F.col("_dv_rel").alias("rel"),
+            F.col("_dv_pos").alias("pos"),
+        )
+        hits = base.join(
+            del_keys.select(*keys).distinct(), keys, "leftsemi"
+        ).select("rel", "pos")
+        sub = f"dv-{uuid.uuid4().hex[:12]}"
+        hits.write.parquet(os.path.join(path, sub))
+        per_file = (
+            spark.read.parquet(os.path.join(path, sub))
+            .groupBy("rel")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )  # metadata-sized: one row per touched file
+        if not per_file:
+            shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
+            return v  # keys fell in range/bloom FPs only: nothing died
+        try:
+            _try_commit(
+                path,
+                v + 1,
+                {
+                    "op": "delete_mor",
+                    "added": {},
+                    "removed": [],
+                    "dv": {
+                        "dir": sub,
+                        "files": sorted(r["rel"] for r in per_file),
+                        "rows": int(sum(r["n"] for r in per_file)),
+                    },
+                },
+            )
+            return v + 1
+        except CommitConflict:
+            # positions depend on the live set and prior DVs — a
+            # conflicted attempt always re-plans against the new head
+            shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
+            continue
+    raise CommitConflict(
+        f"delete_keys_mor gave up after {max_retries + 1} attempts"
     )
 
 
@@ -781,7 +1178,9 @@ def compact_table(
         # pre-widening files get their new columns backfilled — the
         # compaction rewrite then homogenizes the footers as a bonus
         df = read_snapshot(spark, path, v)
-        added = _write_partitioned(spark, path, df, keys, partition_by, n_files)
+        added = _write_partitioned(
+            spark, path, df, keys, partition_by, n_files, meta.get("bloom")
+        )
         try:
             _try_commit(
                 path,
@@ -834,22 +1233,45 @@ def vacuum_table(
     # plus everything any later commit added (replay, metadata-sized)
     needed: set = set(snapshot_files(path, horizon))
     all_ever: set = set()
+    all_dv: set = set()
     for v in range(marker_v + 1):
-        added = _read_commit(path, v).get("added", {})
+        c = _read_commit(path, v)
+        added = c.get("added", {})
         all_ever.update(added)
         if v > horizon:
             needed.update(added)
+        if c.get("dv"):
+            all_dv.add(c["dv"]["dir"])
+    # a DV dir is needed iff SOME retained version's DV state still
+    # references it (a rewrite/compact clears the reference; the dir
+    # then holds positions of files that no longer exist)
+    needed_dv: set = set()
+    for v in range(horizon, marker_v + 1):
+        for dirs in snapshot_dv(path, v).values():
+            needed_dv.update(dirs)
+    dv_deleted = sorted(all_dv - needed_dv)
+    for d in dv_deleted:
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     deleted = sorted(all_ever - needed)
     for rel in deleted:
         try:
             os.remove(os.path.join(path, rel))
         except FileNotFoundError:
             pass  # a prior interrupted vacuum already got it
+        try:
+            os.remove(os.path.join(path, rel + ".bloom"))
+        except FileNotFoundError:
+            pass  # table has no bloom sidecars (or already swept)
     for rel in deleted:  # drop now-empty staging subdirs
         sub = os.path.join(path, rel.split(os.sep, 1)[0])
         if os.path.isdir(sub) and not os.listdir(sub):
             os.rmdir(sub)
-    return {"version": marker_v, "horizon": horizon, "deleted": deleted}
+    return {
+        "version": marker_v,
+        "horizon": horizon,
+        "deleted": deleted,
+        "dv_deleted": dv_deleted,
+    }
 
 
 def _nation_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1275,3 +1697,121 @@ def lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, path).select(
         "n_nationkey", "n_name", "n_regionkey", "provenance"
     )
+
+
+@register(
+    "lakehouse_delete_vectors",
+    oracle="""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    WHERE doc_id % 5 <> 0 AND doc_id % 5 <> 1
+    """,
+)
+def lakehouse_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DELETE (r11 §20.2): documents keyed by doc_id,
+    two successive `delete_keys_mor` batches (doc_id%5==0, then
+    doc_id%5==1 — the second proves DV ACCUMULATION on the same
+    files), each committing parquet position vectors and touching
+    ZERO data files — asserted from the manifest inside the query:
+    both commits added/removed nothing, the live file set is commit
+    0's verbatim, and the DV state covers the files. The returned
+    frame is the post-delete snapshot (scan + position anti-join)
+    under a plain-SQL oracle; a DV that missed a position, deleted a
+    wrong row, or double-counted across the two batches all break
+    the value hash. Compaction-materializes and vacuum-reclaims are
+    pinned by tests/test_lakehouse.py. This is the takedown shape
+    the CDF scale probe priced copy-on-write at 250/250 file
+    rewrites (24.7 s at 5M rows, CDF_SCALE_r11.json) — here the
+    same logical delete writes O(batch) positions instead."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    tag = hashlib.md5(("dv|" + sf_dir).encode()).hexdigest()[:8]
+    path = _TABLE_DIRS.new_dir(tag)
+    create_table(spark, path, docs, key="doc_id", n_files=4)
+    live0 = snapshot_files(path, 0)
+    v1 = delete_keys_mor(
+        spark, path, docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    )
+    v2 = delete_keys_mor(
+        spark, path, docs.filter(F.col("doc_id") % 5 == 1).select("doc_id")
+    )
+    assert (v1, v2) == (1, 2), f"two DV commits expected, got {(v1, v2)}"
+    for v in (1, 2):
+        c = _read_commit(path, v)
+        assert c["op"] == "delete_mor" and not c["added"] and not c["removed"]
+    assert set(snapshot_files(path)) == set(live0), "data files rewritten"
+    dvm = snapshot_dv(path)
+    assert dvm and all(len(dirs) >= 1 for dirs in dvm.values())
+    return read_snapshot(spark, path)
+
+
+@register(
+    "lakehouse_bloom_skip_merge",
+    oracle="""
+    SELECT md5(concat('k', CAST(doc_id AS VARCHAR))) AS doc_key,
+           CASE WHEN doc_id IN (7, 13) THEN 'xx' ELSE lang END AS lang,
+           CAST(CASE WHEN doc_id IN (7, 13) THEN n_chars + 1000000
+                     ELSE n_chars END AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def lakehouse_bloom_skip_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-FILE BLOOM SKIPPING under append ingest (r11 §20.2): the
+    corpus keyed by the md5 of its doc id — a hash-distributed key,
+    the dedup corpus's natural identity — lands as create + three
+    blind APPEND batches (`append_table`, the streaming-ingest path).
+    Each batch is range-partitioned within itself, so after four
+    commits every file's [min, max] spans essentially the whole hash
+    domain and zone maps stop pruning: the query asserts from the
+    manifest that the range-only probe touches ALL 4 files for a
+    2-key update batch. With 64 Ki-bit/4-hash bloom sidecars
+    (~100 bits/key at sf0.1 — FP well under 1e-4) the same merge
+    provably rewrites at most the 2 files that truly hold the keys:
+    asserted from the commit's removed set. The returned frame is the
+    post-merge snapshot under a plain-SQL oracle — a bloom that
+    wrongly pruned a TRUE file would lose the update and break the
+    hash, the direction the FP trade never risks. At 100 TB this is
+    a takedown costing O(batch) file rewrites instead of O(table) —
+    the uniform shape CDF_SCALE_r11.json priced at 250/250."""
+    docs = load(spark, sf_dir, "documents")
+    dkey = F.md5(F.concat(F.lit("k"), F.col("doc_id").cast("string")))
+    base = docs.select(
+        dkey.alias("doc_key"),
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    changes = docs.filter(F.col("doc_id").isin(7, 13)).select(
+        dkey.alias("doc_key"),
+        F.lit("U").alias("op"),
+        F.lit("xx").alias("lang"),
+        (F.col("n_chars") + 1000000).cast("long").alias("n_chars"),
+    )
+    tag = hashlib.md5(("bloom|" + sf_dir).encode()).hexdigest()[:8]
+    path = _TABLE_DIRS.new_dir(tag)
+    cohort = F.crc32(F.col("doc_key")) % 4  # deterministic 4-way split
+    create_table(
+        spark,
+        path,
+        base.filter(cohort == 0),
+        key="doc_key",
+        n_files=1,
+        bloom_m_bits=1 << 16,
+    )
+    for i in (1, 2, 3):  # streaming-style ingest: whole-domain batches
+        append_table(spark, path, base.filter(cohort == i), n_files=1)
+    meta = table_meta(path)
+    live = snapshot_files(path)
+    assert len(live) == 4, f"4 whole-domain files expected: {sorted(live)}"
+    range_only = _touched_files(
+        spark, live, changes, meta["key"], meta["key_types"]
+    )
+    assert len(range_only) == 4, (
+        f"append ingest must defeat range pruning: {len(range_only)}/4"
+    )
+    v = merge_into(spark, path, changes)
+    removed = _read_commit(path, v)["removed"]
+    assert 1 <= len(removed) <= 2, (
+        f"bloom must cut the rewrite to the true files: {removed}"
+    )
+    return read_snapshot(spark, path).select("doc_key", "lang", "n_chars")

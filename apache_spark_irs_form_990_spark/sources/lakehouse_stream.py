@@ -139,15 +139,15 @@ class CommitLogStreamReader(DataSourceStreamReader):
             op = c.get("op")
             if op in ("compact", "vacuum"):
                 continue  # layout/retention: rows already delivered
-            if c.get("removed"):
+            if c.get("removed") or c.get("dv"):
                 if self.skip_change_commits:
                     continue
                 raise NonAppendCommit(
-                    f"commit {v} of {self.path} removed files (a MERGE "
-                    "with updates/deletes): a streaming tail cannot "
-                    "retract emitted rows. Read changes through "
-                    "lakehouse.read_changes, or set "
-                    "skipChangeCommits=true to skip such commits."
+                    f"commit {v} of {self.path} removed files or wrote "
+                    "deletion vectors (a MERGE/DELETE with updates or "
+                    "deletes): a streaming tail cannot retract emitted "
+                    "rows. Read changes through lakehouse.read_changes, "
+                    "or set skipChangeCommits=true to skip such commits."
                 )
             for rel in sorted(c.get("added", {})):
                 parts.append(

@@ -139,6 +139,14 @@ EXTENDED = [
     "lakehouse_schema_evolution",
     "stream_lakehouse_tail",
     "lakehouse_cdf_drives_state",
+    # r11 §20.2 mutation-cost close: merge-on-read deletion vectors
+    # and the CDF-maintained ANN index. (`lakehouse_bloom_skip_merge`
+    # is deliberately NOT benched: its runtime is fixed per-commit
+    # metadata churn over a tiny fixture — no throughput signal — and
+    # its claim is the in-query manifest assertion, checked by the
+    # differential gate instead.)
+    "lakehouse_delete_vectors",
+    "sim_index_cdf_maintain",
 ]
 
 

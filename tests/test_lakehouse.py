@@ -958,3 +958,389 @@ def test_change_feed_replay_reconstructs_snapshot(spark, tmp_path):
         for r in read_snapshot(spark, path).collect()
     }
     assert replayed == latest
+
+
+# ---------------------------------------------------------------- r11 §20.2
+# merge-on-read deletion vectors
+
+
+def _dv_table(spark, tmp_path, n_files=2):
+    from apache_spark_irs_form_990_spark.sources.lakehouse import (
+        create_table,
+    )
+
+    path = str(tmp_path / "t")
+    create_table(spark, path, _nation(spark), key="n_nationkey", n_files=n_files)
+    return path
+
+
+def _keys_df(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "n_nationkey int")
+
+
+def test_dv_delete_touches_no_data_files(spark, tmp_path):
+    """The core MOR contract: a delete commits position vectors only —
+    zero files added or removed, live set carried verbatim — and the
+    snapshot read excludes exactly the keyed rows. A second batch
+    ACCUMULATES on the same files; re-deleting an already-dead key is
+    a no-op that commits nothing."""
+    from apache_spark_irs_form_990_spark.sources.lakehouse import (
+        _read_commit,
+        delete_keys_mor,
+        snapshot_dv,
+    )
+
+    path = _dv_table(spark, tmp_path)
+    live0 = set(snapshot_files(path, 0))
+    all_rows = _rows(read_snapshot(spark, path))
+    v1 = delete_keys_mor(spark, path, _keys_df(spark, [3, 7]))
+    assert v1 == 1
+    c1 = _read_commit(path, 1)
+    assert c1["op"] == "delete_mor"
+    assert c1["added"] == {} and c1["removed"] == []
+    assert c1["dv"]["rows"] == 2
+    assert set(snapshot_files(path, 1)) == live0
+    got1 = _rows(read_snapshot(spark, path))
+    assert got1 == {r for r in all_rows if r[0] not in (3, 7)}
+
+    v2 = delete_keys_mor(spark, path, _keys_df(spark, [5]))
+    assert v2 == 2
+    got2 = _rows(read_snapshot(spark, path))
+    assert got2 == {r for r in all_rows if r[0] not in (3, 5, 7)}
+    assert set(snapshot_files(path, 2)) == live0
+    dvm = snapshot_dv(path)
+    assert sum(len(d) for d in dvm.values()) >= 2  # both batches live
+
+    # idempotent: the keys are already dead → no new commit
+    v3 = delete_keys_mor(spark, path, _keys_df(spark, [3, 5]))
+    assert v3 == 2
+    assert _rows(read_snapshot(spark, path)) == got2
+
+
+def test_dv_time_travel_sees_predelete_rows(spark, tmp_path):
+    from apache_spark_irs_form_990_spark.sources.lakehouse import (
+        delete_keys_mor,
+    )
+
+    path = _dv_table(spark, tmp_path)
+    before = _rows(read_snapshot(spark, path))
+    delete_keys_mor(spark, path, _keys_df(spark, [0, 1, 2]))
+    assert _rows(read_snapshot(spark, path, version=0)) == before
+    assert len(_rows(read_snapshot(spark, path, version=1))) == len(before) - 3
+
+
+def test_dv_merge_does_not_resurrect_and_clears_dv(spark, tmp_path):
+    """A copy-on-write MERGE rewriting a DV'd file must apply the
+    vector first (else the rewrite resurrects dead rows) — and the
+    rewrite then CLEARS the file's DV state (the vector referenced a
+    file that no longer exists)."""
+    from apache_spark_irs_form_990_spark.sources.lakehouse import (
+        delete_keys_mor,
+        snapshot_dv,
+    )
+
+    path = _dv_table(spark, tmp_path, n_files=1)  # everything in one file
+    all_rows = _rows(read_snapshot(spark, path))
+    delete_keys_mor(spark, path, _keys_df(spark, [4]))
+    upd = spark.createDataFrame(
+        [(6, "U", "PATCHED", 9)],
+        "n_nationkey int, op string, n_name string, n_regionkey long",
+    )
+    merge_into(spark, path, upd)
+    got = _rows(read_snapshot(spark, path))
+    want = {
+        (k, "PATCHED" if k == 6 else n, 9 if k == 6 else r)
+        for (k, n, r) in all_rows
+        if k != 4
+    }
+    assert got == want  # key 4 stays dead through the rewrite
+    assert snapshot_dv(path) == {}  # rewrite materialized the delete
+
+
+def test_dv_compact_materializes_then_vacuum_reclaims(spark, tmp_path):
+    """compact folds DVs into the rewrite (snapshot_dv empties, rows
+    unchanged); vacuum then physically reclaims BOTH the pre-compact
+    data files and the now-unreferenced DV dirs — the MOR takedown's
+    compliance close: the deleted keys survive nowhere on disk."""
+    from apache_spark_irs_form_990_spark.sources.lakehouse import (
+        delete_keys_mor,
+        snapshot_dv,
+        vacuum_table,
+    )
+
+    path = _dv_table(spark, tmp_path)
+    delete_keys_mor(spark, path, _keys_df(spark, [3, 7]))
+    before = _rows(read_snapshot(spark, path))
+    compact_table(spark, path, n_files=1)
+    assert snapshot_dv(path) == {}
+    assert _rows(read_snapshot(spark, path)) == before
+
+    rep = vacuum_table(path, retain_last=1)
+    assert rep["dv_deleted"], "DV dir should be reclaimed"
+    assert not any(
+        sub.startswith("dv-") for sub in os.listdir(path)
+    ), "no DV dir may survive vacuum"
+    # raw directory scan: the deleted keys' rows exist in no surviving file
+    survivors = [
+        os.path.join(path, sub, f)
+        for sub in os.listdir(path)
+        if sub.startswith("d-")
+        for f in os.listdir(os.path.join(path, sub))
+        if f.endswith(".parquet")
+    ]
+    raw = spark.read.parquet(*survivors)
+    assert raw.filter(F.col("n_nationkey").isin(3, 7)).count() == 0
+    assert _rows(read_snapshot(spark, path)) == before
+
+
+def test_dv_change_feed_emits_exact_per_commit_deletes(spark, tmp_path):
+    """Each delete_mor commit's feed is exactly ITS newly-dead rows —
+    the second batch must not re-emit the first's (the write path
+    excludes already-DV'd positions, so no set-difference is needed)."""
+    from apache_spark_irs_form_990_spark.sources.lakehouse import (
+        delete_keys_mor,
+        read_changes,
+    )
+
+    path = _dv_table(spark, tmp_path)
+    all_rows = _rows(read_snapshot(spark, path))
+    delete_keys_mor(spark, path, _keys_df(spark, [3, 7]))
+    delete_keys_mor(spark, path, _keys_df(spark, [5, 7]))  # 7 already dead
+    feed = read_changes(spark, path, v_from=1).collect()
+    assert all(r["_change_type"] == "delete" for r in feed)
+    by_v = {}
+    for r in feed:
+        by_v.setdefault(r["_commit_version"], set()).add(
+            (r["n_nationkey"], r["n_name"], r["n_regionkey"])
+        )
+    assert by_v[1] == {r for r in all_rows if r[0] in (3, 7)}
+    assert by_v[2] == {r for r in all_rows if r[0] == 5}
+
+
+def test_dv_conflicting_merge_replans_over_dv_commit(spark, tmp_path):
+    """File-level conflict detection treats a DV commit as touching
+    its files: a merge staged against the pre-DV snapshot must
+    RE-PLAN (committing as-is would resurrect the deleted rows)."""
+    from apache_spark_irs_form_990_spark.sources.lakehouse import (
+        delete_keys_mor,
+    )
+
+    path = _dv_table(spark, tmp_path, n_files=1)
+    all_rows = _rows(read_snapshot(spark, path))
+
+    log: list = []
+    orig = _try_commit
+    fired = {}
+
+    def racing_commit(p, version, payload):
+        # first commit attempt of the merge: sneak a DV delete in first
+        if payload.get("op") == "merge" and not fired:
+            fired["x"] = True
+            delete_keys_mor(spark, path, _keys_df(spark, [4]))
+        return orig(p, version, payload)
+
+    import apache_spark_irs_form_990_spark.sources.lakehouse as lh
+
+    lh_orig = lh._try_commit
+    lh._try_commit = racing_commit
+    try:
+        upd = spark.createDataFrame(
+            [(6, "U", "PATCHED", 9)],
+            "n_nationkey int, op string, n_name string, n_regionkey long",
+        )
+        merge_into(spark, path, upd, attempt_log=log)
+    finally:
+        lh._try_commit = lh_orig
+    assert ("replan", 1) in log or any(e == "replan" for e, _ in log)
+    got = _rows(read_snapshot(spark, path))
+    want = {
+        (k, "PATCHED" if k == 6 else n, 9 if k == 6 else r)
+        for (k, n, r) in all_rows
+        if k != 4
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------- r11 §20.2
+# blind append + per-file bloom skipping
+
+
+def _hashed_nation(spark):
+    """Nation re-keyed by a hash-distributed string key — the shape
+    where range zone maps stop pruning."""
+    return _nation(spark).select(
+        F.md5(F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))).alias(
+            "k"
+        ),
+        "n_name",
+        "n_regionkey",
+    )
+
+
+def test_append_is_added_only_and_feeds_inserts(spark, tmp_path):
+    from apache_spark_irs_form_990_spark.sources.lakehouse import (
+        _read_commit,
+        append_table,
+        read_changes,
+    )
+
+    path = str(tmp_path / "t")
+    base = _nation(spark)
+    a = base.filter(F.col("n_nationkey") < 10)
+    b = base.filter(F.col("n_nationkey") >= 10)
+    create_table(spark, path, a, key="n_nationkey", n_files=1)
+    v = append_table(spark, path, b, n_files=1)
+    assert v == 1
+    c1 = _read_commit(path, 1)
+    assert c1["op"] == "append" and c1["added"] and "removed" not in c1
+    assert _rows(read_snapshot(spark, path)) == _rows(base)
+    feed = read_changes(spark, path, v_from=1)
+    got = {
+        (r["n_nationkey"], r["_change_type"]) for r in feed.collect()
+    }
+    assert got == {(r[0], "insert") for r in _rows(b)}
+    # schema contract: an append with a missing/extra column refuses
+    with pytest.raises(ValueError, match="append schema"):
+        append_table(spark, path, b.drop("n_name"))
+
+
+def test_append_streams_through_tail(spark, tmp_path):
+    """append commits are the tail's native type: they stream."""
+    from apache_spark_irs_form_990_spark.sources.lakehouse import (
+        append_table,
+    )
+    from apache_spark_irs_form_990_spark.sources.lakehouse_stream import (
+        tail_stream,
+    )
+    import uuid as _uuid
+
+    path = str(tmp_path / "t")
+    base = _nation(spark)
+    create_table(
+        spark, path, base.filter(F.col("n_nationkey") < 10),
+        key="n_nationkey", n_files=1,
+    )
+    append_table(
+        spark, path, base.filter(F.col("n_nationkey") >= 10), n_files=1
+    )
+    sink = f"tail_append_{_uuid.uuid4().hex[:8]}"
+    q = (
+        tail_stream(spark, path)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["n_nationkey"], r["_commit_version"])
+        for r in spark.table(sink).collect()
+    }
+    assert {k for k, _ in got} == {r[0] for r in _rows(base)}
+    assert {v for _, v in got} == {0, 1}
+
+
+def test_bloom_prunes_appended_files_but_never_true_ones(spark, tmp_path):
+    """After create + 2 whole-domain appends of a hash-keyed table,
+    range stats overlap everywhere (probe = all files); the bloom
+    probe cuts the merge's rewrite to the files that truly hold the
+    batch keys — and the result proves no TRUE file was pruned (a
+    lost update would change the payload check)."""
+    from apache_spark_irs_form_990_spark.sources.lakehouse import (
+        _read_commit,
+        _touched_files,
+        append_table,
+        table_meta,
+    )
+
+    path = str(tmp_path / "t")
+    h = _hashed_nation(spark)
+    cohort = F.crc32(F.col("k")) % 3
+    create_table(
+        spark, path, h.filter(cohort == 0), key="k", n_files=1,
+        bloom_m_bits=1 << 12,
+    )
+    for i in (1, 2):
+        append_table(spark, path, h.filter(cohort == i), n_files=1)
+    all_rows = read_snapshot(spark, path).collect()
+    assert len(set(snapshot_files(path))) == 3
+    # one real key, updated
+    one = _hashed_nation(spark).filter(F.col("n_name") == "NATION_3").select(
+        "k", F.lit("U").alias("op"), F.lit("PATCHED").alias("n_name"),
+        F.lit(9).cast("long").alias("n_regionkey"),
+    )
+    meta = table_meta(path)
+    live = snapshot_files(path)
+    range_only = _touched_files(spark, live, one, meta["key"], meta["key_types"])
+    assert len(range_only) == 3, "hash key must defeat range pruning"
+    v = merge_into(spark, path, one)
+    removed = _read_commit(path, v)["removed"]
+    assert len(removed) == 1, f"bloom should isolate the true file: {removed}"
+    names = [r["n_name"] for r in read_snapshot(spark, path).collect()]
+    assert "PATCHED" in names and "NATION_3" not in names
+    assert len(names) == len(all_rows)
+
+
+def test_bloom_sidecars_follow_rewrites_and_vacuum(spark, tmp_path):
+    """Merge-written files carry fresh sidecars (pruning keeps working
+    after rewrites); vacuum sweeps the sidecars of deleted files."""
+    from apache_spark_irs_form_990_spark.sources.lakehouse import (
+        append_table,
+        vacuum_table,
+    )
+
+    path = str(tmp_path / "t")
+    h = _hashed_nation(spark)
+    cohort = F.crc32(F.col("k")) % 2
+    create_table(
+        spark, path, h.filter(cohort == 0), key="k", n_files=1,
+        bloom_m_bits=1 << 12,
+    )
+    append_table(spark, path, h.filter(cohort == 1), n_files=1)
+    one = h.filter(F.col("n_name") == "NATION_5").select(
+        "k", F.lit("U").alias("op"), F.lit("X").alias("n_name"),
+        F.lit(1).cast("long").alias("n_regionkey"),
+    )
+    merge_into(spark, path, one)
+    live = snapshot_files(path)
+    for rel, s in live.items():
+        assert s.get("bloom"), f"live file without bloom stat: {rel}"
+        assert os.path.exists(os.path.join(path, rel + ".bloom"))
+    vacuum_table(path, retain_last=1)
+    blooms_on_disk = {
+        os.path.join(sub, f[: -len(".bloom")])
+        for sub in os.listdir(path)
+        if sub.startswith("d-")
+        for f in os.listdir(os.path.join(path, sub))
+        if f.endswith(".bloom")
+    }
+    assert blooms_on_disk == set(live), "orphan or missing sidecars"
+
+
+def test_dv_delete_uses_bloom_pruning(spark, tmp_path):
+    """delete_keys_mor goes through the same probe: on the appended
+    hash-keyed table a 1-key MOR delete DV's only the true file."""
+    from apache_spark_irs_form_990_spark.sources.lakehouse import (
+        _read_commit,
+        append_table,
+        delete_keys_mor,
+    )
+
+    path = str(tmp_path / "t")
+    h = _hashed_nation(spark)
+    cohort = F.crc32(F.col("k")) % 3
+    create_table(
+        spark, path, h.filter(cohort == 0), key="k", n_files=1,
+        bloom_m_bits=1 << 12,
+    )
+    for i in (1, 2):
+        append_table(spark, path, h.filter(cohort == i), n_files=1)
+    dead = h.filter(F.col("n_name") == "NATION_7").select("k")
+    v = delete_keys_mor(spark, path, dead)
+    c = _read_commit(path, v)
+    assert len(c["dv"]["files"]) == 1 and c["dv"]["rows"] == 1
+    names = [r["n_name"] for r in read_snapshot(spark, path).collect()]
+    assert "NATION_7" not in names and len(names) == 24

@@ -152,3 +152,24 @@ def test_tail_checkpoint_restart_exactly_once(spark, tmp_path):
         assert second == {(10, 1)}  # ONLY the new commit — no replay
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_tail_refuses_deletion_vector_commit(spark, tmp_path):
+    """A delete_mor commit adds no files but IS a change commit — the
+    tail must refuse it (or skip under skipChangeCommits), never
+    silently treat it as an empty append."""
+    from apache_spark_irs_form_990_spark.sources.lakehouse import (
+        delete_keys_mor,
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    delete_keys_mor(
+        spark, path, spark.createDataFrame([(2,)], "n_nationkey int")
+    )
+    with pytest.raises(StreamingQueryException, match="NonAppendCommit|retract"):
+        _drain(spark, tail_stream(spark, path))
+    _append(spark, path, [(20, "I", "y", 2)])
+    got = _drain(spark, tail_stream(spark, path, skipChangeCommits="true"))
+    assert got == {(1, "a", 0), (2, "b", 0), (3, "c", 0), (20, "y", 2)}
