@@ -555,6 +555,62 @@ def read_snapshot(
     )
 
 
+def read_keys(
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    version: int | None = None,
+) -> DataFrame:
+    """MANIFEST-PRUNED POINT LOOKUP (r11 §20.2): the read-side twin of
+    the merge's touched-file probe. `read_snapshot` scans every live
+    file and leaves pruning to parquet row groups; for a keyed lookup
+    that is O(table) listing/footer work at 100 TB. This path probes
+    the requested keys against the manifest zone maps AND bloom
+    sidecars first — the same `_touched_files` conjunction the merge
+    uses — then scans ONLY the surviving files, applies any deletion
+    vectors, and semi-joins the keys (the bloom's false positives and
+    the files' non-matching rows fall out here, so pruning can never
+    change the answer, only the bytes read). Returns the matching
+    rows as of ``version`` (default latest).
+
+    Cost shape: O(distinct keys × file manifest) driver/broadcast
+    probe + a scan of O(true files holding the keys) — for a
+    bloom-enabled hash-keyed table that is O(batch) files, the same
+    bound the write side gets. This is Delta/Iceberg data skipping
+    applied to reads, not just merges."""
+    meta = table_meta(path)
+    keys = meta["key"]
+    live = snapshot_files(path, version)
+    schema, _ = _current_schema(path, version)
+    if not live:
+        return spark.createDataFrame([], schema)
+    touched = _touched_files(
+        spark, live, keys_df, keys, meta["key_types"], path, meta.get("bloom")
+    )
+    if not touched:
+        return spark.createDataFrame([], schema)
+    dvm = snapshot_dv(path, version)
+    scan = _apply_dv(
+        spark,
+        path,
+        spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, rel) for rel in touched]
+        ),
+        {d for rel in touched for d in dvm.get(rel, [])},
+    )
+    cols = [f.name for f in schema.fields]
+    scan = scan.select(
+        *[
+            F.col(c) if c in scan.columns
+            else F.lit(None).cast(schema[c].dataType).alias(c)
+            for c in cols
+        ]
+    )
+    return scan.join(
+        F.broadcast(keys_df.select(*keys).distinct()), keys, "leftsemi"
+    )
+
+
 def read_changes(
     spark: SparkSession,
     path: str,
@@ -1815,3 +1871,69 @@ def lakehouse_bloom_skip_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"bloom must cut the rewrite to the true files: {removed}"
     )
     return read_snapshot(spark, path).select("doc_key", "lang", "n_chars")
+
+
+@register(
+    "lakehouse_point_lookup_read",
+    oracle="""
+    SELECT md5(concat('k', CAST(doc_id AS VARCHAR))) AS doc_key,
+           lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    WHERE doc_id IN (3, 21, 33)
+    """,
+)
+def lakehouse_point_lookup_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-PRUNED POINT LOOKUP (r11 §20.2): the read-side twin of
+    the write-side skipping. The hash-keyed corpus lands as create +
+    four blind appends (5 whole-domain files — zone maps useless),
+    one key is then MOR-deleted, and `read_keys` looks up a batch of
+    4 keys (3 live, the deleted one, and one that never existed). The
+    query asserts from the manifest probe that the lookup scans
+    FEWER files than the table holds (bloom membership pins each key
+    to its true file; the never-existed key matches nowhere), while
+    the semi-join guarantees pruning can only cut bytes read, never
+    change the answer: the oracle expects exactly the 3 live keys'
+    rows — a leaked deleted row, a lost live row, or a bloom FN each
+    break the hash. At 100 TB this is the difference between a keyed
+    audit lookup costing O(batch) file reads and O(table)."""
+    docs = load(spark, sf_dir, "documents")
+    dkey = F.md5(F.concat(F.lit("k"), F.col("doc_id").cast("string")))
+    base = docs.select(
+        dkey.alias("doc_key"),
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    tag = hashlib.md5(("lookup|" + sf_dir).encode()).hexdigest()[:8]
+    path = _TABLE_DIRS.new_dir(tag)
+    cohort = F.crc32(F.col("doc_key")) % 5
+    create_table(
+        spark,
+        path,
+        base.filter(cohort == 0),
+        key="doc_key",
+        n_files=1,
+        bloom_m_bits=1 << 16,
+    )
+    for i in (1, 2, 3, 4):
+        append_table(spark, path, base.filter(cohort == i), n_files=1)
+    delete_keys_mor(
+        spark,
+        path,
+        docs.filter(F.col("doc_id") == 9).select(dkey.alias("doc_key")),
+    )
+    lookup = docs.filter(F.col("doc_id").isin(3, 9, 21, 33)).select(
+        dkey.alias("doc_key")
+    ).unionByName(
+        spark.createDataFrame([("never-existed",)], "doc_key string")
+    )
+    meta = table_meta(path)
+    live = snapshot_files(path)
+    assert len(live) == 5
+    touched = _touched_files(
+        spark, live, lookup, meta["key"], meta["key_types"], path, meta["bloom"]
+    )
+    assert len(touched) < len(live), (
+        f"lookup must scan fewer files than the table holds: "
+        f"{len(touched)}/{len(live)}"
+    )
+    return read_keys(spark, path, lookup)

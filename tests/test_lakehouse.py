@@ -1344,3 +1344,44 @@ def test_dv_delete_uses_bloom_pruning(spark, tmp_path):
     assert len(c["dv"]["files"]) == 1 and c["dv"]["rows"] == 1
     names = [r["n_name"] for r in read_snapshot(spark, path).collect()]
     assert "NATION_7" not in names and len(names) == 24
+
+
+def test_read_keys_prunes_files_and_honors_dv(spark, tmp_path):
+    """read_keys scans only manifest-surviving files yet returns
+    exactly the live matching rows: a MOR-deleted key yields nothing,
+    an absent key yields nothing, pruning never loses a live row."""
+    from apache_spark_irs_form_990_spark.sources.lakehouse import (
+        append_table,
+        delete_keys_mor,
+        read_keys,
+    )
+
+    path = str(tmp_path / "t")
+    h = _hashed_nation(spark)
+    cohort = F.crc32(F.col("k")) % 3
+    create_table(
+        spark, path, h.filter(cohort == 0), key="k", n_files=1,
+        bloom_m_bits=1 << 12,
+    )
+    for i in (1, 2):
+        append_table(spark, path, h.filter(cohort == i), n_files=1)
+    k_of = {
+        r["n_name"]: r["k"]
+        for r in h.select("k", "n_name").collect()
+    }
+    delete_keys_mor(
+        spark,
+        path,
+        spark.createDataFrame([(k_of["NATION_11"],)], "k string"),
+    )
+    lookup = spark.createDataFrame(
+        [(k_of["NATION_2"],), (k_of["NATION_11"],), ("ghost",)], "k string"
+    )
+    got = {(r["n_name"]) for r in read_keys(spark, path, lookup).collect()}
+    assert got == {"NATION_2"}
+    # empty table: clean empty frame, schema intact
+    got0 = read_keys(
+        spark, path, spark.createDataFrame([("ghost",)], "k string"),
+        version=0,
+    )
+    assert set(got0.columns) == {"k", "n_name", "n_regionkey"}
