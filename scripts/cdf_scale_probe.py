@@ -35,6 +35,7 @@ def main() -> int:
     from apache_spark_irs_form_990_spark.sources.lakehouse import (
         _read_commit,
         create_table,
+        delete_keys_mor,
         latest_version,
         merge_into,
         read_changes,
@@ -107,6 +108,32 @@ def main() -> int:
                 "feed_counts": feed_counts,
             }
             print(f"mult={mult} {name}: {rec['merges'][name]}", flush=True)
+        # r11 §20.2: the SAME adversarial shape (uniform 1% spread,
+        # deletes only) through merge-on-read deletion vectors — the
+        # takedown that under copy-on-write rewrote every file. DV
+        # still scans the touched files to find positions, but writes
+        # O(batch) positions and zero data files; the feed then reads
+        # O(batch) too.
+        mor_keys = corpus.filter(F.col("doc_id") % 100 == 23).select("doc_id")
+        t0 = time.time()
+        v = delete_keys_mor(spark, path, mor_keys)
+        t_mor = time.time() - t0
+        c = _read_commit(path, v)
+        t0 = time.time()
+        feed_n = (
+            read_changes(spark, path, v_from=v, v_to=v).count()
+        )
+        t_feed = time.time() - t0
+        rec["mor_delete_uniform"] = {
+            "batch_rows": mor_keys.count(),
+            "delete_s": round(t_mor, 2),
+            "files_rewritten": len(c.get("removed", [])),
+            "dv_files": len(c["dv"]["files"]),
+            "dv_rows": c["dv"]["rows"],
+            "feed_s": round(t_feed, 2),
+            "feed_rows": feed_n,
+        }
+        print(f"mult={mult} mor: {rec['mor_delete_uniform']}", flush=True)
         out["decades"][str(mult)] = rec
         print(f"mult={mult}: rows={n} create={t_create:.1f}s", flush=True)
 
