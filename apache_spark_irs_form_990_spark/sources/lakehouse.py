@@ -317,7 +317,12 @@ def _pack_bits(positions, m: int) -> bytes:
 
 
 def _write_data_files(
-    spark: SparkSession, path: str, df: DataFrame, key, bloom: dict | None = None
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    key,
+    bloom: dict | None = None,
+    stat_cols: list[str] | None = None,
 ) -> dict:
     """Stage one immutable data subdir and return {relpath: stats}
     with per-file [min, max] ranges FOR EVERY KEY COLUMN plus row
@@ -333,7 +338,13 @@ def _write_data_files(
     sidecar per data file (the Iceberg-puffin shape: the JSON
     manifest stays metadata-sized, membership bits live beside the
     data). The stats row records "bloom": true so the probe knows
-    which files can be membership-tested."""
+    which files can be membership-tested.
+
+    ``stat_cols`` (r11 §20.3) records per-file [min, max] for EXTRA
+    columns under a "cols" key — the generalized data-skipping stats
+    a z-order compaction needs so predicates on EITHER clustered
+    dimension prune files (Delta collects the same for its first N
+    columns)."""
     keys = _key_cols(key)
     sub = f"d-{uuid.uuid4().hex[:12]}"
     full = os.path.join(path, sub)
@@ -341,6 +352,8 @@ def _write_data_files(
     aggs = []
     for i, k in enumerate(keys):
         aggs += [F.min(k).alias(f"lo_{i}"), F.max(k).alias(f"hi_{i}")]
+    for j, c in enumerate(stat_cols or []):
+        aggs += [F.min(c).alias(f"xlo_{j}"), F.max(c).alias(f"xhi_{j}")]
     aggs.append(F.count(F.lit(1)).alias("rows"))
     if bloom:
         kc = _bloom_key_expr(keys)
@@ -366,6 +379,11 @@ def _write_data_files(
             "hi": [_json_stat(r[f"hi_{i}"]) for i in range(len(keys))],
             "rows": r["rows"],
         }
+        if stat_cols:
+            out[rel]["cols"] = {
+                c: [_json_stat(r[f"xlo_{j}"]), _json_stat(r[f"xhi_{j}"])]
+                for j, c in enumerate(stat_cols)
+            }
         if bloom:
             positions: set = set()
             for s in range(bloom["k"]):
@@ -609,6 +627,56 @@ def read_keys(
     return scan.join(
         F.broadcast(keys_df.select(*keys).distinct()), keys, "leftsemi"
     )
+
+
+def read_where_range(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """STATS-PRUNED RANGE SCAN (r11 §20.3): read only the files whose
+    manifest "cols" stats for ``col`` intersect [lo, hi] (files
+    written before the stats existed stay conservatively included),
+    apply deletion vectors, and filter exactly — pruning cuts bytes
+    read, never the answer. After a `zorder_by` compaction both
+    clustered dimensions carry these stats, so range predicates on
+    EITHER skip files; under single-key layout only the sort key
+    could. Driver work is one metadata-sized manifest pass — the
+    file-level skipping a parquet row-group statistic cannot do
+    (listing and footer I/O already happened by then)."""
+    live = snapshot_files(path, version)
+    schema, _ = _current_schema(path, version)
+    if not live:
+        return spark.createDataFrame([], schema)
+    jlo, jhi = _json_stat(lo), _json_stat(hi)
+    keep = []
+    for rel, s in live.items():
+        r = s.get("cols", {}).get(col)
+        if r is None or (r[0] <= jhi and r[1] >= jlo):
+            keep.append(rel)
+    dvm = snapshot_dv(path, version)
+    if not keep:
+        return spark.createDataFrame([], schema)
+    scan = _apply_dv(
+        spark,
+        path,
+        spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, rel) for rel in keep]
+        ),
+        {d for rel in keep for d in dvm.get(rel, [])},
+    )
+    cols = [f.name for f in schema.fields]
+    scan = scan.select(
+        *[
+            F.col(c) if c in scan.columns
+            else F.lit(None).cast(schema[c].dataType).alias(c)
+            for c in cols
+        ]
+    )
+    return scan.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
 
 
 def read_changes(
@@ -1211,8 +1279,48 @@ def delete_keys_mor(
     )
 
 
+def _zorder_col(df: DataFrame, c1: str, c2: str):
+    """16-bit Morton z-value of two columns normalized to 8-bit cells
+    — the same all-integer interleave `layout_zorder_stats` audits
+    (layout.py:225), here as the compaction's cluster key. Bounds come
+    from ONE 1-row aggregate collected driver-side (metadata-sized —
+    the same sample a repartitionByRange write draws); `div` floor
+    division keeps every term integer and engine-exact. A degenerate
+    dimension (min == max) contributes constant 0 bits."""
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+    for c in (c1, c2):
+        if by_name[c] not in ("tinyint", "smallint", "int", "bigint", "date"):
+            raise ValueError(
+                f"zorder_by column {c!r} has type {by_name[c]!r}: the "
+                "Morton normalization needs an integer or date dimension"
+            )
+
+    def unit(c: str, mn, mx):
+        if by_name[c] == "date":
+            span = max((mx - mn).days, 1) if mx != mn else 1
+            return F.expr(f"(datediff({c}, '{mn.isoformat()}') * 255) div {span}")
+        span = mx - mn if mx != mn else 1
+        return F.expr(f"(({c} - {mn}) * 255) div {span}")
+
+    b = df.agg(
+        F.min(c1), F.max(c1), F.min(c2), F.max(c2)
+    ).collect()[0]
+    cx, cy = unit(c1, b[0], b[1]), unit(c2, b[2], b[3])
+    z = None
+    for i in range(8):
+        tx = F.shiftleft(F.shiftright(cx, i).bitwiseAND(F.lit(1)), 2 * i)
+        ty = F.shiftleft(F.shiftright(cy, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        z = tx + ty if z is None else z + tx + ty
+    return z.cast("long")
+
+
 def compact_table(
-    spark: SparkSession, path: str, n_files: int, max_retries: int = 3
+    spark: SparkSession,
+    path: str,
+    n_files: int,
+    max_retries: int = 3,
+    zorder_by: tuple[str, str] | None = None,
 ) -> int:
     """OPTIMIZE: one commit whose added files hold exactly the live
     rows, bin-packed to ``n_files`` (per partition value, for a
@@ -1222,9 +1330,22 @@ def compact_table(
     through conflicts like `merge_into` (r11: a maintenance job must
     survive a concurrent writer); compaction reads the WHOLE live
     set, so any intervening data commit overlaps by construction and
-    the retry is always a re-plan against the new snapshot."""
+    the retry is always a re-plan against the new snapshot.
+
+    ``zorder_by=(c1, c2)`` (r11 §20.3 — Delta's OPTIMIZE ZORDER):
+    instead of key-range layout, files are cut along the 16-bit
+    Morton curve of the two columns, so each file covers a small
+    RECTANGLE in (c1 × c2) space and the manifest's per-file "cols"
+    stats (recorded for both dimensions) prune on EITHER — a
+    single-key sort serves only its own key. The trade is explicit:
+    per-file KEY ranges widen, so zone-map merge pruning degrades —
+    bloom sidecars (still written for bloom-enabled tables) keep
+    key-membership pruning exact regardless of layout, which is why
+    the two features compose. Unpartitioned tables only."""
     meta = table_meta(path)
     keys, partition_by = meta["key"], meta["partition_by"]
+    if zorder_by is not None and partition_by is not None:
+        raise ValueError("zorder_by is for unpartitioned tables")
     for _ in range(max_retries + 1):
         v = latest_version(path)
         live = snapshot_files(path, v)
@@ -1234,9 +1355,26 @@ def compact_table(
         # pre-widening files get their new columns backfilled — the
         # compaction rewrite then homogenizes the footers as a bonus
         df = read_snapshot(spark, path, v)
-        added = _write_partitioned(
-            spark, path, df, keys, partition_by, n_files, meta.get("bloom")
-        )
+        if zorder_by is not None:
+            c1, c2 = zorder_by
+            clustered = (
+                df.withColumn("_zv", _zorder_col(df, c1, c2))
+                .repartitionByRange(max(n_files, 1), "_zv")
+                .sortWithinPartitions("_zv")
+                .drop("_zv")
+            )
+            added = _write_data_files(
+                spark,
+                path,
+                clustered,
+                keys,
+                meta.get("bloom"),
+                stat_cols=[c1, c2],
+            )
+        else:
+            added = _write_partitioned(
+                spark, path, df, keys, partition_by, n_files, meta.get("bloom")
+            )
         try:
             _try_commit(
                 path,
@@ -1937,3 +2075,67 @@ def lakehouse_point_lookup_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{len(touched)}/{len(live)}"
     )
     return read_keys(spark, path, lookup)
+
+
+@register(
+    "lakehouse_compact_zorder",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate
+    FROM orders
+    WHERE o_custkey <= (SELECT min(o_custkey)
+                               + (max(o_custkey) - min(o_custkey)) // 10
+                        FROM orders)
+    """,
+)
+def lakehouse_compact_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER (r11 §20.3 — Delta's OPTIMIZE ZORDER BY on the
+    commit log): orders keyed by o_orderkey, compacted along the
+    Morton curve of (o_custkey, o_orderdate) with per-file "cols"
+    stats recorded for BOTH dimensions. The query asserts from the
+    manifest that a 10% slice on EITHER dimension prunes files —
+    impossible under any single-key sort, which serves only its own
+    key — and returns the stats-pruned custkey-slice scan
+    (`read_where_range`: manifest prune → DV apply → exact filter,
+    so pruning can only cut bytes) under a plain-SQL oracle whose
+    threshold is the same min+span/10 arithmetic. Lossless layout
+    change + both-dimension skipping are the whole claim; a z
+    interleave bug, a stats bug, or an over-pruned file all break
+    either an assert or the hash."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )
+    tag = hashlib.md5(("zorder|" + sf_dir).encode()).hexdigest()[:8]
+    path = _TABLE_DIRS.new_dir(tag)
+    create_table(spark, path, o, key="o_orderkey", n_files=8)
+    v = compact_table(
+        spark, path, n_files=8, zorder_by=("o_custkey", "o_orderdate")
+    )
+    live = snapshot_files(path, v)
+    assert all("cols" in s for s in live.values())
+    b = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_orderdate"), F.max("o_orderdate"),
+    ).collect()[0]
+    xthr = b[0] + (b[1] - b[0]) // 10
+    dthr = b[2] + datetime.timedelta(days=max((b[3] - b[2]).days // 10, 0))
+
+    def pruned(col, lo, hi):
+        jlo, jhi = _json_stat(lo), _json_stat(hi)
+        return [
+            rel
+            for rel, s in live.items()
+            if s["cols"][col][0] <= jhi and s["cols"][col][1] >= jlo
+        ]
+
+    nx = len(pruned("o_custkey", b[0], xthr))
+    nd = len(pruned("o_orderdate", b[2], dthr))
+    assert nx < len(live), f"custkey slice must prune: {nx}/{len(live)}"
+    assert nd < len(live), f"orderdate slice must prune: {nd}/{len(live)}"
+    return read_where_range(spark, path, "o_custkey", b[0], xthr).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+    )

@@ -1385,3 +1385,54 @@ def test_read_keys_prunes_files_and_honors_dv(spark, tmp_path):
         version=0,
     )
     assert set(got0.columns) == {"k", "n_name", "n_regionkey"}
+
+
+def test_zorder_compact_lossless_materializes_dv_and_prunes(spark, tmp_path):
+    """OPTIMIZE ZORDER: lossless relayout that (a) materializes
+    pending deletion vectors like any compaction, (b) records "cols"
+    stats on both clustered dimensions so either prunes, and (c)
+    read_where_range stays exact — files without stats (pre-zorder
+    history) are conservatively included."""
+    from apache_spark_irs_form_990_spark.sources.lakehouse import (
+        delete_keys_mor,
+        read_where_range,
+        snapshot_dv,
+    )
+
+    path = str(tmp_path / "t")
+    base = _nation(spark).select(
+        "n_nationkey", "n_name",
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+    )
+    create_table(spark, path, base, key="n_nationkey", n_files=4)
+    delete_keys_mor(
+        spark, path, spark.createDataFrame([(7,)], "n_nationkey int")
+    )
+    want = _rows(read_snapshot(spark, path))
+
+    # pre-zorder: no "cols" stats -> range read includes everything,
+    # still exact
+    r0 = read_where_range(spark, path, "n_regionkey", 2, 2)
+    assert _rows(r0) == {t for t in want if t[2] == 2}
+
+    v = compact_table(
+        spark, path, n_files=4, zorder_by=("n_nationkey", "n_regionkey")
+    )
+    assert snapshot_dv(path) == {}  # DV materialized by the rewrite
+    assert _rows(read_snapshot(spark, path)) == want  # lossless
+    live = snapshot_files(path, v)
+    assert all("cols" in s for s in live.values())
+    r1 = read_where_range(spark, path, "n_regionkey", 2, 2)
+    assert _rows(r1) == {t for t in want if t[2] == 2}
+
+    # partitioned tables refuse zorder loudly
+    with pytest.raises(ValueError, match="unpartitioned"):
+        p2 = str(tmp_path / "p")
+        create_table(
+            spark, p2, base.select("n_regionkey", "n_nationkey", "n_name"),
+            key=["n_regionkey", "n_nationkey"], n_files=1,
+            partition_by="n_regionkey",
+        )
+        compact_table(
+            spark, p2, n_files=1, zorder_by=("n_nationkey", "n_regionkey")
+        )
