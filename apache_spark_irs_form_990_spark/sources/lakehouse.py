@@ -1130,12 +1130,26 @@ def merge_into(
     )
 
 
+def last_txn_version(path: str, txn_app: str) -> int:
+    """Highest ``txn_version`` any commit recorded for ``txn_app``
+    (-1 if none) — one metadata-sized log replay, the lookup behind
+    idempotent writer transactions (Delta's txnAppId/txnVersion)."""
+    best = -1
+    for v in range(latest_version(path) + 1):
+        t = _read_commit(path, v).get("txn")
+        if t and t.get("app") == txn_app:
+            best = max(best, int(t["version"]))
+    return best
+
+
 def append_table(
     spark: SparkSession,
     path: str,
     df: DataFrame,
     n_files: int = 1,
     max_retries: int = 3,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """BLIND APPEND (r11 §20.2): stage ``df`` as new range-partitioned
     files and commit added-only — no touched-file probe, no rewrite,
@@ -1153,7 +1167,20 @@ def append_table(
 
     A blind append never logically conflicts with anything — on a
     version race it re-claims the next head with the SAME staged
-    files (no re-plan, no re-write)."""
+    files (no re-plan, no re-write).
+
+    ``txn_app``/``txn_version`` (r11 §20.3) make the append
+    IDEMPOTENT — Delta's txnAppId/txnVersion contract: the commit
+    records the pair, and a later append with the same app and a
+    version ≤ the highest already committed is SKIPPED (returns the
+    current table version, stages nothing). That is what a
+    foreachBatch streaming sink needs for exactly-once: a crashed
+    driver redelivers its last micro-batch with the same epoch id,
+    and the replay must land zero rows. The dedup check re-runs
+    inside the commit retry loop, so two racing writers of the SAME
+    epoch cannot both land it."""
+    if (txn_app is None) != (txn_version is None):
+        raise ValueError("txn_app and txn_version must be set together")
     meta = table_meta(path)
     schema, _ = _current_schema(path)
     want = [f.name for f in schema.fields]
@@ -1161,6 +1188,8 @@ def append_table(
         raise ValueError(
             f"append schema {sorted(df.columns)} != table {sorted(want)}"
         )
+    if txn_app is not None and last_txn_version(path, txn_app) >= txn_version:
+        return latest_version(path)  # duplicate epoch: exactly-once skip
     staged = _write_data_files(
         spark,
         path,
@@ -1168,10 +1197,20 @@ def append_table(
         meta["key"],
         meta.get("bloom"),
     )
+    payload = {"op": "append", "added": staged}
+    if txn_app is not None:
+        payload["txn"] = {"app": txn_app, "version": int(txn_version)}
     for _ in range(max_retries + 1):
         v = latest_version(path)
+        if (
+            txn_app is not None
+            and last_txn_version(path, txn_app) >= txn_version
+        ):
+            # a racing writer of the same epoch beat us to it
+            _cleanup_staged(path, staged)
+            return v
         try:
-            _try_commit(path, v + 1, {"op": "append", "added": staged})
+            _try_commit(path, v + 1, payload)
             return v + 1
         except CommitConflict:
             continue
@@ -2139,3 +2178,83 @@ def lakehouse_compact_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.col("o_orderdate").cast("string").alias("o_orderdate"),
     )
+
+
+@register(
+    "stream_lakehouse_append_sink",
+    oracle="""
+    SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey + 100, concat('A_', CAST(n_nationkey AS VARCHAR)),
+           CAST(n_nationkey % 5 AS BIGINT)
+    FROM nation WHERE n_nationkey < 3
+    UNION ALL
+    SELECT n_nationkey + 200, concat('B_', CAST(n_nationkey AS VARCHAR)),
+           CAST(n_nationkey % 5 AS BIGINT)
+    FROM nation WHERE n_nationkey < 4
+    """,
+)
+def stream_lakehouse_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDEMPOTENT STREAMING APPEND SINK (r11 §20.3): the write half of
+    the streaming loop whose read half is [[stream_lakehouse_tail]].
+    A real Structured Streaming query (file source, availableNow,
+    maxFilesPerTrigger=1) lands two epochs into the commit-log table
+    through foreachBatch → `append_table(txn_app, txn_version=epoch)`
+    — Delta's txnAppId/txnVersion contract: each commit records the
+    writer transaction, and an epoch at or below the highest already
+    committed is SKIPPED. After the stream drains, the query REPLAYS
+    epoch 1 by hand (the exact redelivery a crashed driver performs)
+    and asserts the log did not advance; appends are not semantically
+    idempotent (a replay would double its rows), so the oracle —
+    base + each epoch exactly once — is broken by any double
+    delivery the transaction check fails to stop. The
+    crash-in-the-nastiest-window variant (AFTER table commit, BEFORE
+    checkpoint commit, real kill + checkpointed restart) is pinned by
+    tests/test_lakehouse.py."""
+    base = _base_nation(spark, sf_dir)
+    n = load(spark, sf_dir, "nation")
+    tag = hashlib.md5(("appsink|" + sf_dir).encode()).hexdigest()[:8]
+    path = _TABLE_DIRS.new_dir(tag)
+    create_table(spark, path, base, key="n_nationkey", n_files=2)
+
+    def chunk(off: int, label: str, below: int) -> DataFrame:
+        return n.filter(F.col("n_nationkey") < below).select(
+            (F.col("n_nationkey") + off).alias("n_nationkey"),
+            F.concat(
+                F.lit(label), F.col("n_nationkey").cast("string")
+            ).alias("n_name"),
+            (F.col("n_nationkey") % 5).cast("long").alias("n_regionkey"),
+        )
+
+    feed = _TABLE_DIRS.new_dir(tag + "feed")
+    import time as _time
+
+    for c in (chunk(100, "A_", 3), chunk(200, "B_", 4)):
+        c.coalesce(1).write.mode("append").parquet(feed)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic epoch order
+
+    schema = spark.createDataFrame([], base.schema).schema
+
+    def sink(df: DataFrame, bid: int) -> None:
+        if not df.isEmpty():
+            append_table(spark, path, df, txn_app="ingest", txn_version=bid)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(feed, "_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    v = latest_version(path)
+    # the redelivery a crashed driver performs: same epoch, same app
+    append_table(
+        spark, path, chunk(200, "B_", 4), txn_app="ingest", txn_version=1
+    )
+    assert latest_version(path) == v, "duplicate epoch must be skipped"
+    assert last_txn_version(path, "ingest") == 1
+    return read_snapshot(spark, path)

@@ -1436,3 +1436,84 @@ def test_zorder_compact_lossless_materializes_dv_and_prunes(spark, tmp_path):
         compact_table(
             spark, p2, n_files=1, zorder_by=("n_nationkey", "n_regionkey")
         )
+
+
+def test_streaming_foreachbatch_append_sink_exactly_once(spark, tmp_path):
+    """The APPEND counterpart of the foreachBatch→MERGE capstone:
+    appends are NOT semantically idempotent (a replayed batch would
+    double its rows), so exactly-once must come from the recorded
+    writer transaction — append_table(txn_app, txn_version=epoch)
+    skips any epoch at or below the highest already committed. The
+    crash again falls AFTER the table commit, BEFORE the checkpoint
+    commit; the restart re-delivers the epoch and the skip (not a
+    merge no-op) is what keeps the row count exact."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from apache_spark_irs_form_990_spark.sources.lakehouse import (
+        append_table,
+        last_txn_version,
+    )
+
+    path = str(tmp_path / "t")
+    base = _nation(spark).filter(F.col("n_nationkey") < 5)
+    create_table(spark, path, base, key="n_nationkey", n_files=1)
+
+    src = str(tmp_path / "feed")
+    schema = "n_nationkey int, n_name string, n_regionkey long"
+    chunks = [
+        [(100, "A0", 1), (101, "A1", 1)],
+        [(200, "B0", 2), (201, "B1", 2), (202, "B2", 2)],
+    ]
+    import time as _t
+
+    for c in chunks:
+        spark.createDataFrame(c, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _t.sleep(1.1)
+
+    crash_marker = str(tmp_path / "crashed_once")
+
+    def sink(df, bid):
+        if df.isEmpty():
+            return
+        append_table(
+            spark, path, df, txn_app="ingest", txn_version=bid
+        )
+        if bid == 1 and not os.path.exists(crash_marker):
+            with open(crash_marker, "w") as f:
+                f.write("")
+            raise RuntimeError("crash AFTER table commit, BEFORE checkpoint")
+
+    def run():
+        q = (
+            spark.readStream.schema(spark.createDataFrame([], schema).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(StreamingQueryException):
+        run()
+    v_crash = latest_version(path)  # epoch 1's append DID commit
+    run()  # restart: epoch 1 re-delivered -> txn skip, NO new version
+    assert latest_version(path) == v_crash
+    assert last_txn_version(path, "ingest") == 1
+    got = _rows(read_snapshot(spark, path))
+    want = _rows(base) | {
+        (100, "A0", 1), (101, "A1", 1),
+        (200, "B0", 2), (201, "B1", 2), (202, "B2", 2),
+    }
+    assert got == want  # every appended row exactly once
+    # a direct duplicate-epoch append is also a no-op
+    append_table(
+        spark,
+        path,
+        spark.createDataFrame([(999, "DUP", 9)], schema),
+        txn_app="ingest",
+        txn_version=1,
+    )
+    assert _rows(read_snapshot(spark, path)) == want
