@@ -2005,78 +2005,21 @@ def sim_pq_adc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema="s int, cid int, c array<bigint>",
     )
-    sub = F.slice(F.col("v"), F.col("s") * D + 1, D)
-    sse = F.aggregate(
-        F.zip_with(sub, F.col("c"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    dists = mm.crossJoin(F.broadcast(codebook)).select(
-        "vec_id", "s", "cid", sse.alias("sse")
-    )
-    w_arg = Window.partitionBy("vec_id", "s").orderBy("sse", "cid")
-    codes = (
-        dists.withColumn("rn", F.row_number().over(w_arg))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
-    recon = (
-        codes.join(F.broadcast(codebook), ["s", "cid"])
-        .groupBy("vec_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("s"), F.col("c")))
-                    ),
-                    lambda x: x.getField("c"),
-                )
-            ).alias("r"),
-            F.sum("sse").alias("vec_sse"),
-        )
-        .localCheckpoint()
-    )
-    q = mm.select(
-        F.col("vec_id").alias("qid"),
-        F.col("v").alias("vq"),
-        sq_norm(F.col("v")).alias("nq"),
-    )
-    n = recon.select(
-        F.col("vec_id").alias("nid"),
-        F.col("r").alias("vr"),
-        sq_norm(F.col("r")).alias("nr"),
-    )
-    adc_cos = pair_dot_udf()(F.col("vq"), F.col("vr")).cast("double") / (
-        F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("nr").cast("double"))
-    )
-    w_nn = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
-    pq_nn = (
-        q.join(n, F.col("qid") != F.col("nid"))
-        .select("qid", "nid", adc_cos.alias("cosine"))
-        .withColumn("rn", F.row_number().over(w_nn))
-        .filter(F.col("rn") == 1)
-        .select("qid", F.col("nid").alias("pq_nid"))
-    )
-    a = mm.select(
-        F.col("vec_id").alias("qid"),
-        F.col("v").alias("va"),
-        sq_norm(F.col("v")).alias("na"),
-    )
-    b = mm.select(
-        F.col("vec_id").alias("nid"),
-        F.col("v").alias("vb"),
-        sq_norm(F.col("v")).alias("nb"),
-    )
-    exact_cos = pair_dot_udf()(F.col("va"), F.col("vb")).cast("double") / (
-        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
-    )
-    exact_nn = (
-        a.join(b, F.col("qid") != F.col("nid"))
-        .select("qid", "nid", exact_cos.alias("cosine"))
-        .withColumn("rn", F.row_number().over(w_nn))
-        .filter(F.col("rn") == 1)
-        .select("qid", F.col("nid").alias("exact_nid"))
-    )
+    # r11: same zero-exchange Arrow kernels as the trained audit —
+    # one `_pq_encode` pass (assign + reconstruct + per-vector SSE)
+    # and two matmul top-1 compares; arithmetic unchanged
+    recon = _pq_encode(mm, codebook).localCheckpoint()
+    queries = mm.select(F.col("vec_id").alias("qid"), F.col("v").alias("vq"))
+    pq_nn = _cosine_topk_pairs(
+        queries,
+        recon.select(F.col("vec_id").alias("nid"), F.col("r").alias("vr")),
+        1,
+    ).select("qid", F.col("nid").alias("pq_nid"))
+    exact_nn = _cosine_topk_pairs(
+        queries,
+        mm.select(F.col("vec_id").alias("nid"), F.col("v").alias("vr")),
+        1,
+    ).select("qid", F.col("nid").alias("exact_nid"))
     stats = recon.agg(
         F.sum("vec_sse").cast("long").alias("total_sse"),
         F.count(F.lit(1)).alias("n_vecs"),
@@ -2224,21 +2167,9 @@ def sim_pq_lloyd_step_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="s int, cid int, c array<bigint>",
     )
     sub = F.slice(F.col("v"), F.col("s") * D + 1, D)
-    sse = F.aggregate(
-        F.zip_with(sub, F.col("c"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    w_arg = Window.partitionBy("vec_id", "s").orderBy("sse", "cid")
-
-    def assign(codebook: DataFrame) -> DataFrame:
-        return (
-            mm.crossJoin(F.broadcast(codebook))
-            .select("vec_id", "s", "cid", sse.alias("sse"))
-            .withColumn("rn", F.row_number().over(w_arg))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
+    # r11: assignment via the shared zero-exchange Arrow argmin kernel
+    # (`_pq_assign`) instead of the broadcast crossjoin + window form
+    assign = lambda codebook: _pq_assign(mm, codebook)  # noqa: E731
 
     codes0 = assign(cb0).localCheckpoint()
     dimsums = (
@@ -2720,9 +2651,31 @@ def _pq_anchor_codebook(
     )
 
 
+def _codebook_arrays(codebook: DataFrame) -> dict:
+    """Driver-side {s: (cids, C)} numpy view of a codebook frame —
+    bounded by K x _PQ_SUBS rows (<= 512 at the production code
+    budget; the documented small-collect class, same bound as
+    `_pq_anchor_codebook`'s collect). Centroid rows are sorted by cid
+    ascending so numpy argmin's first-match IS the (sse, cid)
+    tie-break the window form used."""
+    by_s: dict = {}
+    for r in codebook.collect():
+        by_s.setdefault(r["s"], []).append((r["cid"], list(r["c"])))
+    out = {}
+    for s, lst in by_s.items():
+        lst.sort()
+        out[s] = (
+            np.array([cid for cid, _ in lst], dtype=np.int64),
+            np.array([c for _, c in lst], dtype=np.int64),
+        )
+    return out
+
+
 def _pq_sub_sse():
     """Exact int64 SSE of a vector's s-th sub-slice against centroid
-    ``c`` — the assignment metric shared by every PQ query."""
+    ``c`` — the assignment metric shared by every PQ query (Catalyst
+    form, kept for the one-off scalar uses; batch assignment goes
+    through `_pq_assign`'s Arrow kernel)."""
     D = _PQ_DIMS
     sub = F.slice(F.col("v"), F.col("s") * D + 1, D)
     return F.aggregate(
@@ -2734,15 +2687,87 @@ def _pq_sub_sse():
 
 def _pq_assign(mm: DataFrame, codebook: DataFrame) -> DataFrame:
     """(vec_id, s, cid, sse): nearest centroid per sub-space, exact
-    integer argmin with (sse, cid) tie-break. One broadcast crossjoin
-    + one window — embarrassingly parallel over vectors."""
-    w_arg = Window.partitionBy("vec_id", "s").orderBy("sse", "cid")
-    return (
-        mm.crossJoin(F.broadcast(codebook))
-        .select("vec_id", "s", "cid", _pq_sub_sse().alias("sse"))
-        .withColumn("rn", F.row_number().over(w_arg))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    integer argmin with (sse, cid) tie-break.
+
+    r11 OPTIMIZED (guide §2.4, §4.2): one Arrow `mapInPandas` pass
+    with the codebook as a task-local numpy constant replaces the
+    broadcast crossjoin + window argmin — the old plan materialized
+    |mm| x K x _PQ_SUBS rows and shuffled them into a per-(vec, s)
+    window sort; the new plan is a single map stage with ZERO
+    exchanges (the argmin runs as one einsum per batch inside the
+    scan task). Arithmetic unchanged: exact int64 SSE, ties to the
+    lowest cid (codebook rows sorted by cid; numpy argmin returns the
+    first minimum). Still embarrassingly parallel over vectors — at
+    100 TB the corpus streams through map tasks and the K x 8
+    codebook (<= 512 rows) rides in the task closure."""
+    S, D = _PQ_SUBS, _PQ_DIMS
+    cb = _codebook_arrays(codebook)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["v"].to_numpy()).astype(np.int64)
+            vid = pdf["vec_id"].to_numpy()
+            rows = np.arange(len(vid))
+            outs = []
+            for s in range(S):
+                cids, C = cb[s]
+                d = V[:, s * D : (s + 1) * D][:, None, :] - C[None, :, :]
+                sse = np.einsum("bkd,bkd->bk", d, d)
+                j = sse.argmin(axis=1)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": vid,
+                            "s": np.full(len(vid), s, dtype=np.int32),
+                            "cid": cids[j].astype(np.int32),
+                            "sse": sse[rows, j],
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    return mm.select("vec_id", "v").mapInPandas(
+        assign, "vec_id long, s int, cid int, sse long"
+    )
+
+
+def _pq_encode(mm: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, r, vec_sse): every corpus vector reconstructed from
+    its nearest sub-space centroids + its total quantization SSE, in
+    ONE Arrow map pass (r11: replaces assign -> broadcast join-back ->
+    collect_list/groupBy shuffle — same exact arithmetic as
+    `_pq_assign`, zero exchanges)."""
+    S, D = _PQ_SUBS, _PQ_DIMS
+    cb = _codebook_arrays(codebook)
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["v"].to_numpy()).astype(np.int64)
+            B = len(pdf)
+            rows = np.arange(B)
+            rec = np.empty((B, S * D), dtype=np.int64)
+            tot = np.zeros(B, dtype=np.int64)
+            for s in range(S):
+                _, C = cb[s]
+                d = V[:, s * D : (s + 1) * D][:, None, :] - C[None, :, :]
+                sse = np.einsum("bkd,bkd->bk", d, d)
+                j = sse.argmin(axis=1)
+                rec[:, s * D : (s + 1) * D] = C[j]
+                tot += sse[rows, j]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "r": list(rec),
+                    "vec_sse": tot,
+                }
+            )
+
+    return mm.select("vec_id", "v").mapInPandas(
+        encode, "vec_id long, r array<bigint>, vec_sse long"
     )
 
 
@@ -2859,64 +2884,23 @@ def sim_pq_trained_adc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     R = _PQ_ROUNDS
     mm = _pq_mm(spark, sf_dir)
     cb = _pq_train(spark, mm, R)
-    codes = _pq_assign(mm, cb)
-    recon = (
-        codes.join(F.broadcast(cb), ["s", "cid"])
-        .groupBy("vec_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("s"), F.col("c")))
-                    ),
-                    lambda x: x.getField("c"),
-                )
-            ).alias("r"),
-            F.sum("sse").alias("vec_sse"),
-        )
-        .localCheckpoint()
-    )
-    q = mm.select(
-        F.col("vec_id").alias("qid"),
-        F.col("v").alias("vq"),
-        sq_norm(F.col("v")).alias("nq"),
-    )
-    n = recon.select(
-        F.col("vec_id").alias("nid"),
-        F.col("r").alias("vr"),
-        sq_norm(F.col("r")).alias("nr"),
-    )
-    adc_cos = pair_dot_udf()(F.col("vq"), F.col("vr")).cast("double") / (
-        F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("nr").cast("double"))
-    )
-    w_nn = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
-    pq_nn = (
-        q.join(n, F.col("qid") != F.col("nid"))
-        .select("qid", "nid", adc_cos.alias("cosine"))
-        .withColumn("rn", F.row_number().over(w_nn))
-        .filter(F.col("rn") == 1)
-        .select("qid", F.col("nid").alias("pq_nid"))
-    )
-    a = mm.select(
-        F.col("vec_id").alias("qid"),
-        F.col("v").alias("va"),
-        sq_norm(F.col("v")).alias("na"),
-    )
-    b = mm.select(
-        F.col("vec_id").alias("nid"),
-        F.col("v").alias("vb"),
-        sq_norm(F.col("v")).alias("nb"),
-    )
-    exact_cos = pair_dot_udf()(F.col("va"), F.col("vb")).cast("double") / (
-        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
-    )
-    exact_nn = (
-        a.join(b, F.col("qid") != F.col("nid"))
-        .select("qid", "nid", exact_cos.alias("cosine"))
-        .withColumn("rn", F.row_number().over(w_nn))
-        .filter(F.col("rn") == 1)
-        .select("qid", F.col("nid").alias("exact_nid"))
-    )
+    # r11: assign+recon+per-vector SSE fused into one Arrow map pass;
+    # both top-1 compares route through the zero-exchange matmul
+    # kernel (`_cosine_topk_pairs`) instead of two |mm|^2 pair joins
+    # + window argmins — results bit-identical (same int64/double op
+    # order, same (cosine desc, nid) tie-break)
+    recon = _pq_encode(mm, cb).localCheckpoint()
+    queries = mm.select(F.col("vec_id").alias("qid"), F.col("v").alias("vq"))
+    pq_nn = _cosine_topk_pairs(
+        queries,
+        recon.select(F.col("vec_id").alias("nid"), F.col("r").alias("vr")),
+        1,
+    ).select("qid", F.col("nid").alias("pq_nid"))
+    exact_nn = _cosine_topk_pairs(
+        queries,
+        mm.select(F.col("vec_id").alias("nid"), F.col("v").alias("vr")),
+        1,
+    ).select("qid", F.col("nid").alias("exact_nid"))
     stats = recon.agg(
         F.sum("vec_sse").cast("long").alias("total_sse"),
         F.count(F.lit(1)).alias("n_vecs"),
@@ -3017,23 +3001,9 @@ def _pq_recall_at_k_oracle() -> str:
 def _pq_recon_vectors(mm: DataFrame, cb: DataFrame) -> DataFrame:
     """(vec_id, r): every corpus vector reconstructed from its nearest
     sub-space centroids under codebook ``cb`` — the stored form an ADC
-    serving tier scores against."""
-    return (
-        _pq_assign(mm, cb)
-        .join(F.broadcast(cb), ["s", "cid"])
-        .groupBy("vec_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("s"), F.col("c")))
-                    ),
-                    lambda x: x.getField("c"),
-                )
-            ).alias("r")
-        )
-        .localCheckpoint()
-    )
+    serving tier scores against. r11: one `_pq_encode` map pass (the
+    old assign -> join -> groupBy chain planned 3 exchanges)."""
+    return _pq_encode(mm, cb).select("vec_id", "r").localCheckpoint()
 
 
 def _cosine_topk_pairs(
@@ -3047,23 +3017,101 @@ def _cosine_topk_pairs(
     (nid, vr). With `pairs` None, every (query, stored) pair except
     self-pairs is scored; with a (qid, nid) frame, ONLY those pairs
     are — the shortlist-re-rank shape, where cost is |pairs|, not
-    |queries| x |stored|."""
-    q = queries.select("qid", "vq", sq_norm(F.col("vq")).alias("nq"))
-    s = stored.select("nid", "vr", sq_norm(F.col("vr")).alias("nr"))
+    |queries| x |stored|.
+
+    r11 OPTIMIZED (guide §8, §2.3, §4.2): the stored side — bounded
+    by construction in every caller (<= _PQ_BUDGET_CAP vectors: the
+    PQ audits' training slice, the documented small-collect class) —
+    is collected ONCE into a task-local int64 matrix sorted by nid;
+    queries stream through one Arrow `mapInPandas` pass that scores a
+    whole batch against the matrix via exact int64 matmul and emits
+    ONLY each query's top-k rows. The old plan joined |q| x |stored|
+    pair rows (each dragging both 64-long vectors through an
+    ArrowEvalPython dot), then shuffled the ~|q|x|stored| skinny rows
+    into a per-qid window sort: 2 Exchanges and a million-row Python
+    boundary for a 1000-vector slice. The new plan has ZERO exchanges
+    in full-pairs mode; shortlist mode replaces the two pair-side
+    joins with one broadcast of the per-qid candidate lists.
+
+    Arithmetic is bit-identical: exact int64 dot, cast to double,
+    divided by the PRODUCT of the two sqrt'd double norms (same IEEE
+    op order as the expression form); ranking (cosine desc, nid asc)
+    via numpy stable lexsort == row_number over that ordering."""
+    srows = stored.select("nid", "vr").collect()
+    srows.sort(key=lambda r: r["nid"])
+    nids = np.array([r["nid"] for r in srows], dtype=np.int64)
+    smat = np.array([list(r["vr"]) for r in srows], dtype=np.int64)
+    snorm = np.sqrt((smat * smat).sum(axis=1).astype(np.float64))
+
+    def _topk_rows(qid, c, n, out):
+        """Append (qid, nid, rn) rows for ONE query: 1-D cosine array
+        ``c`` over candidate nids ``n``, ranked (cos desc, nid asc)."""
+        order = np.lexsort((n, -c))[:k]
+        m = len(order)
+        if m:
+            out.append(
+                pd.DataFrame(
+                    {
+                        "qid": np.full(m, qid, dtype=np.int64),
+                        "nid": n[order],
+                        "rn": np.arange(1, m + 1, dtype=np.int32),
+                    }
+                )
+            )
+
     if pairs is None:
-        joined = q.join(s, F.col("qid") != F.col("nid"))
+
+        def topk(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                Q = np.vstack(pdf["vq"].to_numpy()).astype(np.int64)
+                qid = pdf["qid"].to_numpy()
+                nq = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+                cos = (Q @ smat.T).astype(np.float64) / (
+                    nq[:, None] * snorm[None, :]
+                )
+                out: list = []
+                for i in range(len(qid)):
+                    valid = nids != qid[i]
+                    _topk_rows(qid[i], cos[i, valid], nids[valid], out)
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+        src = queries.select("qid", "vq")
     else:
-        joined = pairs.select("qid", "nid").join(q, "qid").join(s, "nid")
-    cos = pair_dot_udf()(F.col("vq"), F.col("vr")).cast("double") / (
-        F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("nr").cast("double"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
-    return (
-        joined.select("qid", "nid", cos.alias("cosine"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("qid", "nid", "rn")
-    )
+        cand = pairs.select("qid", "nid").groupBy("qid").agg(
+            F.collect_list("nid").alias("_cand")
+        )
+        src = queries.select("qid", "vq").join(F.broadcast(cand), "qid")
+
+        def topk(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out: list = []
+                for qid, vq, cl in zip(
+                    pdf["qid"].to_numpy(),
+                    pdf["vq"].to_numpy(),
+                    pdf["_cand"].to_numpy(),
+                ):
+                    q = np.asarray(vq, dtype=np.int64)
+                    c = np.asarray(cl, dtype=np.int64)
+                    # inner-join semantics of the old pairs->stored
+                    # join: candidates absent from `stored` drop out
+                    pos = np.clip(np.searchsorted(nids, c), 0, len(nids) - 1)
+                    idx = pos[nids[pos] == c]
+                    if len(idx) == 0:
+                        continue
+                    nq = np.sqrt(float((q * q).sum()))
+                    cos = (smat[idx] @ q).astype(np.float64) / (
+                        nq * snorm[idx]
+                    )
+                    _topk_rows(qid, cos, nids[idx], out)
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+    return src.mapInPandas(topk, "qid long, nid long, rn int")
 
 
 def _recall_vs_exact_table(

@@ -809,38 +809,57 @@ def read_changes(
                 ).alias("_s"),
             )
 
-        j = _mark(pre).alias("p").join(
-            _mark(post).alias("q"), on=keys, how="full"
+        # ONE multiset diff instead of a per-key full-outer join (r11
+        # green-up fix + optimization): the key join fanned out
+        # |pre-copies| x |post-copies| on duplicate-key tables (the
+        # edge-dimension sweep's duplicated nation key emitted 8
+        # phantom image pairs) and shuffled every carried row through
+        # a join. Instead, count physical rows per (key, payload) on
+        # each side in one map-side-combinable aggregation; equal
+        # counts cancel (carried rows — the bulk of every rewritten
+        # file — drop HERE, before any further shuffle); leftovers
+        # classify per key: both sides present -> update pre/post
+        # images (one per physical row), pre-only -> delete,
+        # post-only -> insert. Identical output to the old key-join
+        # classification on unique-key tables; physical-row honest on
+        # duplicated keys.
+        tagged = (
+            _mark(pre)
+            .withColumn("_side", F.lit("p"))
+            .unionByName(_mark(post).withColumn("_side", F.lit("q")))
         )
-        p_s, q_s = F.col("p._s"), F.col("q._s")
-        # ONE pass over the joined pre/post rows: classify into a
-        # 0/1/2-element array of (change_type, payload-side) and
-        # explode — four filtered branches would re-scan the commit's
-        # files four times (measured 4x on the CDF consumer)
-        kinds = (
-            F.when(
-                p_s.isNull(),
-                F.array(F.struct(F.lit("insert").alias("t"), q_s.alias("s"))),
-            )
-            .when(
-                q_s.isNull(),
-                F.array(F.struct(F.lit("delete").alias("t"), p_s.alias("s"))),
-            )
-            .when(
-                ~p_s.eqNullSafe(q_s),
-                F.array(
-                    F.struct(
-                        F.lit("update_preimage").alias("t"), p_s.alias("s")
-                    ),
-                    F.struct(
-                        F.lit("update_postimage").alias("t"), q_s.alias("s")
-                    ),
-                ),
-            )
-            # carried verbatim: NULL array — explode() emits nothing
-            .otherwise(F.lit(None))
+        cnt = tagged.groupBy(*keys, "_s").agg(
+            F.count(F.when(F.col("_side") == "p", 1)).alias("_pn"),
+            F.count(F.when(F.col("_side") == "q", 1)).alias("_qn"),
         )
-        ex = j.select(*[F.col(k) for k in keys], F.explode(kinds).alias("_e"))
+        lo = cnt.select(
+            *keys,
+            "_s",
+            (F.col("_pn") - F.least("_pn", "_qn")).alias("_lp"),
+            (F.col("_qn") - F.least("_pn", "_qn")).alias("_lq"),
+        ).filter((F.col("_lp") > 0) | (F.col("_lq") > 0))
+        flags = lo.groupBy(*keys).agg(
+            F.max(F.col("_lp") > 0).alias("_hasp"),
+            F.max(F.col("_lq") > 0).alias("_hasq"),
+        )
+        pre_t = F.when(F.col("_hasq"), "update_preimage").otherwise("delete")
+        post_t = F.when(F.col("_hasp"), "update_postimage").otherwise(
+            "insert"
+        )
+        kinds = F.concat(
+            F.array_repeat(
+                F.struct(pre_t.alias("t"), F.col("_s").alias("s")),
+                F.col("_lp").cast("int"),
+            ),
+            F.array_repeat(
+                F.struct(post_t.alias("t"), F.col("_s").alias("s")),
+                F.col("_lq").cast("int"),
+            ),
+        )
+        ex = (
+            lo.join(flags, keys)
+            .select(*[F.col(k) for k in keys], F.explode(kinds).alias("_e"))
+        )
         frames.append(
             ex.select(
                 *[F.col(k) for k in keys],
@@ -1798,34 +1817,61 @@ def lakehouse_partition_prune_merge(
       SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
       FROM nation
     ),
-    matched AS (
-      SELECT b.n_nationkey,
-             b.n_name AS pre_name, b.n_regionkey AS pre_region,
-             c.n_name AS post_name, c.n_regionkey AS post_region, c.op
-      FROM base b JOIN changes c ON b.n_nationkey = c.n_nationkey
+    -- post-state per key: the merge_apply twin (full-outer resolve).
+    -- The feed is then the PHYSICAL-ROW multiset diff base -> post:
+    -- per (key, payload) equal row counts cancel (carried rows);
+    -- leftovers classify per key (both sides -> update pre/post
+    -- image per physical row; pre-only -> delete; post-only ->
+    -- insert) — identical to the old matched-join formulation on
+    -- unique keys, and well-defined on duplicated ones (r11 fix:
+    -- the key-join form fanned out pre x post copies)
+    post AS (
+      SELECT coalesce(b.n_nationkey, c.n_nationkey) AS n_nationkey,
+             CASE WHEN c.op IN ('U','I') THEN c.n_name
+                  ELSE b.n_name END AS n_name,
+             CASE WHEN c.op IN ('U','I') THEN c.n_regionkey
+                  ELSE b.n_regionkey END AS n_regionkey
+      FROM base b FULL OUTER JOIN changes c
+        ON b.n_nationkey = c.n_nationkey
+      WHERE c.op IS NULL OR c.op != 'D'
+    ),
+    cnt AS (
+      SELECT n_nationkey, n_name, n_regionkey,
+             count(*) FILTER (WHERE side = 'p') AS pn,
+             count(*) FILTER (WHERE side = 'q') AS qn
+      FROM (
+        SELECT *, 'p' AS side FROM base
+        UNION ALL
+        SELECT *, 'q' AS side FROM post
+      )
+      GROUP BY 1, 2, 3
+    ),
+    lo AS (
+      SELECT n_nationkey, n_name, n_regionkey,
+             pn - least(pn, qn) AS lp, qn - least(pn, qn) AS lq
+      FROM cnt WHERE pn != qn
+    ),
+    flags AS (
+      SELECT n_nationkey, bool_or(lp > 0) AS hasp, bool_or(lq > 0) AS hasq
+      FROM lo GROUP BY 1
+    ),
+    nums AS (
+      SELECT unnest(range(1, (SELECT coalesce(max(greatest(lp, lq)), 0)
+                              FROM lo) + 1)) AS i
     )
-    SELECT n_nationkey, pre_name AS n_name, pre_region AS n_regionkey,
-           'update_preimage' AS _change_type,
+    SELECT l.n_nationkey, l.n_name, l.n_regionkey,
+           CASE WHEN f.hasq THEN 'update_preimage'
+                ELSE 'delete' END AS _change_type,
            CAST(1 AS BIGINT) AS _commit_version
-    FROM matched
-    WHERE op IN ('U','I')
-      AND (pre_name IS DISTINCT FROM post_name
-           OR pre_region IS DISTINCT FROM post_region)
+    FROM lo l JOIN flags f USING (n_nationkey)
+    JOIN nums g ON g.i <= l.lp
     UNION ALL
-    SELECT n_nationkey, post_name, post_region, 'update_postimage',
-           CAST(1 AS BIGINT)
-    FROM matched
-    WHERE op IN ('U','I')
-      AND (pre_name IS DISTINCT FROM post_name
-           OR pre_region IS DISTINCT FROM post_region)
-    UNION ALL
-    SELECT c.n_nationkey, c.n_name, c.n_regionkey, 'insert',
-           CAST(1 AS BIGINT)
-    FROM changes c LEFT JOIN base b ON b.n_nationkey = c.n_nationkey
-    WHERE b.n_nationkey IS NULL AND c.op IN ('U','I')
-    UNION ALL
-    SELECT n_nationkey, pre_name, pre_region, 'delete', CAST(1 AS BIGINT)
-    FROM matched WHERE op = 'D'
+    SELECT l.n_nationkey, l.n_name, l.n_regionkey,
+           CASE WHEN f.hasp THEN 'update_postimage'
+                ELSE 'insert' END AS _change_type,
+           CAST(1 AS BIGINT) AS _commit_version
+    FROM lo l JOIN flags f USING (n_nationkey)
+    JOIN nums g ON g.i <= l.lq
     """,
 )
 def lakehouse_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
