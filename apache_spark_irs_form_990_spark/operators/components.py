@@ -482,20 +482,37 @@ def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _doc_jaccard_edges(corpus: DataFrame) -> DataFrame:
+def _doc_jaccard_edges(
+    corpus: DataFrame, postings: DataFrame | None = None
+) -> DataFrame:
     """Jaccard>=0.6 shingle-overlap edges (src, dst) over a
     (doc_id, text) corpus — `dedup_cluster_components`' edge source,
     exposed so the scale-step sweep can measure edge growth and CC
-    round counts with the operator's own kernel (r6)."""
+    round counts with the operator's own kernel (r6).
+
+    ``postings`` (r11 optimization, guide §2.4): a caller that has
+    ALREADY materialized the distinct (doc_id, shingle) posting list
+    (the nightly writer checkpoints it for the state tables) passes
+    it here so the edge derivation starts from the materialized frame
+    instead of re-shingling and re-deduping the whole corpus — one
+    full explode + distinct shuffle of the corpus' token stream
+    removed from the nightly job. Must be EXACTLY the distinct
+    (doc_id, shingle) set over ``corpus`` (the `_postings` contract);
+    semantics are unchanged."""
     # distinct per (doc_id, shingle), not just per row: a duplicated
     # doc_id row would otherwise double both sizes.n and the overlap
     # multiplicity, driving the Jaccard denominator n_a + n_b - shared
     # to 0 (found by tests/test_edge_corpus.py). Jaccard is defined on
     # the doc's shingle SET — union over its rows.
-    shingled0 = corpus.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
-    ).distinct()
+    if postings is not None:
+        shingled0 = postings.select("doc_id", "shingle")
+    else:
+        shingled0 = corpus.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles(F.col("text")))
+            ).alias("shingle"),
+        ).distinct()
     w_df = Window.partitionBy("shingle")
     shingled = (
         shingled0.withColumn("df", F.count("*").over(w_df))
@@ -953,13 +970,29 @@ def dedup_cluster_components_incremental(
         .unionByName(batch.withColumn("is_batch", F.lit(True)))
         .localCheckpoint()
     )
-    labels1 = connected_components(
-        base.select(F.col("doc_id").alias("id")), _doc_jaccard_edges(base)
-    )
+    # r11 (guide §2.6 — overlap independent jobs): phase 1 (min-label
+    # CC over the base, a driver-paced round loop) and the batch-
+    # incident edge derivation share no inputs beyond the two
+    # checkpointed corpora — materialize the incident edges on a
+    # second driver thread while the CC loop runs, so its stages
+    # back-fill the loop's per-round barriers. Results byte-identical
+    # (the star pass consumed both lazily before; now one side is a
+    # checkpoint).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_labels = pool.submit(
+            connected_components,
+            base.select(F.col("doc_id").alias("id")),
+            _doc_jaccard_edges(base),
+        )
+        f_e2 = pool.submit(
+            lambda: _incident_jaccard_edges(all_docs).localCheckpoint()
+        )
+        labels1, e2 = f_labels.result(), f_e2.result()
     star1 = labels1.filter(F.col("id") != F.col("component")).select(
         F.col("component").alias("src"), F.col("id").alias("dst")
     )
-    e2 = _incident_jaccard_edges(all_docs)
     merged = connected_components_star(
         all_docs.select(F.col("doc_id").alias("id")),
         star1.unionByName(e2),

@@ -58,6 +58,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -111,25 +112,51 @@ def write_standing_state(
     """The NIGHTLY job: cluster ``corpus`` (doc_id, text) from scratch
     and persist the four standing tables. This is the only pass that
     ever shingles or self-joins the standing corpus."""
-    labels = connected_components(
-        corpus.select(F.col("doc_id").alias("id")), _doc_jaccard_edges(corpus)
-    )
-    labels.write.mode("overwrite").parquet(os.path.join(state_dir, "labels"))
+    # r11 (guide §2.4): materialize the posting list FIRST and feed it
+    # to both consumers — the clustering pass previously re-shingled
+    # and re-deduped the corpus for its edge derivation even though
+    # the state writer checkpoints the identical distinct
+    # (doc_id, shingle) set two lines later
     post = _postings(corpus).localCheckpoint()
-    post.withColumn("sbucket", _sbucket(F.col("shingle"))).write.mode(
-        "overwrite"
-    ).partitionBy("sbucket").parquet(os.path.join(state_dir, "postings"))
-    df_tbl = post.groupBy("shingle").agg(F.count("*").alias("df"))
-    df_tbl.write.mode("overwrite").parquet(
-        os.path.join(state_dir, "shingle_df")
-    )
-    sizes = (
-        post.join(df_tbl, "shingle")
-        .filter(F.col("df") <= _DF_CAP)
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n"))
-    )
-    sizes.write.mode("overwrite").parquet(os.path.join(state_dir, "sizes"))
+
+    # r11 (guide §2.6 — overlap independent jobs): given the
+    # materialized postings, the clustering chain (edge derivation +
+    # CC rounds + labels write) and the three count-table writes are
+    # INDEPENDENT; submitting them from two driver threads lets the
+    # count-table write tasks back-fill executors idled by the CC
+    # loop's per-round barriers instead of serializing after them.
+    # Outputs are disjoint directories; results byte-identical.
+    def _write_labels() -> None:
+        labels = connected_components(
+            corpus.select(F.col("doc_id").alias("id")),
+            _doc_jaccard_edges(corpus, postings=post),
+        )
+        labels.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "labels")
+        )
+
+    def _write_counts() -> None:
+        post.withColumn("sbucket", _sbucket(F.col("shingle"))).write.mode(
+            "overwrite"
+        ).partitionBy("sbucket").parquet(os.path.join(state_dir, "postings"))
+        df_tbl = post.groupBy("shingle").agg(F.count("*").alias("df"))
+        df_tbl.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "shingle_df")
+        )
+        sizes = (
+            post.join(df_tbl, "shingle")
+            .filter(F.col("df") <= _DF_CAP)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n"))
+        )
+        sizes.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "sizes")
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = [pool.submit(_write_labels), pool.submit(_write_counts)]
+        for f in futures:
+            f.result()
 
 
 def _batch_hot_vocab(bpost: DataFrame, df_tbl: DataFrame) -> DataFrame:
@@ -301,14 +328,8 @@ def apply_batch(
     merged = connected_components_star(nodes, star1.unionByName(e2))
 
     if out_state_dir is not None:
-        merged.write.mode("overwrite").parquet(
-            os.path.join(out_state_dir, "labels")
-        )
         post_u = postings.select("doc_id", "shingle", "sbucket").unionByName(
             bpost.withColumn("sbucket", _sbucket(F.col("shingle")))
-        )
-        post_u.write.mode("overwrite").partitionBy("sbucket").parquet(
-            os.path.join(out_state_dir, "postings")
         )
         # rolled-forward df: standing df + batch df on batch-present
         # shingles, standing df unchanged elsewhere — no recount
@@ -322,14 +343,27 @@ def apply_batch(
                 "shingle", F.col("bdf").alias("df")
             )
         )
-        df_u.write.mode("overwrite").parquet(
-            os.path.join(out_state_dir, "shingle_df")
-        )
         # sizes_u IS the union-cap size table — the next pass's
-        # standing sizes by definition
-        sizes_u.write.mode("overwrite").parquet(
-            os.path.join(out_state_dir, "sizes")
-        )
+        # standing sizes by definition. r11 (guide §2.6): the four
+        # table writes land in disjoint directories and share only
+        # already-checkpointed inputs — overlap them on driver threads
+        writes = [
+            lambda: merged.write.mode("overwrite").parquet(
+                os.path.join(out_state_dir, "labels")
+            ),
+            lambda: post_u.write.mode("overwrite")
+            .partitionBy("sbucket")
+            .parquet(os.path.join(out_state_dir, "postings")),
+            lambda: df_u.write.mode("overwrite").parquet(
+                os.path.join(out_state_dir, "shingle_df")
+            ),
+            lambda: sizes_u.write.mode("overwrite").parquet(
+                os.path.join(out_state_dir, "sizes")
+            ),
+        ]
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for f in [pool.submit(w) for w in writes]:
+                f.result()
     return merged
 
 
@@ -636,14 +670,6 @@ def apply_delete_batch(
     ).unionByName(relabeled.select("id", "component"))
 
     if out_state_dir is not None:
-        labels2.write.mode("overwrite").parquet(
-            os.path.join(out_state_dir, "labels")
-        )
-        postings.join(F.broadcast(dset), "doc_id", "anti").select(
-            "doc_id", "shingle", "sbucket"
-        ).write.mode("overwrite").partitionBy("sbucket").parquet(
-            os.path.join(out_state_dir, "postings")
-        )
         df2 = df_tbl.join(
             F.broadcast(df_delta.select("shingle", F.col("df").alias("dfn"))),
             "shingle",
@@ -651,12 +677,27 @@ def apply_delete_batch(
         ).select(
             "shingle", F.coalesce(F.col("dfn"), F.col("df")).alias("df")
         ).filter(F.col("df") > 0)
-        df2.write.mode("overwrite").parquet(
-            os.path.join(out_state_dir, "shingle_df")
-        )
-        sizes2.write.mode("overwrite").parquet(
-            os.path.join(out_state_dir, "sizes")
-        )
+        # r11 (guide §2.6): four survivor-table writes into disjoint
+        # directories over already-checkpointed inputs — overlapped
+        writes = [
+            lambda: labels2.write.mode("overwrite").parquet(
+                os.path.join(out_state_dir, "labels")
+            ),
+            lambda: postings.join(F.broadcast(dset), "doc_id", "anti")
+            .select("doc_id", "shingle", "sbucket")
+            .write.mode("overwrite")
+            .partitionBy("sbucket")
+            .parquet(os.path.join(out_state_dir, "postings")),
+            lambda: df2.write.mode("overwrite").parquet(
+                os.path.join(out_state_dir, "shingle_df")
+            ),
+            lambda: sizes2.write.mode("overwrite").parquet(
+                os.path.join(out_state_dir, "sizes")
+            ),
+        ]
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for f in [pool.submit(w) for w in writes]:
+                f.result()
     return labels2
 
 
@@ -801,18 +842,31 @@ def lakehouse_takedown_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(("takedown|" + sf_dir).encode()).hexdigest()[:8]
     state_dir = scratch_state_dir(tag)
     tpath = _TABLE_DIRS.new_dir(tag)
-    create_table(spark, tpath, base, key="doc_id", n_files=8)
-    write_standing_state(spark, base, state_dir)
     dels = fixture_delete_set(base).localCheckpoint()
-    merge_into(
-        spark,
-        tpath,
-        dels.select(
-            "doc_id",
-            F.lit("D").alias("op"),
-            F.lit(None).cast("string").alias("text"),
-        ),
-    )
+
+    # r11 (guide §2.6): the corpus-table chain (create -> MERGE 'D')
+    # and the dedup-state build touch disjoint stores and share only
+    # the materialized inputs above — run them from two driver
+    # threads so the table writes back-fill the CC loop's idle gaps.
+    def _table_side() -> None:
+        create_table(spark, tpath, base, key="doc_id", n_files=8)
+        merge_into(
+            spark,
+            tpath,
+            dels.select(
+                "doc_id",
+                F.lit("D").alias("op"),
+                F.lit(None).cast("string").alias("text"),
+            ),
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = [
+            pool.submit(_table_side),
+            pool.submit(write_standing_state, spark, base, state_dir),
+        ]
+        for f in futures:
+            f.result()
     labels2 = apply_delete_batch(spark, state_dir, dels)
     tbl = read_snapshot(spark, tpath).select(
         "doc_id", F.length("text").cast("long").alias("text_len")
@@ -931,8 +985,6 @@ def lakehouse_cdf_drives_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_dir = scratch_state_dir(tag)
     state_dir2 = scratch_state_dir(tag + "_postdel")
     tpath = _TABLE_DIRS.new_dir(tag)
-    create_table(spark, tpath, base, key="doc_id", n_files=8)
-    write_standing_state(spark, base, state_dir)
 
     dels = fixture_delete_set(base)
     upds = base.filter(
@@ -950,7 +1002,21 @@ def lakehouse_cdf_drives_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(batch.select("doc_id", F.lit("I").alias("op"), "text"))
         .unionByName(upds.select("doc_id", F.lit("U").alias("op"), "text"))
     )
-    merge_into(spark, tpath, changes)
+
+    # r11 (guide §2.6): the CDC-table chain (create -> merge) and the
+    # standing-state build are independent until the feed is read —
+    # overlap them on two driver threads (disjoint output dirs)
+    def _table_side() -> None:
+        create_table(spark, tpath, base, key="doc_id", n_files=8)
+        merge_into(spark, tpath, changes)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = [
+            pool.submit(_table_side),
+            pool.submit(write_standing_state, spark, base, state_dir),
+        ]
+        for f in futures:
+            f.result()
 
     # the state job's ONLY input: the commit's change feed
     feed = read_changes(spark, tpath, v_from=1).localCheckpoint()

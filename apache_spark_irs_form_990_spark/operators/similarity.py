@@ -2140,8 +2140,9 @@ def sim_pq_lloyd_step_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sse_anchor on any non-degenerate input, and the ratio is the
     measured value of one training sweep (empty cells keep their old
     centroid, the standard Lloyd convention). The full training loop
-    is this step iterated — at scale each sweep is one broadcast
-    crossjoin + one groupBy, embarrassingly parallel over vectors —
+    is this step iterated — at scale each sweep is one zero-exchange
+    Arrow argmin pass + one groupBy, embarrassingly parallel over
+    vectors —
     now registered as [[sim_pq_train_loop_audit]] (_PQ_ROUNDS sweeps,
     per-round SSE as data) with [[sim_pq_trained_adc_audit]] re-running
     the ADC recall protocol on the trained codebook."""
@@ -2843,10 +2844,11 @@ def sim_pq_train_loop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence in update arithmetic hash-fails).
 
     Scale shape: training state is the 128-row codebook (driver-side
-    between rounds, broadcast within them); per round one broadcast
-    crossjoin + one window argmin + one groupBy — embarrassingly
-    parallel over vectors, `localCheckpoint` per round so round N
-    never replays rounds 0..N-1 (the CC-loop rule, SCALE.md §8). At
+    between rounds, a task-closure constant within them); per round
+    one zero-exchange Arrow argmin pass + one groupBy update —
+    embarrassingly parallel over vectors, `localCheckpoint` per round
+    so round N never replays rounds 0..N-1 (the CC-loop rule,
+    SCALE.md §8). At
     100 TB you train on exactly this kind of bounded sample (the
     codebook generalizes; the corpus-wide pass is encode-only) — the
     CAP slice isn't a test shortcut, it IS the production shape."""
@@ -3488,10 +3490,11 @@ def sim_pq_code_budget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     [[sim_pq_recall_at_k]]), not the trainer.
 
     Scale shape: unchanged from the K=16 audits — the codebook is
-    {BK}x8 = 512 rows (still a broadcast), assignment is one
-    broadcast crossjoin + window argmin per round, and every compare
-    is one window top-k; K enters cost only through the broadcast
-    crossjoin width, exactly as production K=256 would."""
+    {BK}x8 = 512 rows (a task-closure constant since r11), assignment
+    is one zero-exchange Arrow argmin pass per round, and every
+    compare is one Arrow matmul-top-k pass; K enters cost only
+    through the per-batch einsum width, exactly as production K=256
+    would."""
     R, TOPK, CAND = _PQ_ROUNDS, _PQ_RECALL_K, _PQ_RERANK_CAND
     K, CAP = _PQ_BUDGET_K, _PQ_BUDGET_CAP
     mm = _pq_mm(spark, sf_dir, cap=CAP)

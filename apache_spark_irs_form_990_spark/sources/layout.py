@@ -498,24 +498,33 @@ def layout_compact_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     }
-    census = []
-    for p in prios:
+    # r11 (guide §2.6 — overlap independent jobs): the per-key
+    # fragment→compact chains are independent; running them from a
+    # small thread pool lets the next key's tasks back-fill executors
+    # freed by the current key's write tail instead of serializing
+    # ~3 jobs x |keys| driver-side. pool.map preserves key order, the
+    # writes and glob census are byte-identical to the serial loop.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one_key(p: str):
         pdir_f = os.path.join(frag, f"p={p}")
         pdir_c = os.path.join(comp, f"p={p}")
+        spark.sparkContext.setJobDescription(f"compact_binpack: key {p}")
         o.filter(F.col("o_orderpriority") == p).repartition(40).write.mode(
             "overwrite"
         ).parquet(pdir_f)
         spark.read.parquet(pdir_f).repartition(int(targets[p])).write.mode(
             "overwrite"
         ).parquet(pdir_c)
-        census.append(
-            (
-                p,
-                len(_glob.glob(os.path.join(pdir_f, "part-*"))),
-                len(_glob.glob(os.path.join(pdir_c, "part-*"))),
-                int(targets[p]),
-            )
+        return (
+            p,
+            len(_glob.glob(os.path.join(pdir_f, "part-*"))),
+            len(_glob.glob(os.path.join(pdir_c, "part-*"))),
+            int(targets[p]),
         )
+
+    with ThreadPoolExecutor(max_workers=min(3, len(prios) or 1)) as pool:
+        census = list(pool.map(_one_key, prios))
     census_df = spark.createDataFrame(
         census,
         "o_orderpriority string, files_before long, files_after long,"
