@@ -50,7 +50,13 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.parquet.compression.codec", "gzip")
+        # zstd, not gzip (r11, optimization guide §6/§9): measured on
+        # the standing-state writer at sf0.1 — gzip 13.3 s vs zstd
+        # 8.0 s for the same four tables at +7% bytes (snappy was as
+        # fast to write but +46% bytes and slower to re-read). Applies
+        # to every parquet sink the engine writes; readers (Spark,
+        # DuckDB oracle) decode zstd natively.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
