@@ -3553,11 +3553,17 @@ def _cdf_maintain_oracle() -> str:
       FROM base WHERE vec_id % 11 = 2
     ),
     post AS (
-      SELECT b.vec_id, b.v FROM base b
-      LEFT JOIN changed c ON b.vec_id = c.vec_id
-      WHERE c.vec_id IS NULL
-      UNION ALL
-      SELECT vec_id, v FROM changed WHERE op IN ('U', 'I')
+      -- the merge_apply twin (full-outer resolve), NOT
+      -- "unmatched base + change rows": the two forms agree on
+      -- unique keys but diverge on duplicated ones (an updated key
+      -- with b base copies and c change copies holds b*c resolved
+      -- rows), and the oracle must mirror the OPERATOR's declared
+      -- semantics — found by the edge-embeddings differential (r11
+      -- optimization round, inherited from the interrupted build)
+      SELECT coalesce(b.vec_id, c.vec_id) AS vec_id,
+             CASE WHEN c.op IN ('U', 'I') THEN c.v ELSE b.v END AS v
+      FROM base b FULL OUTER JOIN changed c ON b.vec_id = c.vec_id
+      WHERE c.op IS NULL OR c.op != 'D'
     ),
     {_flat_lsh_sql("post")}
     SELECT vec_id, bucket, n FROM bucketed
