@@ -22,6 +22,8 @@ truncation) on both the Spark and oracle sides.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -33,6 +35,9 @@ from apache_spark_irs_form_990_spark.functions.vectors import (
     sq_norm,
 )
 from apache_spark_irs_form_990_spark.operators.similarity import (
+    _bounded_rows,
+    _cent_assign_argmax,
+    _cent_assign_rows,
     banded_lsh_pairs,
     banded_lsh_pairs_sql,
     emb_milli_corpus,
@@ -1896,6 +1901,88 @@ def _semdedup_oracle() -> str:
     """
 
 
+def _semdedup_stored_index(ranked: DataFrame) -> dict:
+    """Driver-side {cell: (vec_ids, cent_cos, rns, M, norms)} numpy
+    view of the top-`_SEMDEDUP_CAP` priority members per cell — the
+    stored side of the SemDeDup comparison, bounded by K x C rows
+    (<= 2048) BY CONSTRUCTION of the rn <= C filter; bound enforced
+    via `_bounded_rows` (guide §5). Rows per cell sorted by rn
+    ascending. ``ranked`` must be materialized (localCheckpoint) by
+    the caller so this collect replays no lineage."""
+    rows = _bounded_rows(
+        ranked.filter(F.col("rn") <= _SEMDEDUP_CAP).select(
+            "cell", "rn", "vec_id", "cent_cos", "v"
+        ),
+        _SEMDEDUP_K * _SEMDEDUP_CAP,
+        "semdedup stored index",
+    )
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(
+            (r["rn"], r["vec_id"], r["cent_cos"], list(r["v"]))
+        )
+    idx = {}
+    for cell, lst in by_cell.items():
+        lst.sort()
+        M = np.array([v for _, _, _, v in lst], dtype=np.int64)
+        idx[cell] = (
+            np.array([t[1] for t in lst], dtype=np.int64),
+            np.array([t[2] for t in lst], dtype=np.float64),
+            np.array([t[0] for t in lst], dtype=np.int64),
+            M,
+            np.sqrt((M * M).sum(axis=1).astype(np.float64)),
+        )
+    return idx
+
+
+def _semdedup_drop_flags(ranked: DataFrame) -> DataFrame:
+    """(vec_id, cell, dropped): per ranked member, whether some
+    HIGHER-PRIORITY member of its own cell within the top-C index is
+    `_SEMDEDUP_TAU`-close.
+
+    r12 OPTIMIZED (guide §2.3, §4.2 — the r11 `_cosine_topk_pairs`
+    pattern): the <= K x C-row stored index rides as a task-closure
+    numpy constant and ONE Arrow map pass over the ranked frame
+    scores each member against its own cell's prefix (srn < rn) by
+    exact int64 matmul, replacing the per-cell capped self-join +
+    ArrowEvalPython pair-dot + distinct + left-join chain (3
+    Exchanges on the |corpus|-sized side). Arithmetic bit-identical:
+    same int64 dots, same double division order, same >= comparison."""
+    idx = _semdedup_stored_index(ranked)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vid = pdf["vec_id"].to_numpy()
+            V = np.vstack(pdf["v"].to_numpy()).astype(np.int64)
+            vn = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+            assert vn.all(), "zero-norm corpus vector (NaN cosine)"
+            arn = pdf["rn"].to_numpy()
+            dropped = np.zeros(len(pdf), dtype=bool)
+            for cell, rows_i in pdf.groupby("cell", sort=False).indices.items():
+                st = idx.get(cell)
+                if st is None:
+                    continue
+                _, _, srn, M, sn = st
+                cos = (V[rows_i] @ M.T).astype(np.float64) / (
+                    vn[rows_i][:, None] * sn[None, :]
+                )
+                mask = srn[None, :] < arn[rows_i][:, None]
+                dropped[rows_i] = ((cos >= _SEMDEDUP_TAU) & mask).any(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": vid,
+                    "cell": pdf["cell"].to_numpy(),
+                    "dropped": dropped,
+                }
+            )
+
+    return ranked.select("vec_id", "cell", "rn", "v").mapInPandas(
+        score, "vec_id long, cell bigint, dropped boolean"
+    )
+
+
 @register("dedup_semantic_ivf_cells", oracle=_semdedup_oracle())
 def dedup_semantic_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup with IVF-CELL blocking (Abbas et
@@ -1933,56 +2020,32 @@ def dedup_semantic_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     2 nearest cells (69% -> 80% of recoverable pairs), and
     [[dedup_semdedup_nprobe_audit]] prices the knob from one shared
     pair join."""
-    K, C = _SEMDEDUP_K, _SEMDEDUP_CAP
+    K = _SEMDEDUP_K
     corpus = emb_milli_corpus(spark, sf_dir, keeps=(60,))
     cents = corpus.filter(F.col("vec_id") < K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    cent_cos = dot(F.col("v"), F.col("cv")).cast("double") / (
-        F.sqrt(sq_norm(F.col("v")).cast("double"))
-        * F.sqrt(sq_norm(F.col("cv")).cast("double"))
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("cent_cos").desc(), F.col("cid")
-    )
+    # r12 (guide §2.4, §4.2): assignment via the Arrow argmax kernel
+    # (crossjoin + per-vec_id window GONE); the one remaining exchange
+    # is the per-cell priority rank the method is defined over, and
+    # the capped comparison runs as one more Arrow pass with the
+    # <= K x C stored index in the task closure (_semdedup_drop_flags)
+    # instead of the self-join + distinct + left-join chain.
     w_rank = Window.partitionBy("cell").orderBy("cent_cos", "vec_id")
     ranked = (
-        corpus.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cid", "v", cent_cos.alias("cent_cos"))
-        .withColumn("arn", F.row_number().over(w_assign))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", F.col("cid").alias("cell"), "v", "cent_cos")
+        _cent_assign_argmax(corpus, cents)
         .withColumn("rn", F.row_number().over(w_rank))
-        .withColumn("nrm", sq_norm(F.col("v")))
         .localCheckpoint()
-    )
-    a = ranked.select(
-        F.col("vec_id"), F.col("cell"), F.col("rn"),
-        F.col("v").alias("va"), F.col("nrm").alias("na"),
-    )
-    b = ranked.filter(F.col("rn") <= C).select(
-        F.col("cell").alias("b_cell"), F.col("rn").alias("b_rn"),
-        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
-    )
-    pair_cos = pair_dot_udf()(F.col("va"), F.col("vb")).cast("double") / (
-        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
-    )
-    drops = (
-        a.join(b, (F.col("cell") == F.col("b_cell")) & (F.col("b_rn") < F.col("rn")))
-        .filter(pair_cos >= _SEMDEDUP_TAU)
-        .select("vec_id")
-        .distinct()
-        .withColumn("dropped", F.lit(1))
     )
     injected = F.col("vec_id") >= 1000000
     return (
-        ranked.join(drops, "vec_id", "left")
+        _semdedup_drop_flags(ranked)
         .groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.count("dropped").alias("n_dropped"),
+            F.count(F.when(F.col("dropped"), 1)).alias("n_dropped"),
             F.count(F.when(injected, 1)).alias("n_injected"),
-            F.count(F.when(injected & F.col("dropped").isNotNull(), 1)).alias(
+            F.count(F.when(injected & F.col("dropped"), 1)).alias(
                 "n_injected_dropped"
             ),
         )
@@ -2094,75 +2157,113 @@ def _semdedup_nprobe_audit_oracle() -> str:
     )
 
 
-def _semdedup_nprobe_matches(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """(ranked, matches) shared by the nprobe=2 pair: `ranked` is the
-    primary-cell priority index (identical to the single-cell form);
-    `matches` is one capped priority join over BOTH probed cells, per
-    vec_id with min_arn = 1 if the primary probe already found a
-    dominating 0.95-neighbor, 2 if only the secondary did. One join
-    prices both policies — the [[dedup_semdedup_cap_audit]] device."""
-    K, C = _SEMDEDUP_K, _SEMDEDUP_CAP
+def _semdedup_match_arn(ranked: DataFrame) -> DataFrame:
+    """(vec_id, cell, min_arn): every ranked member scored against the
+    top-C stored index of BOTH its probed cells in one Arrow pass —
+    min_arn = 1 if the primary cell holds a dominating TAU-close
+    member, 2 if only the secondary does, NULL otherwise. Dominance
+    ((b_cos, b_vec_id) < (my_cos, vec_id) lexicographically) matches
+    the global keep-priority the pair join used; arithmetic is the
+    same exact int64 dot + double division. r12: replaces the probes
+    join + capped priority join + ArrowEvalPython pair-dot + groupBy
+    chain (guide §2.3, §4.2 — the `_semdedup_drop_flags` pattern with
+    a 2-cell probe fan-out folded into the same pass)."""
+    idx = _semdedup_stored_index(ranked)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vid = pdf["vec_id"].to_numpy()
+            mycos = pdf["cent_cos"].to_numpy()
+            V = np.vstack(pdf["v"].to_numpy()).astype(np.int64)
+            vn = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+            assert vn.all(), "zero-norm corpus vector (NaN cosine)"
+            hits = {
+                "cell": np.zeros(len(pdf), dtype=bool),
+                "cell2": np.zeros(len(pdf), dtype=bool),
+            }
+            for col, hit in hits.items():
+                groups = pdf.groupby(col, sort=False).indices
+                for cell, rows_i in groups.items():
+                    st = idx.get(cell)
+                    if st is None:
+                        continue
+                    svid, scos, _, M, sn = st
+                    cos = (V[rows_i] @ M.T).astype(np.float64) / (
+                        vn[rows_i][:, None] * sn[None, :]
+                    )
+                    my = mycos[rows_i][:, None]
+                    dom = (scos[None, :] < my) | (
+                        (scos[None, :] == my)
+                        & (svid[None, :] < vid[rows_i][:, None])
+                    )
+                    hit[rows_i] = ((cos >= _SEMDEDUP_TAU) & dom).any(axis=1)
+            h1, h2 = hits["cell"], hits["cell2"]
+            arn = pd.arrays.IntegerArray(
+                np.where(h1, 1, 2).astype("int32"), mask=~(h1 | h2)
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": vid,
+                    "cell": pdf["cell"].to_numpy(),
+                    "min_arn": arn,
+                }
+            )
+
+    return ranked.select(
+        "vec_id", "cell", "cell2", "cent_cos", "v"
+    ).mapInPandas(score, "vec_id long, cell bigint, min_arn int")
+
+
+def _semdedup_nprobe_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per primary-cell index member (vec_id, cell, min_arn)
+    shared by the nprobe=2 pair: min_arn = 1 if the primary probe
+    already found a dominating 0.95-neighbor, 2 if only the secondary
+    did, NULL if neither. One scoring pass prices both policies — the
+    [[dedup_semdedup_cap_audit]] device. r12: the assignment crossjoin
+    is replaced by the Arrow kernel (`_cent_assign_rows` topn=2 — the
+    per-vec_id window now pools 2 kernel rows per physical row
+    instead of K=32 crossjoin rows, and the pivot to one wide row per
+    vec_id reuses the window's partitioning, no extra exchange), and
+    the probes/pair joins by `_semdedup_match_arn`'s task-closure
+    index pass; the per-cell priority rank keeps its one exchange."""
+    K = _SEMDEDUP_K
     corpus = emb_milli_corpus(spark, sf_dir, keeps=(60,))
     cents = corpus.filter(F.col("vec_id") < K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    cent_cos = dot(F.col("v"), F.col("cv")).cast("double") / (
-        F.sqrt(sq_norm(F.col("v")).cast("double"))
-        * F.sqrt(sq_norm(F.col("cv")).cast("double"))
-    )
+    # pooled top-2 across a duplicated vec_id's physical rows == the
+    # old window over the |rows| x K pair set: the global #1/#2 are
+    # each some row's per-row #1 or #2, all present in the kernel's
+    # per-row top-2 union (tests/test_edge_embeddings.py pins this)
     w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("cent_cos").desc(), F.col("cid")
+        F.col("cent_cos").desc(), F.col("cell")
     )
-    aranked = (
-        corpus.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cid", "v", cent_cos.alias("cent_cos"))
+    one = F.col("arn") == 1
+    wide = (
+        _cent_assign_rows(corpus, cents, topn=2)
         .withColumn("arn", F.row_number().over(w_assign))
         .filter(F.col("arn") <= 2)
-        .select("vec_id", F.col("cid").alias("cell"), "v", "cent_cos", "arn")
-        .localCheckpoint()
+        .groupBy("vec_id")
+        .agg(
+            F.first(F.when(one, F.col("cell")), ignorenulls=True).alias(
+                "cell"
+            ),
+            F.first(
+                F.when(one, F.col("cent_cos")), ignorenulls=True
+            ).alias("cent_cos"),
+            F.first(F.when(one, F.col("v")), ignorenulls=True).alias("v"),
+            F.first(
+                F.when(F.col("arn") == 2, F.col("cell")), ignorenulls=True
+            ).alias("cell2"),
+        )
     )
     w_rank = Window.partitionBy("cell").orderBy("cent_cos", "vec_id")
-    ranked = (
-        aranked.filter(F.col("arn") == 1)
-        .withColumn("rn", F.row_number().over(w_rank))
-        .withColumn("nrm", sq_norm(F.col("v")))
-        .localCheckpoint()
-    )
-    probes = aranked.select(
-        "vec_id", F.col("cell").alias("probe_cell"), "arn"
-    ).join(
-        ranked.select(
-            "vec_id",
-            F.col("v").alias("va"),
-            F.col("nrm").alias("na"),
-            F.col("cent_cos").alias("my_cos"),
-        ),
-        "vec_id",
-    )
-    b = ranked.filter(F.col("rn") <= C).select(
-        F.col("cell").alias("b_cell"),
-        F.col("vec_id").alias("b_vec_id"),
-        F.col("cent_cos").alias("b_cos"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    pair_cos = pair_dot_udf()(F.col("va"), F.col("vb")).cast("double") / (
-        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
-    )
-    dominates = (F.col("b_cos") < F.col("my_cos")) | (
-        (F.col("b_cos") == F.col("my_cos"))
-        & (F.col("b_vec_id") < F.col("vec_id"))
-    )
-    matches = (
-        probes.join(b, (F.col("probe_cell") == F.col("b_cell")) & dominates)
-        .filter(pair_cos >= _SEMDEDUP_TAU)
-        .groupBy("vec_id")
-        .agg(F.min("arn").alias("min_arn"))
-        .localCheckpoint()
-    )
-    return ranked, matches
+    ranked = wide.withColumn(
+        "rn", F.row_number().over(w_rank)
+    ).localCheckpoint()
+    return _semdedup_match_arn(ranked)
 
 
 @register("dedup_semantic_ivf_nprobe2", oracle=_semdedup_nprobe2_oracle())
@@ -2187,18 +2288,17 @@ def dedup_semantic_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     report as the single-cell form for row-by-row comparability;
     [[dedup_semdedup_nprobe_audit]] prices the recall lift from one
     shared pair join."""
-    ranked, matches = _semdedup_nprobe_matches(spark, sf_dir)
+    scored = _semdedup_nprobe_matches(spark, sf_dir)
     injected = F.col("vec_id") >= 1000000
     return (
-        ranked.join(matches.withColumn("dropped", F.lit(1)), "vec_id", "left")
-        .groupBy("cell")
+        scored.groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.count("dropped").alias("n_dropped"),
+            F.count("min_arn").alias("n_dropped"),
             F.count(F.when(injected, 1)).alias("n_injected"),
-            F.count(F.when(injected & F.col("dropped").isNotNull(), 1)).alias(
-                "n_injected_dropped"
-            ),
+            F.count(
+                F.when(injected & F.col("min_arn").isNotNull(), 1)
+            ).alias("n_injected_dropped"),
         )
         .orderBy("cell")
     )
@@ -2230,7 +2330,12 @@ def dedup_semdedup_nprobe_audit(
     sf0.1: nprobe=1 recovers 220/319 = 69.0% of recoverable pairs,
     nprobe=2 recovers 256/319 = 80.3% — the cell-split loss drops
     from 99 pairs to 63 for 2x probe fan-out (sf0.01: 75% -> 90%)."""
-    _, matches = _semdedup_nprobe_matches(spark, sf_dir)
+    matches = (
+        _semdedup_nprobe_matches(spark, sf_dir)
+        .filter(F.col("min_arn").isNotNull())
+        .select("vec_id", "min_arn")
+        .localCheckpoint()
+    )
     corpus = emb_milli_corpus(spark, sf_dir, keeps=(60,))
     mi = matches.select(
         F.col("vec_id").alias("inj_id"), F.col("min_arn").alias("arn_i")
@@ -2707,20 +2812,14 @@ def dedup_semdedup_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = corpus.filter(F.col("vec_id") < K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    cent_cos = dot(F.col("v"), F.col("cv")).cast("double") / (
-        F.sqrt(sq_norm(F.col("v")).cast("double"))
-        * F.sqrt(sq_norm(F.col("cv")).cast("double"))
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("cent_cos").desc(), F.col("cid")
-    )
+    # r12: assignment via the Arrow argmax kernel (shared with the
+    # registered operator); the UNCAPPED pair join below deliberately
+    # stays a real within-cell join — its stored side is the whole
+    # cell (occ², the audit's ground truth), not a bounded index, so
+    # the task-closure kernel does not apply.
     w_rank = Window.partitionBy("cell").orderBy("cent_cos", "vec_id")
     ranked = (
-        corpus.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cid", "v", cent_cos.alias("cent_cos"))
-        .withColumn("arn", F.row_number().over(w_assign))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", F.col("cid").alias("cell"), "v", "cent_cos")
+        _cent_assign_argmax(corpus, cents)
         .withColumn("rn", F.row_number().over(w_rank))
         .withColumn("nrm", sq_norm(F.col("v")))
         .localCheckpoint()

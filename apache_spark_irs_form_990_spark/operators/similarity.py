@@ -932,50 +932,86 @@ def sim_cosine_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH variant (`sim_cosine_ann_lsh`, rows-only check) this ANN
     operator hash-matches a DuckDB oracle end-to-end.
 
-    Scale shape: assignment is a broadcast of the codebook against an
-    embarrassingly-parallel scan (one cos per vector per centroid —
-    at 100 TB with k=65536 centroids this is the standard IVF build);
-    the probe reads only the 2/8 cells' members. Recall vs the exact
-    top-10 is a fixture property (the cells partition the corpus);
-    the operator reports each hit's cell so recall is auditable."""
+    Scale shape: assignment is an embarrassingly-parallel scan with
+    the codebook riding in the task closure (one cos per vector per
+    centroid — at 100 TB with k=65536 centroids this is the standard
+    IVF build); the probe reads only the 2/8 cells' members. Recall
+    vs the exact top-10 is a fixture property (the cells partition
+    the corpus); the operator reports each hit's cell so recall is
+    auditable.
+
+    r12 OPTIMIZED (guide §2.3, §4.2 — the `_cent_assign_rows`
+    pattern, fused): the probe cells are decided on the driver from
+    the bounded centroid + query collects (8 + 1 rows), and ONE Arrow
+    map pass assigns each physical row's cell and scores it against
+    the query; a map-side-combinable max_by then pools duplicate
+    vec_ids to the window form's one winner (the shuffle carries 4
+    scalars per row — no vector payload, where the old plan shuffled
+    |corpus| x 8 crossjoin rows each dragging the full vector through
+    two window sorts plus a probe join). Probe filter and top-10
+    follow the reduction, as the old probe join did. Arithmetic
+    bit-identical (exact int64 dots; one double division in the same
+    IEEE op order; first-max argmax == the (cos DESC, cid) tie-break
+    over cid-sorted centroids; duplicate-id pooling == the old
+    window, pinned by tests/test_edge_embeddings.py)."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", milli_vec(F.col("embedding")).alias("v")
     ).transform(nonzero_milli)
-    cents = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-
-    def _cos(a, b):
-        return dot(a, b).cast("double") / (
-            F.sqrt(sq_norm(a).cast("double")) * F.sqrt(sq_norm(b).cast("double"))
+    cids, C, cnorm = _cent_arrays(
+        emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
         )
+    )
+    qrows = _bounded_rows(
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select("v"),
+        4,
+        "sim_cosine_ann_ivf query",
+    )
+    out_schema = "vec_id long, cell bigint, cosine double"
+    if len(cids) == 0 or not qrows:
+        # no centroids or no (nonzero-norm) query vector: the old
+        # probe/crossjoin form produced zero rows — preserve that
+        return spark.createDataFrame([], out_schema)
+    qv = np.array(list(qrows[0]["v"]), dtype=np.int64)
+    qn = np.sqrt(float((qv * qv).sum()))
+    probe_cos = (C @ qv).astype(np.float64) / (cnorm * qn)
+    # stable argsort of -cos over cid-ascending rows == row_number
+    # over (cos DESC, cid); nprobe = 2
+    probe_cells = cids[np.argsort(-probe_cos, kind="stable")[:2]]
 
-    pairs = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cid", "v", _cos(F.col("v"), F.col("cv")).alias("cos_c")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_c").desc(), F.col("cid")
-    )
-    cells = (
-        pairs.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cell"), "v")
-    )
-    w_probe = Window.partitionBy().orderBy(
-        _cos(F.col("cv"), F.col("qv")).desc(), F.col("cid")
-    )
-    probe = (
-        cents.crossJoin(F.broadcast(q))
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= 2)
-        .select(F.col("cid").alias("probe_cell"))
+    def hits(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["v"].to_numpy()).astype(np.int64)
+            vn = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+            assert vn.all(), "zero-norm corpus vector (NaN cosine)"
+            cos_c = (V @ C.T).astype(np.float64) / (
+                vn[:, None] * cnorm[None, :]
+            )
+            j = cos_c.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": cids[j],
+                    "cent_cos": cos_c[np.arange(len(pdf)), j],
+                    "cosine": (V @ qv).astype(np.float64) / (vn * qn),
+                }
+            )
+
+    scored = emb.mapInPandas(
+        hits, "vec_id long, cell bigint, cent_cos double, cosine double"
     )
     return (
-        cells.join(F.broadcast(probe), cells.cell == F.col("probe_cell"))
-        .crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != 0)
-        .select("vec_id", "cell", _cos(F.col("v"), F.col("qv")).alias("cosine"))
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(F.struct("cell", "cosine"), _argmax_ord()).alias("_w")
+        )
+        .select("vec_id", "_w.cell", "_w.cosine")
+        .filter(
+            F.col("cell").isin([int(c) for c in probe_cells])
+            & (F.col("vec_id") != _QUERY_VEC_ID)
+        )
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
     )
@@ -2340,12 +2376,16 @@ def sim_cosine_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB twin. The codebook is the 16 md5-ordered anchor
     RESIDUALS (deterministic-draw device shared with the PQ audits;
     train with [[sim_pq_lloyd_step_audit]]'s sweep before trusting at
-    scale). Scale shape: assignment and encoding are one broadcast
-    crossjoin each (embarrassingly parallel over vectors, the IVF-PQ
-    build everyone ships); the probe touches only nprobe/k of the
-    corpus and scores against 8-byte codes, not raw vectors. Bounded
-    slice (vec_id < 300) keeps the all-pairs oracle cheap, matching
-    the other PQ audits."""
+    scale). Scale shape: assignment and encoding are one Arrow map
+    pass each with the bounded codebooks in the task closure
+    (embarrassingly parallel over vectors, the IVF-PQ build everyone
+    ships — r12: the two broadcast crossjoins + window argmins are
+    replaced by `_cent_assign_topn`'s residual variant and
+    `_pq_encode`, the r11 PQ kernels; the probe cells are decided on
+    the driver from the 8-row centroid + 1-row query collects); the
+    probe touches only nprobe/k of the corpus and scores against
+    8-byte codes, not raw vectors. Bounded slice (vec_id < 300) keeps
+    the all-pairs oracle cheap, matching the other PQ audits."""
     S, D, K, CAP = _PQ_SUBS, _PQ_DIMS, _PQ_K, _PQ_SLICE
     mm = (
         load(spark, sf_dir, "embeddings")
@@ -2354,36 +2394,60 @@ def sim_cosine_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(nonzero_milli)
         .localCheckpoint()
     )
-    cents = mm.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("ccid"), F.col("v").alias("cv")
-    )
-    q = mm.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
-        F.col("v").alias("qv")
-    )
-
-    def _cos(a, b):
-        return dot(a, b).cast("double") / (
-            F.sqrt(sq_norm(a).cast("double")) * F.sqrt(sq_norm(b).cast("double"))
+    cids, Cm, cnorm = _cent_arrays(
+        mm.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
         )
-
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_c").desc(), F.col("ccid")
     )
+    qrows = _bounded_rows(
+        mm.filter(F.col("vec_id") == _QUERY_VEC_ID).select("v"),
+        4,
+        "sim_cosine_ann_ivfpq query",
+    )
+    out_schema = (
+        "vec_id long, cell bigint, adc_cosine double, exact_cosine double"
+    )
+    if len(cids) == 0 or not qrows:
+        return spark.createDataFrame([], out_schema)
+    qv = np.array(list(qrows[0]["v"]), dtype=np.int64)
+    qn = np.sqrt(float((qv * qv).sum()))
+    probe_cos = (Cm @ qv).astype(np.float64) / (cnorm * qn)
+    probe_cells = [int(c) for c in cids[np.argsort(-probe_cos, kind="stable")[:2]]]
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["v"].to_numpy()).astype(np.int64)
+            vn = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+            assert vn.all(), "zero-norm corpus vector (NaN cosine)"
+            cos_c = (V @ Cm.T).astype(np.float64) / (
+                vn[:, None] * cnorm[None, :]
+            )
+            j = cos_c.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": cids[j],
+                    "cent_cos": cos_c[np.arange(len(pdf)), j],
+                    "v": pdf["v"].to_numpy(),
+                    "r": list(V - Cm[j]),
+                }
+            )
+
+    # per-vec_id max_by pools duplicated ids to the old window's one
+    # winner (same reduction as `_cent_assign_argmax`)
     resid = (
-        mm.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "ccid", "v", "cv",
-            _cos(F.col("v"), F.col("cv")).alias("cos_c"),
+        mm.mapInPandas(
+            assign,
+            "vec_id long, cell bigint, cent_cos double, "
+            "v array<bigint>, r array<bigint>",
         )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            F.col("ccid").alias("cell"),
-            "v",
-            "cv",
-            F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x - y).alias("r"),
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(F.struct("cell", "v", "r"), _argmax_ord()).alias("_w")
         )
+        .select("vec_id", "_w.cell", "_w.v", "_w.r")
         .localCheckpoint()
     )
     anchor_rows = (
@@ -2399,53 +2463,32 @@ def sim_cosine_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema="s int, cid int, c array<bigint>",
     )
-    sub = F.slice(F.col("r"), F.col("s") * D + 1, D)
-    sse = F.aggregate(
-        F.zip_with(sub, F.col("c"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    w_arg = Window.partitionBy("vec_id", "s").orderBy("sse", "cid")
-    codes = (
-        resid.crossJoin(F.broadcast(codebook))
-        .select("vec_id", "s", "cid", sse.alias("sse"))
-        .withColumn("rn", F.row_number().over(w_arg))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", "cid")
-    )
-    recon = (
-        codes.join(F.broadcast(codebook), ["s", "cid"])
-        .groupBy("vec_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("s"), F.col("c")))
-                    ),
-                    lambda x: x.getField("c"),
-                )
-            ).alias("rr")
-        )
-    )
-    recon_v = recon.join(
-        resid.select("vec_id", "cell", "v", "cv"), "vec_id"
-    ).select(
+    recon = _pq_encode(
+        resid.select("vec_id", F.col("r").alias("v")), codebook
+    ).select("vec_id", F.col("r").alias("rr"))
+    # rv = cv + rr with cv = v - r (exact ints), so cv need not ride
+    # through the kernels: rv = (v - r) + rr
+    recon_v = recon.join(resid.select("vec_id", "cell", "v", "r"), "vec_id").select(
         "vec_id",
         "cell",
         "v",
-        F.zip_with(F.col("cv"), F.col("rr"), lambda x, y: x + y).alias("rv"),
+        F.zip_with(
+            F.zip_with(F.col("v"), F.col("r"), lambda x, y: x - y),
+            F.col("rr"),
+            lambda x, y: x + y,
+        ).alias("rv"),
     )
-    w_probe = Window.partitionBy().orderBy(
-        _cos(F.col("cv"), F.col("qv")).desc(), F.col("ccid")
+    q = mm.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
     )
-    probe = (
-        cents.crossJoin(F.broadcast(q))
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= 2)
-        .select(F.col("ccid").alias("probe_cell"))
-    )
+
+    def _cos(a, b):
+        return dot(a, b).cast("double") / (
+            F.sqrt(sq_norm(a).cast("double")) * F.sqrt(sq_norm(b).cast("double"))
+        )
+
     return (
-        recon_v.join(F.broadcast(probe), F.col("cell") == F.col("probe_cell"))
+        recon_v.filter(F.col("cell").isin(probe_cells))
         .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != _QUERY_VEC_ID)
         .select(
@@ -2652,15 +2695,41 @@ def _pq_anchor_codebook(
     )
 
 
+def _bounded_rows(df: DataFrame, bound: int, what: str) -> list:
+    """Guarded driver-side collect for the kernel constants (the
+    documented small-collect class): fetches at most ``bound + 1``
+    rows and raises instead of silently pulling an unbounded frame
+    onto the driver (r12, VERDICT r11 task 2 — every caller is
+    bounded by construction today; this makes a future unbounded
+    caller fail loudly rather than OOM the driver, guide §5)."""
+    rows = df.limit(bound + 1).collect()
+    if len(rows) > bound:
+        raise ValueError(
+            f"{what}: more than {bound} rows — this helper collects "
+            f"its input to the driver and is only safe for frames "
+            f"bounded by construction (guide §5); pre-slice the input"
+        )
+    return rows
+
+
+# collect bounds for the kernel constants: the codebook is K x S rows
+# (<= 64 x 8 at the production code budget), the stored/centroid sides
+# are capped by _PQ_BUDGET_CAP / the IVF K at every call site.
+_CODEBOOK_COLLECT_BOUND = 512
+_STORED_COLLECT_BOUND = 1000
+
+
 def _codebook_arrays(codebook: DataFrame) -> dict:
     """Driver-side {s: (cids, C)} numpy view of a codebook frame —
     bounded by K x _PQ_SUBS rows (<= 512 at the production code
     budget; the documented small-collect class, same bound as
-    `_pq_anchor_codebook`'s collect). Centroid rows are sorted by cid
-    ascending so numpy argmin's first-match IS the (sse, cid)
-    tie-break the window form used."""
+    `_pq_anchor_codebook`'s collect, now ENFORCED via `_bounded_rows`).
+    Centroid rows are sorted by cid ascending so numpy argmin's
+    first-match IS the (sse, cid) tie-break the window form used."""
     by_s: dict = {}
-    for r in codebook.collect():
+    for r in _bounded_rows(
+        codebook, _CODEBOOK_COLLECT_BOUND, "_codebook_arrays"
+    ):
         by_s.setdefault(r["s"], []).append((r["cid"], list(r["c"])))
     out = {}
     for s, lst in by_s.items():
@@ -3038,12 +3107,28 @@ def _cosine_topk_pairs(
     Arithmetic is bit-identical: exact int64 dot, cast to double,
     divided by the PRODUCT of the two sqrt'd double norms (same IEEE
     op order as the expression form); ranking (cosine desc, nid asc)
-    via numpy stable lexsort == row_number over that ordering."""
-    srows = stored.select("nid", "vr").collect()
+    via numpy stable lexsort == row_number over that ordering.
+
+    Contracts (r12): the stored side is COLLECTED EAGERLY at call
+    time and must hold <= _STORED_COLLECT_BOUND rows (enforced —
+    an over-cap caller raises instead of OOMing the driver), and
+    every vector must have nonzero quantized norm (the corpus-wide
+    zero-norm convention; a zero norm would make the cosine NaN,
+    which numpy's lexsort ranks LAST while Spark's ORDER BY DESC
+    ranks it FIRST — asserted here so a contract violation fails
+    loudly instead of silently re-ranking)."""
+    srows = _bounded_rows(
+        stored.select("nid", "vr"), _STORED_COLLECT_BOUND, "_cosine_topk_pairs"
+    )
     srows.sort(key=lambda r: r["nid"])
     nids = np.array([r["nid"] for r in srows], dtype=np.int64)
     smat = np.array([list(r["vr"]) for r in srows], dtype=np.int64)
     snorm = np.sqrt((smat * smat).sum(axis=1).astype(np.float64))
+    if len(snorm) and not snorm.all():
+        raise ValueError(
+            "_cosine_topk_pairs: zero-norm stored vector — callers "
+            "must apply the nonzero_milli convention"
+        )
 
     def _topk_rows(qid, c, n, out):
         """Append (qid, nid, rn) rows for ONE query: 1-D cosine array
@@ -3070,6 +3155,7 @@ def _cosine_topk_pairs(
                 Q = np.vstack(pdf["vq"].to_numpy()).astype(np.int64)
                 qid = pdf["qid"].to_numpy()
                 nq = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+                assert nq.all(), "zero-norm query vector (NaN cosine)"
                 cos = (Q @ smat.T).astype(np.float64) / (
                     nq[:, None] * snorm[None, :]
                 )
@@ -3106,6 +3192,7 @@ def _cosine_topk_pairs(
                     if len(idx) == 0:
                         continue
                     nq = np.sqrt(float((q * q).sum()))
+                    assert nq, "zero-norm query vector (NaN cosine)"
                     cos = (smat[idx] @ q).astype(np.float64) / (
                         nq * snorm[idx]
                     )
@@ -3114,6 +3201,123 @@ def _cosine_topk_pairs(
                     yield pd.concat(out, ignore_index=True)
 
     return src.mapInPandas(topk, "qid long, nid long, rn int")
+
+
+def _cent_arrays(cents: DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Driver-side (cids, C, cnorm) numpy view of a bounded coarse
+    centroid frame (cid, cv) — the IVF analogue of `_codebook_arrays`
+    (<= K rows by construction at every call site: the K lowest-vec_id
+    corpus vectors; bound enforced). Rows sorted by cid ascending so
+    numpy's first-max argmax IS the (cos DESC, cid) window tie-break.
+    Zero-norm centroids are rejected (corpus frames apply the
+    nonzero_milli convention, so this only fires on a contract
+    violation — a NaN cosine would silently re-rank, guide §4)."""
+    rows = _bounded_rows(
+        cents.select("cid", "cv"), _CODEBOOK_COLLECT_BOUND, "_cent_arrays"
+    )
+    rows.sort(key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    C = np.array([list(r["cv"]) for r in rows], dtype=np.int64)
+    cnorm = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+    if len(cnorm) and not cnorm.all():
+        raise ValueError(
+            "_cent_arrays: zero-norm centroid — callers must apply "
+            "the nonzero_milli convention"
+        )
+    return cids, C, cnorm
+
+
+def _cent_assign_rows(
+    corpus: DataFrame, cents: DataFrame, topn: int = 1
+) -> DataFrame:
+    """LONG-FORM per-PHYSICAL-ROW assignment: each corpus row's topn
+    most-similar coarse centroids by exact milli-int cosine, ties to
+    the lowest cid — (vec_id, v, cell, cent_cos), topn rows per input
+    row (fewer when |cents| < topn). NO per-vec_id pooling: a
+    duplicated vec_id emits one group per physical row; callers that
+    need the window form's one-winner-per-vec_id semantics reduce via
+    `_cent_assign_argmax` or a per-vec_id window over this output.
+
+    r12 OPTIMIZED (guide §2.3, §4.2 — the r11 `_pq_assign` pattern
+    applied to the coarse quantizer): one Arrow `mapInPandas` pass
+    with the <= K-row centroid matrix as a task-closure numpy
+    constant replaces the broadcast crossjoin that materialized
+    |corpus| x K rows (each dragging the full vector) into the
+    per-vec_id window exchange — downstream shuffles now carry topn
+    rows per vector instead of K. Arithmetic bit-identical: exact
+    int64 dots, cast to double, divided by the product of the two
+    sqrt'd double norms (same IEEE op order as the expression form);
+    per-row ranking via numpy STABLE argsort of -cos over
+    cid-ascending centroid rows == row_number over (cent_cos DESC,
+    cid). Still embarrassingly parallel — at 100 TB the corpus
+    streams through map tasks and the centroids ride in the task
+    closure."""
+    cids, C, cnorm = _cent_arrays(cents)
+    n = min(topn, len(cids))
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or n == 0:
+                continue
+            V = np.vstack(pdf["v"].to_numpy()).astype(np.int64)
+            vn = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+            assert vn.all(), "zero-norm corpus vector (NaN cosine)"
+            cos = (V @ C.T).astype(np.float64) / (
+                vn[:, None] * cnorm[None, :]
+            )
+            rows = np.arange(len(pdf))
+            if n == 1:
+                top = cos.argmax(axis=1)[:, None]  # first max == low cid
+            else:
+                top = np.argsort(-cos, axis=1, kind="stable")[:, :n]
+            outs = []
+            for i in range(n):
+                j = top[:, i]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "v": pdf["v"].to_numpy(),
+                            "cell": cids[j],
+                            "cent_cos": cos[rows, j],
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    return corpus.select("vec_id", "v").mapInPandas(
+        assign, "vec_id long, v array<bigint>, cell bigint, cent_cos double"
+    )
+
+
+# pooled-winner ordering for duplicated vec_ids: max of (cent_cos,
+# -cell) == the old window's (cent_cos DESC, cid ASC) over the pooled
+# pair rows (exact ties between rows with differing payloads were
+# non-deterministic under the window too).
+def _argmax_ord():
+    return F.struct(
+        F.col("cent_cos").alias("_c"), (-F.col("cell")).alias("_nc")
+    )
+
+
+def _cent_assign_argmax(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, v, cell, cent_cos): ONE winner per vec_id — the
+    kernel's per-row argmax pooled across duplicate-vec_id physical
+    rows by a map-side-combinable max_by (guide §2.3: the shuffle
+    carries one copy of each row, where the old crossjoin+window form
+    shuffled K copies). Row-identical to the old per-vec_id window on
+    every fixture (incl. the duplicated-vec_id edge fixture, pinned
+    by tests/test_edge_embeddings.py)."""
+    return (
+        _cent_assign_rows(corpus, cents, topn=1)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("v", "cell", "cent_cos"), _argmax_ord()
+            ).alias("_w")
+        )
+        .select("vec_id", "_w.v", "_w.cell", "_w.cent_cos")
+    )
 
 
 def _recall_vs_exact_table(

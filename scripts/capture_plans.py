@@ -1,10 +1,11 @@
 """Capture .explain('formatted') for named registered queries into
-plans/r11/<query>_<suffix>.txt — the optimization round's before/after
+plans/r<N>/<query>_<suffix>.txt — the optimization round's before/after
 plan evidence (guide §1: measure first; §7.2: read the plan).
 
     python scripts/capture_plans.py before sim_pq_recall_at_k ...
     python scripts/capture_plans.py after --sf /root/testdata/sf0.01 q1 q2
-"""
+
+Target round dir via $PLANS_ROUND (default r12)."""
 
 from __future__ import annotations
 
@@ -14,7 +15,9 @@ import sys
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO_ROOT)
 
-OUT_DIR = os.path.join(REPO_ROOT, "plans", "r11")
+OUT_DIR = os.path.join(
+    REPO_ROOT, "plans", os.environ.get("PLANS_ROUND", "r12")
+)
 
 
 def main() -> int:

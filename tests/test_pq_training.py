@@ -51,6 +51,67 @@ def test_semdedup_nprobe2_superset_and_ceiling(spark):
     assert audit.n2_pairs_recovered > audit.n1_pairs_recovered
 
 
+def test_kernel_collects_are_guarded(spark):
+    """The kernel-constant collects must FAIL LOUDLY on an over-bound
+    input instead of silently pulling an unbounded frame onto the
+    driver (r12, VERDICT r11 task 2): `_cosine_topk_pairs`' stored
+    side, `_codebook_arrays`, and `_cent_arrays` each raise on
+    more rows than their documented bound."""
+    import pytest
+
+    from apache_spark_irs_form_990_spark.operators.similarity import (
+        _CODEBOOK_COLLECT_BOUND,
+        _STORED_COLLECT_BOUND,
+        _cent_arrays,
+        _codebook_arrays,
+        _cosine_topk_pairs,
+    )
+
+    over_stored = spark.range(_STORED_COLLECT_BOUND + 1).select(
+        F.col("id").alias("nid"),
+        F.array(F.lit(1).cast("long")).alias("vr"),
+    )
+    q = spark.range(1).select(
+        F.col("id").alias("qid"),
+        F.array(F.lit(1).cast("long")).alias("vq"),
+    )
+    with pytest.raises(ValueError, match="more than"):
+        _cosine_topk_pairs(q, over_stored, k=1)
+
+    over_cb = spark.range(_CODEBOOK_COLLECT_BOUND + 1).select(
+        F.lit(0).alias("s"),
+        F.col("id").cast("int").alias("cid"),
+        F.array(F.lit(1).cast("long")).alias("c"),
+    )
+    with pytest.raises(ValueError, match="more than"):
+        _codebook_arrays(over_cb)
+
+    over_cents = spark.range(_CODEBOOK_COLLECT_BOUND + 1).select(
+        F.col("id").alias("cid"),
+        F.array(F.lit(1).cast("long")).alias("cv"),
+    )
+    with pytest.raises(ValueError, match="more than"):
+        _cent_arrays(over_cents)
+
+
+def test_cent_arrays_rejects_zero_norm(spark):
+    """A zero-norm centroid would make every cosine against it NaN,
+    which numpy ranks differently from Spark's ORDER BY DESC — the
+    kernel refuses it instead of silently re-ranking (ADVICE r11)."""
+    import pytest
+
+    from apache_spark_irs_form_990_spark.operators.similarity import (
+        _cent_arrays,
+    )
+
+    cents = spark.range(2).select(
+        F.col("id").alias("cid"),
+        F.array(F.lit(0).cast("long")).alias("cv"),
+    )
+    with pytest.raises(ValueError, match="zero-norm"):
+        _cent_arrays(cents)
+
+
 def test_semdedup_nprobe2_drops_superset(spark):
     """Cell-level check: nprobe=2 never drops fewer vectors in any
     cell than the single-cell form (its drop predicate strictly
