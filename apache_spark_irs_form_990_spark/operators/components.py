@@ -22,7 +22,7 @@ just rows-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from apache_spark_irs_form_990_spark.functions.text import shingles
@@ -103,14 +103,22 @@ def connected_components(
             sym.join(labels, sym.src == labels.id)
             .select(F.col("dst").alias("id"), "component")
         )
+        # r12 (guide §1.5/§2.6 job-count discipline, VERDICT r11 task
+        # 3): the convergence read rides the checkpoint's own job via
+        # observe() — CollectMetrics materializes alongside the round
+        # instead of a second per-round count/collect job (2 driver
+        # barriers per round -> 1). Values identical: the observed
+        # sum IS sum(component) over the checkpointed frame.
+        obs = Observation()
         labels = (
             labels.unionByName(prop)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+            .observe(obs, F.sum("component").alias("s"))
             .localCheckpoint()  # eager: truncates lineage per round
         )
         # convergence: sum of labels is strictly decreasing until fixpoint
-        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             converged = True
             break
@@ -280,9 +288,19 @@ def connected_components_star(
     # reading `edges` again at labeling time would replay it twice
     # (r9 self-review finding)
     ep = edges.select("src", "dst").localCheckpoint()
-    e0 = _canon_edges(ep).localCheckpoint()
+    # r12 (guide §1.5/§2.6 job-count discipline, VERDICT r11 task 3):
+    # every per-round cardinality read rides its checkpoint's own job
+    # via observe() (CollectMetrics) instead of a separate count job —
+    # 2 driver barriers per alternation -> 1. Counts identical: the
+    # observed count IS count(*) over the checkpointed frame.
+    obs0 = Observation()
+    e0 = (
+        _canon_edges(ep)
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
     e = e0
-    n_prev = e.count()
+    n_prev = obs0.get["n"]
     if stats is not None:
         stats["sym_edges"] = n_prev
         stats["rounds"] = 0
@@ -293,10 +311,15 @@ def connected_components_star(
         if stats is not None:
             stats["rounds"] += 1
         skew_safe = n_prev > _SKEW_SAFE_EDGES
-        new_e = _small_star(
-            _large_star(e, skew_safe=skew_safe), skew_safe=skew_safe
-        ).localCheckpoint()
-        n_new = new_e.count()
+        obs = Observation()
+        new_e = (
+            _small_star(
+                _large_star(e, skew_safe=skew_safe), skew_safe=skew_safe
+            )
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        n_new = obs.get["n"]
         if n_new == n_prev:
             # same cardinality + new ⊆ old ⟺ identical sets (both
             # distinct); the anti-join runs on two materialized
